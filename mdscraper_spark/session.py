@@ -1,0 +1,48 @@
+"""SparkSession builder with scale-oriented defaults.
+
+Tuned for the extraction workload: AQE on (runtime coalesce + skew-join
+splitting is the first line of defense for hub domains), Arrow enabled
+with a small record batch (HTML rows are large — a 10 KB mean page at
+the default 10k records/batch would put ~100 MB per Arrow batch in the
+Python worker; 512 keeps batches ~5 MB), UTC session time, and shuffle
+partitions sized to the local core count (on a real cluster this is
+2-3x total executor cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "mdscraper-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or max(2 * cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,419 @@
+"""Deterministic fixture corpus + Common-Crawl-shaped pages synthesizer.
+
+Implements FIXTURES.md §1: the fixture HTML bodies replay the
+reference's own test inputs (/root/reference/tests/test_mdscraper.py:28-48,
+:228-243; /root/reference/tests/test_empty_lines_fix.py:21-67) plus
+minimal pages exercising each cascade stage and quirk.  The bulk
+generator emits Zipf-skewed hosts (hub domains) so partitioning/salting
+is exercised, and seeds entity/relation sentences so the KG back end
+has deterministic ground truth.
+
+Everything is seeded — same inputs at every scale, no external data.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+from typing import Dict, Iterator, List, Tuple
+
+from mdscraper_spark.config import ExtractConfig
+
+# ---------------------------------------------------------------------------
+# fixture cases (FIXTURES.md §1.1)
+# ---------------------------------------------------------------------------
+
+ARTICLE_BASIC = """
+<!DOCTYPE html>
+<html>
+<head>
+    <title>Test Page</title>
+</head>
+<body>
+    <div class="ads">SPONSORED CONTENT</div>
+    <nav id="nav"><a href="/home">Home</a></nav>
+    <article class="content">
+        <h1>Test Article</h1>
+        <p>This is a test paragraph.</p>
+        <img src="test.jpg" alt="Test Image">
+        <p>Another paragraph with <a href="https://example.com">a link</a>.</p>
+        <h2>Section Heading</h2>
+        <p>Content in a section.</p>
+        <p><img src="section.jpg" alt="Section Image"></p>
+        <h3>Subsection</h3>
+        <p>More content.</p>
+    </article>
+</body>
+</html>
+"""
+
+DIV_CONTENT_IMAGES = """
+<!DOCTYPE html>
+<html>
+<body>
+    <div class="content">
+        <h1>Test</h1>
+        <p>Text before image</p>
+        <p><img src="test.jpg" alt="Test"></p>
+        <p></p>
+        <p>Text after image</p>
+        <p><img src="test2.jpg" alt="Test2"></p>
+        <p>More text</p>
+    </div>
+</body>
+</html>
+"""
+
+EMPTY_LINES = """
+<!DOCTYPE html>
+<html>
+<head><title>Test Empty Lines</title></head>
+<body>
+    <div class="content">
+        <h1>Test Document</h1>
+        <p>This is a paragraph before an image.</p>
+        <p><img src="image1.jpg" alt="Image 1"></p>
+        <p>This is a paragraph between two images.</p>
+        <p><img src="image2.jpg" alt="Image 2"></p>
+        <p></p>
+        <p>This is a paragraph after an empty paragraph.</p>
+        <div>
+            <img src="image3.jpg" alt="Image 3">
+        </div>
+        <p>Text after a div with only an image.</p>
+        <p>
+            Some text with an inline image: <img src="inline.jpg" alt="Inline"> and more text.
+        </p>
+        <h2>Multiple Empty Paragraphs</h2>
+        <p><img src="multiple1.jpg" alt="Multiple 1"></p>
+        <p></p>
+        <p></p>
+        <p></p>
+        <p>Text after multiple empty paragraphs and an image.</p>
+        <p>Final paragraph.</p>
+    </div>
+</body>
+</html>
+"""
+
+LINKS_BASIC = """
+<html>
+    <body>
+        <div class="content">
+            <h1>Links</h1>
+            <p><a href="/page1.html">Page 1</a></p>
+            <p><a href="/page2.html">Page 2</a></p>
+        </div>
+    </body>
+</html>
+"""
+
+LINKS_EXCLUDED = """
+<html>
+    <body>
+        <div class="content">
+            <p><a href="/page1.html">Page 1</a></p>
+            <p><a href="/excluded-page.html">Excluded Page</a></p>
+            <p><a href="/ignore-this-page.html">Ignored Page</a></p>
+        </div>
+    </body>
+</html>
+"""
+
+LINKS_MIXED = """
+<html>
+    <body>
+        <div class="content">
+            <p><a href="/page1.html">Page 1</a></p>
+            <p><a href="https://example.com/page2.html">Page 2</a></p>
+        </div>
+    </body>
+</html>
+"""
+
+LINKS_NONE = """
+<html>
+    <body>
+        <div class="content">
+            <p>No links here!</p>
+        </div>
+    </body>
+</html>
+"""
+
+ID_CONTAINER = """
+<html>
+<body>
+    <div id="content-wrapper"><p>decoy: id must not substring-match</p></div>
+    <div class="sidebar"><p>decoy sidebar with quite a lot of text in it</p></div>
+    <div id="main-content">
+        <h1>Id Match</h1>
+        <p>Found by the hand-rolled id scan.</p>
+    </div>
+</body>
+</html>
+"""
+
+LARGEST_DIV = """
+<html>
+<body>
+    <span>nothing named matches here</span>
+    <div><p>alpha alpha alpha</p></div>
+    <div><p>beta beta beta b</p></div>
+    <div><p>tiny</p></div>
+</body>
+</html>
+"""
+
+TITLE_FALLBACK_TITLE = """
+<html>
+<head><title>Only A Title Tag</title></head>
+<body><div class="content"><p>body text</p></div></body>
+</html>
+"""
+
+TITLE_FALLBACK_NONE = """
+<html>
+<body><div class="content"><p>anonymous page</p></div></body>
+</html>
+"""
+
+QUIRKS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Quirky &nbsp; Title&#10;Here</h1>
+        <p>A heading with # inner # hashes below.</p>
+        <h2>Sub # heading # marks</h2>
+        <p><a href="https://fixtures.test/docs/a/docs/b.html">repeat root</a></p>
+        <p>Entities: 3 &lt; 5 &amp; true.</p>
+    </div>
+</body>
+</html>
+"""
+
+CUSTOM_CONTAINER = """
+<html>
+<body>
+    <div class="content"><p>default-name decoy that would normally win</p></div>
+    <div class="custom-name">
+        <h1>Custom Zone</h1>
+        <p>picked only with --content custom-name</p>
+    </div>
+</body>
+</html>
+"""
+
+FIXTURE_CASES: Dict[str, str] = {
+    "article-basic": ARTICLE_BASIC,
+    "div-content-images": DIV_CONTENT_IMAGES,
+    "empty-lines": EMPTY_LINES,
+    "links-basic": LINKS_BASIC,
+    "links-excluded": LINKS_EXCLUDED,
+    "links-mixed": LINKS_MIXED,
+    "links-none": LINKS_NONE,
+    "id-container": ID_CONTAINER,
+    "largest-div": LARGEST_DIV,
+    "title-fallback-title": TITLE_FALLBACK_TITLE,
+    "title-fallback-none": TITLE_FALLBACK_NONE,
+    "quirks": QUIRKS,
+    "custom-container": CUSTOM_CONTAINER,
+}
+
+# option variants (FIXTURES.md §1.2)
+VARIANTS: Dict[str, dict] = {
+    "default": {},
+    "no_images": {"no_images": True},
+    "no_links": {"no_links": True},
+    "root_url": {"root_url": "https://fixtures.test/docs"},
+    "exclude": {"exclude_selectors": (".ads", "#nav")},
+    "hs_all": {"extra_heading_space": "all"},
+    "hs_2": {"extra_heading_space": "2"},
+    "hs_23": {"extra_heading_space": "2,3"},
+    "hs_invalid": {"extra_heading_space": "2,x"},
+    "source": {"prepend_source_link": True},
+    "custom": {"content": ("custom-name",)},
+}
+
+
+def variant_config(variant: str) -> ExtractConfig:
+    return ExtractConfig(**VARIANTS[variant])
+
+
+def fixture_url(case_id: str) -> str:
+    return f"https://fixtures.test/{case_id}"
+
+
+REFERENCE_TS = datetime.datetime(2025, 6, 14, 0, 0, 0)
+LANG_CYCLE = ("en", "es", "zh", "de")
+
+
+def fixture_pages() -> List[Tuple[str, datetime.datetime, bytes, str, str]]:
+    """One pages-row per fixture case: (url, warc_ts, html, text, lang)."""
+    rows = []
+    for i, (case_id, html) in enumerate(sorted(FIXTURE_CASES.items())):
+        rows.append((
+            fixture_url(case_id),
+            REFERENCE_TS + datetime.timedelta(seconds=i),
+            html.encode("utf-8"),
+            None,
+            LANG_CYCLE[i % 4],
+        ))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# synthetic entities / relations (shared ground truth for the KG stage)
+# ---------------------------------------------------------------------------
+
+_ORG_A = ("Quantum", "Stellar", "Crimson", "Golden", "Silver", "Northern",
+          "Pacific", "Atlas", "Vertex", "Nimbus")
+_ORG_B = ("Dynamics", "Systems", "Holdings", "Labs", "Industries",
+          "Networks", "Analytics", "Robotics", "Energy", "Logistics")
+_FIRST = ("Alice", "Bruno", "Carla", "Diego", "Elena", "Farid", "Grace",
+          "Hiro", "Ingrid", "Jonas")
+_LAST = ("Almeida", "Baranov", "Chen", "Dubois", "Eriksen", "Fontana",
+         "Garcia", "Haddad", "Ivanova", "Johansson")
+_CITY = ("Amsterdam", "Bogota", "Cairo", "Dublin", "Esbjerg", "Fukuoka",
+         "Geneva", "Hanoi", "Istanbul", "Jakarta")
+
+N_ORGS = 100
+N_PEOPLE = 100
+
+
+def org_name(k: int) -> str:
+    return f"{_ORG_A[k % 10]} {_ORG_B[(k // 10) % 10]} {k}"
+
+
+def person_name(k: int) -> str:
+    return f"{_FIRST[k % 10]} {_LAST[(k // 10) % 10]}"
+
+
+def city_name(k: int) -> str:
+    return _CITY[k % 10]
+
+
+def alias_rows() -> List[Tuple[str, int, str, str, float]]:
+    """alias_dict: (alias, entity_id, canonical, etype, prior).
+
+    Entity ids: orgs 1..100, people 101..200.  Each entity has its
+    canonical name plus deterministic variants; ~10 hub aliases are
+    shared across many entities to exercise skew/salting
+    (FIXTURES.md §2).
+    """
+    rows: List[Tuple[str, int, str, str, float]] = []
+    for k in range(N_ORGS):
+        eid = k + 1
+        canon = org_name(k)
+        rows.append((canon, eid, canon, "ORG", 1.0))
+        rows.append((canon.upper(), eid, canon, "ORG", 0.5))
+        head = " ".join(canon.split()[:2])         # drop numeric suffix
+        rows.append((head, eid, canon, "ORG", 1.0 / (2 + k)))  # shared hub alias
+    for k in range(N_PEOPLE):
+        eid = N_ORGS + k + 1
+        canon = person_name(k)
+        rows.append((canon, eid, canon, "PERSON", 1.0))
+        first = canon.split()[0]
+        rows.append((first, eid, canon, "PERSON", 1.0 / (2 + k)))  # hub alias
+    return rows
+
+
+_REL_TEMPLATES = (
+    ("{p} works for {o}.", "works_for"),
+    ("{p} founded {o}.", "founded"),
+    ("{p} is the CEO of {o}.", "ceo_of"),
+    ("{o} acquired {o2}.", "acquired"),
+    ("{o} is based in {c}.", "based_in"),
+)
+
+_FILLER = (
+    "The quarterly report was released on schedule.",
+    "Markets reacted with cautious optimism.",
+    "Analysts expect steady growth next year.",
+    "The announcement drew wide attention.",
+    "Several projects remain under review.",
+)
+
+
+def _zipf_host(rng: random.Random, n_hosts: int = 100, s: float = 1.2) -> int:
+    """Zipf(s) over hosts -> hub-domain skew (FIXTURES.md §1)."""
+    weights = [1.0 / ((k + 1) ** s) for k in range(n_hosts)]
+    total = sum(weights)
+    x = rng.random() * total
+    acc = 0.0
+    for k, w in enumerate(weights):
+        acc += w
+        if x <= acc:
+            return k
+    return n_hosts - 1
+
+
+def bulk_page_html(i: int, rng: random.Random) -> Tuple[str, List[Tuple[str, str, str]]]:
+    """One synthetic article + the relation sentences planted in it.
+
+    Returns (html, [(subj_canonical, pred, obj_canonical), ...]).
+    """
+    p_idx = rng.randrange(N_PEOPLE)
+    o_idx = rng.randrange(N_ORGS)
+    o2_idx = (o_idx + 1 + rng.randrange(N_ORGS - 1)) % N_ORGS
+    c_idx = rng.randrange(10)
+    person, org, org2, city = (person_name(p_idx), org_name(o_idx),
+                               org_name(o2_idx), city_name(c_idx))
+
+    planted: List[Tuple[str, str, str]] = []
+    sentences: List[str] = []
+    n_rel = 1 + rng.randrange(3)
+    for _ in range(n_rel):
+        tmpl, pred = _REL_TEMPLATES[rng.randrange(len(_REL_TEMPLATES))]
+        sent = tmpl.format(p=person, o=org, o2=org2, c=city)
+        if pred in ("works_for", "founded", "ceo_of"):
+            planted.append((person, pred, org))
+        elif pred == "acquired":
+            planted.append((org, pred, org2))
+        else:
+            planted.append((org, pred, city))
+        sentences.append(sent)
+    for _ in range(2 + rng.randrange(3)):
+        sentences.append(_FILLER[rng.randrange(len(_FILLER))])
+    rng.shuffle(sentences)
+
+    paras = "\n        ".join(f"<p>{s}</p>" for s in sentences)
+    html = f"""
+<html>
+<head><title>Report {i}</title></head>
+<body>
+    <nav id="nav"><a href="/home">Home</a></nav>
+    <div class="ads">advertisement {i}</div>
+    <div class="content">
+        <h1>Report {i}: {org}</h1>
+        {paras}
+        <h2>Notes</h2>
+        <p>Compiled automatically for record {i}.</p>
+    </div>
+</body>
+</html>
+"""
+    return html, planted
+
+
+def bulk_page_row(i: int, seed: int = 42, with_truth: bool = False) -> tuple:
+    """One synthetic pages row; RNG is seeded per page id so generation
+    is identical regardless of partitioning or generation order."""
+    rng = random.Random(f"{seed}:{i}")  # str seed: stable across processes
+    h = _zipf_host(rng)
+    url = f"https://host{h:03d}.test/page{i:05d}"
+    html, planted = bulk_page_html(i, rng)
+    row = (url, REFERENCE_TS + datetime.timedelta(seconds=i),
+           html.encode("utf-8"), None, LANG_CYCLE[i % 4])
+    return row + ((planted,) if with_truth else ())
+
+
+def bulk_pages(n: int, seed: int = 42,
+               with_truth: bool = False) -> Iterator[tuple]:
+    """n synthetic pages rows; hosts Zipf-skewed over 100 domains.
+
+    Yields (url, warc_ts, html_bytes, text, lang) or, with truth,
+    (+ planted triples) for the oracle P/R harness.
+    """
+    for i in range(n):
+        yield bulk_page_row(i, seed, with_truth)
