@@ -1,0 +1,274 @@
+"""Distributed KG-construction operators (SURVEY.md §2.I).
+
+Stage map (BASELINE.json:6):
+  markdown_docs --mapInPandas--> mentions, triples      (narrow, no shuffle)
+  mentions x alias_dict --broadcast/salted join--> entity_links
+  entity_links --iterative min-label propagation--> canonical_map
+  canonical_map + mentions/triples --shuffle agg--> kg_nodes, kg_edges
+
+Scale notes:
+* the alias dictionary is broadcast by default (it is small); the
+  salted sort-merge path exists for dictionaries past the broadcast
+  threshold with skewed keys — salt spreads each hub alias over S
+  shuffle partitions without changing any output value;
+* best-link-per-mention uses a window with a TOTAL order
+  (score desc, entity_id asc) so results are partition-invariant;
+* label propagation is monotone (labels only decrease), so the
+  convergence check is a cheap checksum; lineage is cut with
+  localCheckpoint every 3 iterations (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mdscraper_spark.kg import rules
+from mdscraper_spark.sources import fixtures
+
+MENTIONS_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("sent_id", IntegerType(), False),
+    StructField("span_start", IntegerType(), False),
+    StructField("span_end", IntegerType(), False),
+    StructField("surface", StringType(), False),
+    StructField("mtype", StringType(), True),
+])
+
+TRIPLES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("sent_id", IntegerType(), False),
+    StructField("subj", StringType(), False),
+    StructField("pred", StringType(), False),
+    StructField("obj", StringType(), False),
+    StructField("conf", DoubleType(), False),
+])
+
+
+def alias_df(spark: SparkSession) -> DataFrame:
+    """The broadcastable alias dictionary (FIXTURES.md §2)."""
+    schema = StructType([
+        StructField("alias", StringType(), False),
+        StructField("entity_id", LongType(), False),
+        StructField("canonical", StringType(), False),
+        StructField("etype", StringType(), False),
+        StructField("prior", DoubleType(), False),
+    ])
+    return spark.createDataFrame(fixtures.alias_rows(), schema)
+
+
+# ---------------------------------------------------------------------------
+# I2 + I3 — mention & triple mining (narrow Arrow stages)
+# ---------------------------------------------------------------------------
+
+def mine_mentions(markdown_docs: DataFrame, gaz_entries: tuple) -> DataFrame:
+    """Gazetteer mentions; the compiled automaton is cached per executor
+    process (rules.cached_gazetteer), amortized across Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz = rules.cached_gazetteer(gaz_entries)
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "sent_id", "span_start", "span_end",
+                                    "surface", "mtype")}
+            for url, markdown in zip(pdf["url"], pdf["markdown"]):
+                if markdown is None:
+                    continue
+                sentences = rules.split_sentences(markdown)
+                for sid, start, end, surface, mtype in rules.detect_mentions(
+                        sentences, gaz):
+                    rows["url"].append(url)
+                    rows["sent_id"].append(sid)
+                    rows["span_start"].append(start)
+                    rows["span_end"].append(end)
+                    rows["surface"].append(surface)
+                    rows["mtype"].append(mtype)
+            yield pd.DataFrame(rows)
+
+    return (markdown_docs.filter(F.col("status") == "ok")
+            .select("url", "markdown")
+            .mapInPandas(run, MENTIONS_SCHEMA))
+
+
+def mine_triples(markdown_docs: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "sent_id", "subj", "pred", "obj",
+                                    "conf")}
+            for url, markdown in zip(pdf["url"], pdf["markdown"]):
+                if markdown is None:
+                    continue
+                sentences = rules.split_sentences(markdown)
+                for sid, subj, pred, obj, conf in rules.extract_triples(sentences):
+                    rows["url"].append(url)
+                    rows["sent_id"].append(sid)
+                    rows["subj"].append(subj)
+                    rows["pred"].append(pred)
+                    rows["obj"].append(obj)
+                    rows["conf"].append(conf)
+            yield pd.DataFrame(rows)
+
+    return (markdown_docs.filter(F.col("status") == "ok")
+            .select("url", "markdown")
+            .mapInPandas(run, TRIPLES_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# I4 — entity-link scoring (broadcast or salted join)
+# ---------------------------------------------------------------------------
+
+def _norm_col(col):
+    """Spark twin of rules.norm_surface: casefold approximated by
+    lower() (fixture surfaces are ASCII; documented contract)."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def link_entities(mentions: DataFrame, aliases: DataFrame,
+                  salt: Optional[int] = None) -> DataFrame:
+    """Best entity link per mention.
+
+    Default: broadcast hash join on the normalized surface.  With
+    ``salt=S`` (dictionary too big to broadcast + hub-alias skew): both
+    sides carry a salt key — mentions a deterministic pmod of their url
+    hash, aliases exploded xS — so one hub alias's rows spread over S
+    shuffle partitions.  Salt never reaches the output: values are
+    identical under every placement.
+    """
+    m = (mentions
+         .withColumn("mention_key",
+                     F.concat_ws("#", "url", "sent_id", "span_start"))
+         .withColumn("surface_norm", _norm_col(F.col("surface"))))
+    a = aliases.withColumn("alias_norm", _norm_col(F.col("alias")))
+
+    score = F.when(F.col("surface") == F.col("alias"), F.col("prior")) \
+             .otherwise(F.col("prior") * F.lit(0.7))
+
+    if salt is None:
+        joined = m.join(F.broadcast(a), m.surface_norm == a.alias_norm, "inner")
+    else:
+        m = m.withColumn("salt_key",
+                         F.pmod(F.xxhash64("url"), F.lit(salt)).cast("int"))
+        a = a.withColumn("salt_key",
+                         F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        joined = m.join(a, (m.surface_norm == a.alias_norm)
+                        & (m.salt_key == a.salt_key), "inner")
+
+    scored = joined.select(
+        "url", "mention_key", "entity_id", "surface", "mtype",
+        score.alias("score"),
+    )
+    # total order => partition-invariant winner
+    w = Window.partitionBy("url", "mention_key").orderBy(
+        F.desc("score"), F.asc("entity_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("url", "mention_key", "entity_id", "surface",
+                    F.col("score").cast("double").alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# I5 — canonicalization: connected components by min-label propagation
+# ---------------------------------------------------------------------------
+
+def coreference_edges(entity_links: DataFrame) -> DataFrame:
+    """Winning links induce the surface<->entity co-reference graph."""
+    s_node = F.concat(F.lit("s:"), _norm_col(F.col("surface")))
+    e_node = F.concat(F.lit("e:"), F.col("entity_id").cast("string"))
+    return entity_links.select(s_node.alias("src"), e_node.alias("dst")).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         checkpoint_every: int = 3) -> DataFrame:
+    """canonical_map(node_id, canon_id): canon is the component min.
+
+    Min-label propagation over the undirected edge set.  Labels are
+    monotone non-increasing, so sum(xxhash64(node,label)) changes iff
+    any label changed — a one-pass convergence probe instead of a
+    self-join diff.  localCheckpoint every few rounds cuts the lineage
+    chain that otherwise grows linearly with iterations.
+    """
+    und = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"))).distinct()
+    und = und.localCheckpoint()
+    labels = (und.select(F.col("src").alias("node_id"))
+              .distinct()
+              .withColumn("label", F.col("node_id")))
+
+    def checksum(lbl: DataFrame) -> int:
+        # decimal(38) accumulator: no ANSI long overflow at any scale
+        row = lbl.agg(F.sum(F.xxhash64("node_id", "label")
+                            .cast("decimal(38,0)"))).collect()[0]
+        return int(row[0] or 0)
+
+    prev = checksum(labels)
+    for i in range(max_iter):
+        msgs = (und.join(labels, und.src == labels.node_id)
+                .select(F.col("dst").alias("node_id"), F.col("label")))
+        labels = (labels.unionByName(msgs)
+                  .groupBy("node_id").agg(F.min("label").alias("label")))
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint()
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select(F.col("node_id"), F.col("label").alias("canon_id"))
+
+
+# ---------------------------------------------------------------------------
+# I6 — graph materialization
+# ---------------------------------------------------------------------------
+
+def build_kg_nodes(canonical_map: DataFrame, mentions: DataFrame,
+                   aliases: DataFrame) -> DataFrame:
+    """kg_nodes(canon_id, label, n_mentions).  Node label: the canonical
+    entity name when the component root is an entity node, else the
+    bare surface."""
+    s_node = F.concat(F.lit("s:"), _norm_col(F.col("surface")))
+    mention_nodes = mentions.select(s_node.alias("node_id"))
+    counted = (mention_nodes.join(canonical_map, "node_id", "left")
+               .withColumn("canon_id", F.coalesce("canon_id", "node_id"))
+               .groupBy("canon_id")
+               .agg(F.count(F.lit(1)).alias("n_mentions")))
+
+    ent_labels = (aliases.select(
+        F.concat(F.lit("e:"), F.col("entity_id").cast("string")).alias("canon_id"),
+        F.col("canonical")).distinct())
+    return (counted.join(F.broadcast(ent_labels), "canon_id", "left")
+            .withColumn(
+                "label",
+                F.coalesce("canonical", F.substring(F.col("canon_id"), 3, 10000)))
+            .select("canon_id", "label", "n_mentions"))
+
+
+def build_kg_edges(triples: DataFrame, canonical_map: DataFrame) -> DataFrame:
+    """kg_edges(src, pred, dst, n_support): triples mapped onto canonical
+    ids (two broadcast-able joins on the small canonical_map), deduped
+    by support count."""
+    cmap = F.broadcast(canonical_map)
+    subj_node = F.concat(F.lit("s:"), _norm_col(F.col("subj")))
+    obj_node = F.concat(F.lit("s:"), _norm_col(F.col("obj")))
+    t = (triples
+         .withColumn("subj_node", subj_node)
+         .withColumn("obj_node", obj_node))
+    t = (t.join(cmap.withColumnRenamed("node_id", "subj_node")
+                .withColumnRenamed("canon_id", "src_canon"), "subj_node", "left")
+         .join(cmap.withColumnRenamed("node_id", "obj_node")
+               .withColumnRenamed("canon_id", "dst_canon"), "obj_node", "left"))
+    return (t.select(
+                F.coalesce("src_canon", "subj_node").alias("src"),
+                F.col("pred"),
+                F.coalesce("dst_canon", "obj_node").alias("dst"))
+            .groupBy("src", "pred", "dst")
+            .agg(F.count(F.lit(1)).alias("n_support")))

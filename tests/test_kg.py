@@ -1,0 +1,136 @@
+"""KG back-end tests: distributed pipeline vs single-threaded oracle.
+
+The oracle (kg/oracle.py) runs the same rules sequentially; the Spark
+pipeline must match it exactly (triples P/R gate target 1.0 >= 0.95,
+canonical components set-equal) regardless of partitioning, and the
+salted join must equal the broadcast join.
+"""
+
+import pytest
+
+from mdscraper_spark.config import ExtractConfig
+from mdscraper_spark.kg import rules
+from mdscraper_spark.kg.oracle import run_oracle
+from mdscraper_spark.operators import kg as kg_ops
+from mdscraper_spark.operators.extract_udfs import extract_markdown
+from mdscraper_spark.sources import fixtures
+from mdscraper_spark.sources.pages import bulk_pages_df
+
+N_PAGES = 40
+CFG = ExtractConfig(exclude_selectors=(".ads", "#nav"))
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    pages = [(r[0], r[2].decode("utf-8")) for r in fixtures.bulk_pages(N_PAGES)]
+    return run_oracle(pages, fixtures.alias_rows(), CFG)
+
+
+@pytest.fixture(scope="module")
+def spark_kg(spark):
+    pages = bulk_pages_df(spark, N_PAGES).repartition(5)
+    docs = extract_markdown(pages, CFG)
+    aliases = kg_ops.alias_df(spark)
+    gaz_entries = tuple((a, t) for a, _e, _c, t, _p in fixtures.alias_rows())
+    mentions = kg_ops.mine_mentions(docs, gaz_entries)
+    triples = kg_ops.mine_triples(docs)
+    links = kg_ops.link_entities(mentions, aliases)
+    cmap = kg_ops.connected_components(kg_ops.coreference_edges(links))
+    nodes = kg_ops.build_kg_nodes(cmap, mentions, aliases)
+    edges = kg_ops.build_kg_edges(triples, cmap)
+    return {
+        "docs": docs, "aliases": aliases, "mentions": mentions,
+        "triples": triples, "links": links, "cmap": cmap,
+        "nodes": nodes, "edges": edges,
+    }
+
+
+def test_mentions_match_oracle(spark_kg, oracle):
+    got = {tuple(r) for r in spark_kg["mentions"].collect()}
+    want = set(oracle["mentions"])
+    assert got == want
+    assert len(want) > N_PAGES  # plenty of mentions planted
+
+
+def test_triples_match_oracle_pr_gate(spark_kg, oracle):
+    got = {tuple(r) for r in spark_kg["triples"].collect()}
+    want = set(oracle["triples"])
+    assert want, "oracle extracted no triples — rules broken"
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert got == want  # target: exact match
+
+
+def test_triples_recall_vs_planted_truth():
+    """Recall of the rule set against the generator's planted relations."""
+    truth = set()
+    extracted_docs = []
+    pages = list(fixtures.bulk_pages(N_PAGES, with_truth=True))
+    for url, _ts, html, _text, _lang, planted in pages:
+        for t in planted:
+            truth.add((url,) + t)
+    oracle_out = run_oracle([(r[0], r[2].decode()) for r in pages],
+                            fixtures.alias_rows(), CFG)
+    got = {(u, s, p, o) for (u, _sid, s, p, o, _c) in oracle_out["triples"]}
+    tp = len(got & truth)
+    recall = tp / len(truth)
+    precision = tp / len(got)
+    assert recall >= 0.95, f"recall {recall}: missing {list(truth - got)[:5]}"
+    assert precision >= 0.95, f"precision {precision}: extra {list(got - truth)[:5]}"
+
+
+def test_entity_links_match_oracle(spark_kg, oracle):
+    got = {(r.url, r.mention_key, r.entity_id, round(r.score, 9))
+           for r in spark_kg["links"].collect()}
+    want = {(u, mk, e, round(s, 9)) for (u, mk, e, s) in oracle["entity_links"]}
+    assert got == want
+
+
+def test_salted_join_equals_broadcast_join(spark_kg):
+    salted = kg_ops.link_entities(spark_kg["mentions"], spark_kg["aliases"],
+                                  salt=4)
+    a = {tuple(r) for r in salted.collect()}
+    b = {tuple(r) for r in spark_kg["links"].collect()}
+    assert a == b
+
+
+def _components(pairs):
+    """canonical_map rows -> frozenset-of-frozensets component partition."""
+    groups = {}
+    for node, canon in pairs:
+        groups.setdefault(canon, set()).add(node)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def test_canonical_components_match_oracle(spark_kg, oracle):
+    got = _components([(r.node_id, r.canon_id) for r in spark_kg["cmap"].collect()])
+    want = _components(oracle["canonical_map"])
+    assert got == want
+    # and labels agree exactly (min-label == union-find min root)
+    got_exact = {tuple(r) for r in spark_kg["cmap"].collect()}
+    assert got_exact == set(oracle["canonical_map"])
+
+
+def test_kg_nodes_and_edges_match_oracle(spark_kg, oracle):
+    got_nodes = {tuple(r) for r in spark_kg["nodes"].collect()}
+    assert got_nodes == set(oracle["kg_nodes"])
+    got_edges = {tuple(r) for r in spark_kg["edges"].collect()}
+    assert got_edges == set(oracle["kg_edges"])
+    assert got_edges, "no kg edges produced"
+
+
+def test_rules_units():
+    md = "# T\n\nAlice Chen works for Stellar Labs 42. Markets rallied."
+    sents = rules.split_sentences(md)
+    assert sents == ["T", "Alice Chen works for Stellar Labs 42.",
+                     "Markets rallied."]
+    triples = rules.extract_triples(sents)
+    assert triples == [(1, "Alice Chen", "works_for", "Stellar Labs 42", 1.0)]
+    gaz = rules.Gazetteer([("Alice Chen", "PERSON"), ("Alice", "PERSON"),
+                           ("Stellar Labs 42", "ORG")])
+    ments = rules.detect_mentions(sents, gaz)
+    # leftmost-longest: 'Alice Chen' wins over 'Alice'
+    assert (1, 0, 10, "Alice Chen", "PERSON") in ments
+    assert not any(m[3] == "Alice" for m in ments)
