@@ -1,0 +1,172 @@
+"""End-to-end KG build job with per-partition lineage and resume.
+
+Stage pipeline (SURVEY.md §3.2), driven as one batch job:
+
+  pages -> [extract] markdown_docs          resumable per url-host bucket
+        -> [mine]    mentions, triples      narrow Arrow stages
+        -> [link]    entity_links           broadcast (or salted) join
+        -> [canon]   canonical_map          iterative CC
+        -> [graph]   kg_nodes, kg_edges     shuffle agg + write
+
+Resume contract (north rule: "resumable from checkpoint with
+per-partition lineage + metrics"): the expensive extraction stage is
+checkpointed at url-host-bucket granularity.  A restart anti-joins the
+bucket universe against lineage rows with status='ok' and re-extracts
+only missing buckets; writes are dynamic-partition overwrites, so
+re-running a bucket is idempotent.  Downstream stages are recomputed
+from the (then complete) markdown_docs table — they are global
+(connected components cross every partition boundary) and cheap
+relative to extraction.
+"""
+
+from __future__ import annotations
+
+import datetime
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mdscraper_spark.config import ExtractConfig
+from mdscraper_spark.operators import kg as kg_ops
+from mdscraper_spark.operators.extract_udfs import extract_markdown
+from mdscraper_spark.sources import fixtures
+from mdscraper_spark.sources.pages import with_part_id
+from mdscraper_spark.sources.tables import Warehouse
+
+LINEAGE_SCHEMA = StructType([
+    StructField("run_id", StringType(), False),
+    StructField("part_id", IntegerType(), False),
+    StructField("stage", StringType(), False),
+    StructField("status", StringType(), False),
+    StructField("n_rows", LongType(), False),
+    StructField("wall_ms", LongType(), False),
+    StructField("ts", TimestampType(), False),
+])
+
+GLOBAL_PART = -1  # lineage part_id for non-bucketed (global) stages
+
+
+class KgBuildJob:
+    def __init__(self, spark: SparkSession, warehouse_path: str,
+                 config: Optional[ExtractConfig] = None,
+                 n_buckets: int = 16, salt: Optional[int] = None,
+                 aliases: Optional[DataFrame] = None) -> None:
+        self.spark = spark
+        self.wh = Warehouse(spark, warehouse_path)
+        self.config = config or ExtractConfig()
+        self.n_buckets = n_buckets
+        self.salt = salt
+        self.aliases = aliases if aliases is not None else kg_ops.alias_df(spark)
+
+    # -- lineage -----------------------------------------------------------
+    def _append_lineage(self, rows: list) -> None:
+        df = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+        df.write.mode("append").parquet(str(self.wh.table_path("lineage")))
+
+    def _lineage(self) -> Optional[DataFrame]:
+        path = self.wh.table_path("lineage")
+        if not path.exists():
+            return None
+        return self.spark.read.parquet(str(path))
+
+    def _record_stage(self, run_id: str, stage: str, per_part_counts: list,
+                      wall_ms: int) -> None:
+        now = datetime.datetime.now()
+        self._append_lineage([
+            (run_id, int(pid), stage, "ok", int(n), wall_ms, now)
+            for pid, n in per_part_counts
+        ])
+
+    # -- stages -------------------------------------------------------------
+    def run(self, pages: DataFrame, run_id: str = "run-1",
+            resume: bool = False) -> dict:
+        pages = with_part_id(pages, self.n_buckets)
+
+        todo = pages
+        if resume:
+            lineage = self._lineage()
+            if lineage is not None:
+                done = (lineage
+                        .filter((F.col("stage") == "extract")
+                                & (F.col("status") == "ok"))
+                        .select("part_id").distinct())
+                todo = pages.join(done, "part_id", "left_anti")
+
+        t0 = time.monotonic()
+        n_todo = todo.limit(1).count()
+        if n_todo > 0:
+            docs = extract_markdown(todo, self.config)
+            docs = with_part_id(docs, self.n_buckets)
+            # co-locate each bucket into one task before the partitioned
+            # write: one output file per (bucket, write) instead of
+            # n_tasks x n_buckets small files
+            docs = docs.repartition(self.n_buckets, "part_id")
+            self.wh.write_table(docs, "markdown_docs",
+                                partition_by=("part_id",))
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            counts = [(r.part_id, r.n) for r in
+                      self.wh.read_table("markdown_docs")
+                      .join(todo.select("part_id").distinct(), "part_id",
+                            "left_semi")
+                      .groupBy("part_id").agg(F.count("*").alias("n"))
+                      .collect()]
+            self._record_stage(run_id, "extract", counts, wall_ms)
+
+        docs = self.wh.read_table("markdown_docs")
+
+        # downstream stages, each lineage-recorded with per-bucket counts
+        gaz_entries = tuple((a, t) for a, _e, _c, t, _p in fixtures.alias_rows())
+
+        def per_part(df: DataFrame) -> list:
+            keyed = with_part_id(df, self.n_buckets)
+            return [(r.part_id, r.n) for r in
+                    keyed.groupBy("part_id").agg(F.count("*").alias("n"))
+                    .collect()]
+
+        t0 = time.monotonic()
+        mentions = kg_ops.mine_mentions(docs, gaz_entries)
+        triples = kg_ops.mine_triples(docs)
+        self.wh.write_table(with_part_id(mentions, self.n_buckets),
+                            "mentions", partition_by=("part_id",))
+        self.wh.write_table(with_part_id(triples, self.n_buckets),
+                            "triples", partition_by=("part_id",))
+        mentions = self.wh.read_table("mentions")
+        triples = self.wh.read_table("triples")
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._record_stage(run_id, "mine", per_part(mentions.select("url")),
+                           wall_ms)
+
+        t0 = time.monotonic()
+        links = kg_ops.link_entities(mentions, self.aliases, salt=self.salt)
+        self.wh.write_table(with_part_id(links, self.n_buckets),
+                            "entity_links", partition_by=("part_id",))
+        links = self.wh.read_table("entity_links")
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self._record_stage(run_id, "link", per_part(links.select("url")),
+                           wall_ms)
+
+        t0 = time.monotonic()
+        cmap = kg_ops.connected_components(kg_ops.coreference_edges(links))
+        self.wh.write_table(cmap, "canonical_map")
+        cmap = self.wh.read_table("canonical_map")
+        nodes = kg_ops.build_kg_nodes(cmap, mentions, self.aliases)
+        edges = kg_ops.build_kg_edges(triples, cmap)
+        self.wh.write_table(nodes, "kg_nodes")
+        self.wh.write_table(edges, "kg_edges")
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        n_nodes = self.wh.read_table("kg_nodes").count()
+        self._record_stage(run_id, "graph", [(GLOBAL_PART, n_nodes)], wall_ms)
+
+        return {name: self.wh.read_table(name) for name in (
+            "markdown_docs", "mentions", "triples", "entity_links",
+            "canonical_map", "kg_nodes", "kg_edges", "lineage")}

@@ -1,0 +1,97 @@
+"""Lineage + resumable-restart tests (SURVEY.md §2.I8, north rule).
+
+A full run and a damaged-then-resumed run must produce identical
+tables: we delete the extracted output and lineage for half the
+url-host buckets (simulating a mid-job crash) and restart with
+resume=True.
+"""
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mdscraper_spark.config import ExtractConfig
+from mdscraper_spark.jobs.kg_build import KgBuildJob
+from mdscraper_spark.sources.pages import bulk_pages_df
+
+N_PAGES = 30
+N_BUCKETS = 8
+CFG = ExtractConfig(exclude_selectors=(".ads", "#nav"))
+
+
+def snapshot(tables):
+    return {
+        "markdown_docs": {tuple(r) for r in tables["markdown_docs"]
+                          .select("url", "markdown", "status").collect()},
+        "kg_edges": {tuple(r) for r in tables["kg_edges"].collect()},
+        "kg_nodes": {tuple(r) for r in tables["kg_nodes"].collect()},
+    }
+
+
+def test_resume_after_partial_loss(spark, tmp_path):
+    pages = bulk_pages_df(spark, N_PAGES)
+
+    # reference: clean full run
+    job_a = KgBuildJob(spark, str(tmp_path / "wh_a"), CFG, n_buckets=N_BUCKETS)
+    want = snapshot(job_a.run(pages, run_id="full"))
+
+    # damaged run: full run, then destroy half the extraction buckets
+    job_b = KgBuildJob(spark, str(tmp_path / "wh_b"), CFG, n_buckets=N_BUCKETS)
+    job_b.run(pages, run_id="first")
+
+    lineage = spark.read.parquet(str(job_b.wh.table_path("lineage")))
+    extracted_parts = sorted(
+        r.part_id for r in lineage.filter(F.col("stage") == "extract")
+        .select("part_id").distinct().collect())
+    lost = extracted_parts[: len(extracted_parts) // 2]
+    assert lost, "need at least one bucket to damage"
+
+    for pid in lost:
+        bucket_dir = job_b.wh.table_path("markdown_docs") / f"part_id={pid}"
+        assert bucket_dir.exists()
+        shutil.rmtree(bucket_dir)
+    kept = lineage.filter(~((F.col("stage") == "extract")
+                            & F.col("part_id").isin([int(p) for p in lost])))
+    kept_rows = kept.collect()
+    shutil.rmtree(job_b.wh.table_path("lineage"))
+    spark.createDataFrame(kept_rows, lineage.schema).write.parquet(
+        str(job_b.wh.table_path("lineage")))
+
+    # damaged buckets are really gone
+    n_after_damage = job_b.wh.read_table("markdown_docs").count()
+    assert n_after_damage < N_PAGES
+
+    got = snapshot(job_b.run(pages, run_id="resume", resume=True))
+    assert got == want
+
+
+def test_resume_skips_completed_buckets(spark, tmp_path):
+    pages = bulk_pages_df(spark, N_PAGES)
+    job = KgBuildJob(spark, str(tmp_path / "wh"), CFG, n_buckets=N_BUCKETS)
+    job.run(pages, run_id="r1")
+
+    manifest_before = job.wh.manifest("markdown_docs")
+    job.run(pages, run_id="r2", resume=True)
+    manifest_after = job.wh.manifest("markdown_docs")
+    # nothing left to extract -> no new markdown_docs snapshot committed
+    assert manifest_before["snapshot_id"] == manifest_after["snapshot_id"]
+
+    lineage = job.wh.read_table("lineage")
+    extract_runs = {r.run_id for r in lineage
+                    .filter(F.col("stage") == "extract").collect()}
+    assert extract_runs == {"r1"}
+
+
+def test_lineage_metrics_recorded(spark, tmp_path):
+    pages = bulk_pages_df(spark, N_PAGES)
+    job = KgBuildJob(spark, str(tmp_path / "wh"), CFG, n_buckets=N_BUCKETS)
+    tables = job.run(pages, run_id="r1")
+    lineage = tables["lineage"]
+    stages = {r.stage for r in lineage.select("stage").distinct().collect()}
+    assert stages == {"extract", "mine", "link", "graph"}
+    extract_total = (lineage.filter(F.col("stage") == "extract")
+                     .agg(F.sum("n_rows")).collect()[0][0])
+    assert extract_total == N_PAGES
+    assert all(r.wall_ms >= 0 for r in lineage.collect())
