@@ -1,0 +1,165 @@
+"""Deduplication operators: exact, MinHash(+LSH), SimHash, n-gram Jaccard.
+
+Engine-portable hashing: every hash is md5 of a string (identical bytes
+in Spark and DuckDB), and every "min over hashes" is a lexicographic
+min over hex strings — so signatures are bit-identical across engines
+and across partitionings, with no dependence on xxhash/murmur
+implementations.
+
+Scale shapes:
+* exact dedup — one shuffle (groupBy content hash), map-side combine;
+* MinHash — shingle explode is narrow; the signature is a groupBy on
+  doc_id (shuffle bounded by #docs, not #shingles); LSH pairing
+  self-joins on (band, signature) — bucket sizes bound the pair
+  blow-up, the classic LSH trade-off;
+* SimHash — explode tokens -> per-bit majority vote via SUM, one
+  shuffle on doc_id;
+* n-gram Jaccard — candidate pruning by (lang, length-bucket) before
+  the pair join keeps the quadratic term inside small groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BANDS = 4
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the whitespace-token stream."""
+    toks = F.split(F.trim(col), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1))
+                                           for j in range(k)])
+    return F.when(n >= k,
+                  F.array_distinct(F.transform(idx, shingle))) \
+            .otherwise(F.array())
+
+
+SQL_TOKENS_CTE = "regexp_split_to_array(trim({col}), '\\s+')"
+
+
+def sql_word_shingles(toks_expr: str, k: int = 3) -> str:
+    """DuckDB twin of word_shingles over a token-array expression
+    (pass e.g. ``t.toks`` from a CTE that computed the token array)."""
+    parts = " || ' ' || ".join(f"{toks_expr}[i+{j}]" for j in range(k))
+    return (f"(CASE WHEN len({toks_expr}) >= {k} THEN "
+            f"list_distinct([{parts} "
+            f"FOR i IN range(1, len({toks_expr}) - {k} + 2)]) "
+            f"ELSE [] END)")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, n_docs, min_doc_id): group identical texts."""
+    return (df.withColumn("content_hash", F.md5(F.col(text_col)))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("min_doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, sig): per band b, sig = min(md5('b:' || shingle)).
+
+    One explode + one groupBy(doc_id, band); the per-band min is a
+    map-side-combinable aggregate.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col))).alias("shingle"))
+    by_band = shingled.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        F.col("shingle"))
+    return (by_band
+            .withColumn("h", F.md5(F.concat_ws(":", "band", "shingle")))
+            .groupBy("doc_id", "band")
+            .agg(F.min("h").alias("sig")))
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) sharing at least one band signature."""
+    a = signatures.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = signatures.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (a.join(b, ["band", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): per-bit majority over token md5 bits.
+
+    Bit b of a token = hex digit b of md5(token) >= '8' (top bit of the
+    nibble) — portable to SQL via substr comparison on the hex string.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                     .alias("tok"))
+    toks = toks.withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(F.when(F.substring("h", b + 1, 1) >= "8", 1).otherwise(-1))
+        .alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else (sim + bit)
+    return voted.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", lang_col: str = "lang",
+                        threshold: float = 0.2,
+                        bucket_chars: int = 100) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard within (lang, length-bucket)
+    candidate groups.  jaccard = |A∩B| / (|A| + |B| - |A∩B|), rounded
+    to 6 places for cross-engine hash equality."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        (F.floor(F.length(text_col) / bucket_chars)).cast("int").alias("lbucket"),
+        word_shingles(F.col(text_col)).alias("shingles"))
+    docs = docs.withColumn("n_sh", F.size("shingles"))
+    ex = docs.select("doc_id", "lang", "lbucket", "n_sh",
+                     F.explode("shingles").alias("shingle"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "lang", "lbucket",
+                  F.col("n_sh").alias("na"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "lang", "lbucket",
+                  F.col("n_sh").alias("nb"), "shingle")
+    inter = (a.join(b, ["lang", "lbucket", "shingle"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b", "na", "nb")
+             .agg(F.count(F.lit(1)).alias("shared")))
+    jac = F.round(F.col("shared").cast("double")
+                  / (F.col("na") + F.col("nb") - F.col("shared")), 6)
+    return (inter.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))

@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline; axis-sign LSH
+bucketing is the scale path (bucket first, score only within the
+query's bucket — at 10^12 rows the bucket join replaces the full scan).
+
+Engine-portability: element-wise ops fold left-to-right over the array
+in both Spark (``aggregate``) and DuckDB (``list_inner_product``), on
+doubles cast from the same float32 values — bit-identical results,
+then rounded for the value-hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# axis-aligned sign planes; 4 bits -> 16 buckets (tune #planes to the
+# corpus size: candidates-per-bucket ~ N / 2^planes)
+LSH_DIMS = (0, 16, 32, 48)
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(_as_double(a), _as_double(b),
+                                  lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(_as_double(a), lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k vs one stored vector.
+
+    The 1-row query side is cross-broadcast (scan stays a single
+    narrow pass over the big side); total order (sim desc, vec_id asc)
+    makes the top-k partition-invariant.
+    """
+    query = embeddings.filter(F.col(id_col) == query_vec_id) \
+                      .select(F.col(vec_col).alias("qvec"))
+    scored = (embeddings.crossJoin(F.broadcast(query))
+              .filter(F.col(id_col) != query_vec_id)
+              .select(F.col(id_col),
+                      F.round(cosine(F.col(vec_col), F.col("qvec")), 6)
+                      .alias("sim")))
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def axis_sign_bucket(vec_col: Column, dims=LSH_DIMS) -> Column:
+    """LSH bucket id: sign bits of fixed dimensions, as a bit-string."""
+    bits = [F.when(F.element_at(vec_col, d + 1) >= 0, F.lit("1"))
+            .otherwise(F.lit("0")) for d in dims]
+    return F.concat(*bits)
+
+
+def lsh_bucket_counts(embeddings: DataFrame,
+                      vec_col: str = "embedding") -> DataFrame:
+    """(bucket, n_vecs, min_vec_id): the bucket histogram — the shape
+    that decides ANN candidate-list sizes at scale."""
+    return (embeddings
+            .withColumn("bucket", axis_sign_bucket(F.col(vec_col)))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.min("vec_id").alias("min_vec_id")))
+
+
+def lsh_topk(embeddings: DataFrame, query_vec_id: int, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: score only vectors sharing the query's LSH bucket."""
+    with_bucket = embeddings.withColumn(
+        "bucket", axis_sign_bucket(F.col(vec_col)))
+    query = (with_bucket.filter(F.col(id_col) == query_vec_id)
+             .select(F.col(vec_col).alias("qvec"),
+                     F.col("bucket").alias("qbucket")))
+    cands = (with_bucket.join(F.broadcast(query),
+                              F.col("bucket") == F.col("qbucket"))
+             .filter(F.col(id_col) != query_vec_id))
+    scored = cands.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("sim"))
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+# -- SQL twins ---------------------------------------------------------------
+
+def sql_cosine(a: str, b: str) -> str:
+    """DuckDB cosine on double-cast lists (same left fold as Spark)."""
+    return (f"(list_inner_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+            f"(sqrt(list_inner_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+            f"sqrt(list_inner_product({b}::DOUBLE[], {b}::DOUBLE[]))))")
+
+
+def sql_axis_sign_bucket(vec: str, dims=LSH_DIMS) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {vec}[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in dims)
+    return f"({bits})"

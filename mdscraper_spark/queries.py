@@ -1,0 +1,472 @@
+"""Driver-contract query registry (SURVEY.md §2 coverage).
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql or
+None).  Oracle SQL is ANSI/DuckDB over the pre-registered views
+(region nation customer supplier part orders lineitem events documents
+embeddings).  Column names are aliased identically on both sides; float
+results are produced by identical IEEE expressions (or exact decimal
+aggregation) and rounded, so the driver's order-insensitive value-hash
+matches.
+
+Registry sections:
+  relational  — joins/aggs/windows/set-ops/rollup (§2.H)
+  text        — extraction-analog scalar pipelines + text analysis
+  dedup       — exact / MinHash-LSH / SimHash / n-gram Jaccard
+  similarity  — brute-force cosine + axis-sign LSH
+  engine      — the real extraction UDF + full KG pipeline (flagship)
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mdscraper_spark.config import ExtractConfig
+from mdscraper_spark.operators import dedup, kg as kg_ops, similarity, textstats
+from mdscraper_spark.operators.extract_udfs import extract_markdown
+from mdscraper_spark.operators.multimodal import decode_binary_docs
+from mdscraper_spark.sources.fixtures import alias_rows
+from mdscraper_spark.sources.pages_from_docs import docs_to_kg_pages, docs_to_pages
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
+
+
+def register(name: str, oracle: Optional[str]):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dec_sum(col, scale: int = 2):
+    """Exact (order-insensitive) sum: decimal accumulate, double out."""
+    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+
+
+# ===========================================================================
+# relational (§2.H)
+# ===========================================================================
+
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00")
+                      .cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_dec_sum(F.col("l_quantity")).alias("sum_qty"),
+                 _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register("q3_top_orders", """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+""")
+def q3_top_orders(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey")
+            .agg(_dec_sum(rev, 4).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+@register("q5_region_revenue", """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def q5_region_revenue(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey)
+                  & (s.s_nationkey == c.c_nationkey))
+            .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+            .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+            .groupBy("n_name")
+            .agg(_dec_sum(rev, 4).alias("revenue")))
+
+
+@register("status_counts", """
+SELECT o_orderstatus AS status, COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+""")
+def status_counts_q(spark, sf_dir):
+    return (load(spark, sf_dir, "orders")
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("latest_order_per_customer", """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn = 1
+""")
+def latest_order_per_customer(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"),
+                                                F.asc("o_orderkey"))
+    return (load(spark, sf_dir, "orders")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey", "o_orderdate"))
+
+
+@register("largest_order_argmax", """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn = 1
+""")
+def largest_order_argmax(spark, sf_dir):
+    """C1-stage-6 relational analog: stable argmax (scraper.py:655)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (load(spark, sf_dir, "orders")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("totalprice")))
+
+
+@register("customers_without_orders", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def customers_without_orders(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register("rollup_lang_source", """
+SELECT lang, source, COUNT(*) AS n
+FROM documents GROUP BY ROLLUP (lang, source)
+""")
+def rollup_lang_source(spark, sf_dir):
+    return (load(spark, sf_dir, "documents")
+            .rollup("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("hourly_event_stats", """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def hourly_event_stats(spark, sf_dir):
+    """Streaming-analog tumbling-hour aggregate (§2.H streaming row);
+    the same plan runs under readStream + withWatermark on a live feed."""
+    return (load(spark, sf_dir, "events")
+            .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum(F.col("value")).alias("sum_value")))
+
+
+@register("events_json_extract", """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+FROM events
+""")
+def events_json_extract(spark, sf_dir):
+    return (load(spark, sf_dir, "events")
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("int")
+                    .alias("k_val")))
+
+
+# ===========================================================================
+# text (extraction analogs + analysis)
+# ===========================================================================
+
+@register("sanitize_slug", """
+SELECT doc_id,
+       regexp_replace(source || '/' || substr(text, 1, 30),
+                      '[\\\\/*?:"<>|]', '_', 'g') AS slug
+FROM documents
+""")
+def sanitize_slug(spark, sf_dir):
+    """B4 filename sanitizer as a column op (utils.py:87-98)."""
+    raw = F.concat(F.col("source"), F.lit("/"), F.substring("text", 1, 30))
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.regexp_replace(raw, r'[\\/*?:"<>|]', "_").alias("slug")))
+
+
+@register("clean_text_collapse", """
+SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean
+FROM documents
+""")
+def clean_text_collapse(spark, sf_dir):
+    """F1 whitespace-collapse step (utils.py:81)."""
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.trim(F.regexp_replace("text", r"\s+", " "))
+                    .alias("clean")))
+
+
+# A4/F3 fnmatch-glob exclusion.  fnmatch.translate emits Python-specific
+# syntax ((?s:...)\Z), so the equivalent RE2/Java-portable pattern for the
+# globs ('src1*', 'src*2') is pinned explicitly and shared by both engines.
+_GLOB_PATTERN = "^(src1.*|src.*2)$"
+
+
+@register("glob_exclude_filter",
+          "SELECT doc_id, source FROM documents "
+          f"WHERE NOT regexp_matches(source, '{_GLOB_PATTERN}')")
+def glob_exclude_filter(spark, sf_dir):
+    return (load(spark, sf_dir, "documents")
+            .filter(~F.col("source").rlike(_GLOB_PATTERN))
+            .select("doc_id", "source"))
+
+
+@register("doc_token_stats", f"""
+SELECT doc_id,
+       {textstats.sql_token_count_ws('text')} AS n_ws_tokens,
+       {textstats.sql_token_count_bpe('text')} AS n_bpe_tokens
+FROM documents
+""")
+def doc_token_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        textstats.token_count_bpe_ish(F.col("text")).alias("n_bpe_tokens"))
+
+
+@register("doc_lang_guess", f"""
+SELECT doc_id, {textstats.sql_lang_guess('text')} AS lang_guess
+FROM documents
+""")
+def doc_lang_guess(spark, sf_dir):
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    textstats.lang_guess(F.col("text")).alias("lang_guess")))
+
+
+@register("doc_quality_score", f"""
+SELECT doc_id, {textstats.sql_quality_score('text')} AS quality
+FROM documents
+""")
+def doc_quality_score(spark, sf_dir):
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    textstats.quality_score(F.col("text")).alias("quality")))
+
+
+@register("doc_fingerprint", f"""
+SELECT doc_id, {textstats.sql_doc_fingerprint('text')} AS fp
+FROM documents
+""")
+def doc_fingerprint_q(spark, sf_dir):
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    textstats.doc_fingerprint(F.col("text")).alias("fp")))
+
+
+# ===========================================================================
+# dedup
+# ===========================================================================
+
+@register("dedup_exact", """
+SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY 1
+""")
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SHINGLES_CTE = ("""
+WITH t AS (
+  SELECT doc_id, lang, length(text) AS n_chars_real,
+         """ + dedup.sql_word_shingles(_SQL_TOKS) + """ AS shingles
+  FROM documents
+)
+""")
+
+@register("minhash_signatures", _SHINGLES_CTE + """
+SELECT doc_id, band,
+       MIN(md5(band::VARCHAR || ':' || shingle)) AS sig
+FROM (SELECT doc_id, unnest(shingles) AS shingle FROM t),
+     (SELECT unnest(generate_series(0, 3)) AS band)
+GROUP BY doc_id, band
+""")
+def minhash_signatures_q(spark, sf_dir):
+    return dedup.minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+@register("simhash16", f"""
+WITH raw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), tok AS (
+  SELECT doc_id, md5(tok) AS h FROM raw
+), votes AS (
+  SELECT doc_id,
+         {', '.join(f"SUM(CASE WHEN substr(h, {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{b}" for b in range(16))}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({' + '.join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash
+FROM votes
+""")
+def simhash16(spark, sf_dir):
+    return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+@register("ngram_jaccard_pairs", _SHINGLES_CTE + """
+, ex AS (
+  SELECT doc_id, lang, CAST(floor(n_chars_real / 100) AS INT) AS lbucket,
+         len(shingles) AS n_sh, unnest(shingles) AS shingle
+  FROM t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)), 6) AS jaccard
+FROM ex a JOIN ex b
+  ON a.lang = b.lang AND a.lbucket = b.lbucket AND a.shingle = b.shingle
+     AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+HAVING round(CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)), 6) >= 0.2
+""")
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# similarity
+# ===========================================================================
+
+@register("cosine_topk", f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round({similarity.sql_cosine('embedding', 'qvec')}, 6) AS sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+""")
+def cosine_topk(spark, sf_dir):
+    return similarity.brute_force_topk(load(spark, sf_dir, "embeddings"), 0)
+
+
+@register("lsh_bucket_counts", f"""
+SELECT {similarity.sql_axis_sign_bucket('embedding')} AS bucket,
+       COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+FROM embeddings GROUP BY 1
+""")
+def lsh_bucket_counts_q(spark, sf_dir):
+    return similarity.lsh_bucket_counts(load(spark, sf_dir, "embeddings"))
+
+
+@register("lsh_topk", f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {similarity.sql_axis_sign_bucket('embedding')} AS bucket
+  FROM embeddings
+), q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, round({similarity.sql_cosine('embedding', 'qvec')}, 6) AS sim
+FROM b, q
+WHERE bucket = qbucket AND vec_id <> 0
+ORDER BY sim DESC, vec_id ASC
+LIMIT 5
+""")
+def lsh_topk_q(spark, sf_dir):
+    return similarity.lsh_topk(load(spark, sf_dir, "embeddings"), 0)
+
+
+# ===========================================================================
+# engine: real extraction UDF + KG flagship
+# ===========================================================================
+
+@register("extract_markdown_docs", """
+SELECT 'https://docs.test/' || doc_id AS url,
+       '# Report ' || doc_id || chr(10) || chr(10) ||
+       trim(regexp_replace(text, '[\\t ]+', ' ', 'g')) AS markdown,
+       'Report ' || doc_id AS title,
+       'ok' AS status
+FROM documents
+""")
+def extract_markdown_docs(spark, sf_dir):
+    """The REAL Arrow extraction UDF, oracle-checked: pages synthesized
+    from documents have SQL-reconstructable Markdown."""
+    pages = docs_to_pages(load(spark, sf_dir, "documents"))
+    docs = extract_markdown(pages, ExtractConfig())
+    return docs.select("url", "markdown", "title", "status")
+
+
+@register("lsh_pairs", None)  # size depends on shingle collisions: rows-only
+def lsh_pairs(spark, sf_dir):
+    sigs = dedup.minhash_signatures(load(spark, sf_dir, "documents"))
+    return dedup.lsh_candidate_pairs(sigs)
+
+
+@register("multimodal_decode", None)  # stubbed decode: rows-only check
+def multimodal_decode(spark, sf_dir):
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    return decode_binary_docs(docs)
+
+
+@register("kg_flagship", None)  # full pipeline: rows-only check
+def kg_flagship(spark, sf_dir):
+    pages = docs_to_kg_pages(load(spark, sf_dir, "documents"))
+    docs = extract_markdown(pages, ExtractConfig())
+    aliases = kg_ops.alias_df(spark)
+    gaz_entries = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
+    mentions = kg_ops.mine_mentions(docs, gaz_entries)
+    triples = kg_ops.mine_triples(docs)
+    links = kg_ops.link_entities(mentions, aliases)
+    cmap = kg_ops.connected_components(kg_ops.coreference_edges(links))
+    return kg_ops.build_kg_edges(triples, cmap)
+
+
+def queries() -> Dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {name: sql.strip() for name, (_fn, sql) in REGISTRY.items()
+            if sql is not None}

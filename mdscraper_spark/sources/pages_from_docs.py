@@ -1,0 +1,67 @@
+"""Derive a Common-Crawl-shaped pages table from the driver's
+``documents`` parquet — deterministic column expressions only (JVM-side
+concat; no Python), so the same rows appear at any parallelism.
+
+Two templates:
+* ``docs_to_pages``   — plain article: h1 + one paragraph of the doc
+  text.  Its extracted Markdown is reconstructable in pure SQL, which
+  gives the extraction UDF a DuckDB-checkable oracle.
+* ``docs_to_kg_pages`` — adds a relation sentence derived from doc_id
+  (names from the synthetic entity inventory), so the KG flagship has
+  mentions/triples to find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mdscraper_spark.sources.fixtures import _FIRST, _LAST, _ORG_A, _ORG_B
+
+_PREFIX = ('<html><head><title>Doc</title></head><body>'
+           '<div class="content"><h1>Report ')
+_MID = "</h1><p>"
+_SUFFIX = "</p></div></body></html>"
+
+
+def _pick(values, idx_col):
+    return F.element_at(F.array(*[F.lit(v) for v in values]),
+                        (idx_col + 1).cast("int"))
+
+
+def person_col(doc_id):
+    return F.concat_ws(" ", _pick(_FIRST, doc_id % 10),
+                       _pick(_LAST, (doc_id / 10).cast("int") % 10))
+
+
+def org_col(doc_id):
+    k = doc_id % 100
+    return F.concat(_pick(_ORG_A, k % 10), F.lit(" "),
+                    _pick(_ORG_B, (k / 10).cast("int") % 10), F.lit(" "),
+                    k.cast("string"))
+
+
+def docs_to_pages(docs: DataFrame) -> DataFrame:
+    html = F.concat(F.lit(_PREFIX), F.col("doc_id").cast("string"),
+                    F.lit(_MID), F.col("text"), F.lit(_SUFFIX))
+    return docs.select(
+        F.concat(F.lit("https://docs.test/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2025-06-14 00:00:00")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"))
+
+
+def docs_to_kg_pages(docs: DataFrame) -> DataFrame:
+    doc_id = F.col("doc_id")
+    relation = F.concat(person_col(doc_id), F.lit(" works for "),
+                        org_col(doc_id), F.lit("."))
+    html = F.concat(F.lit(_PREFIX), doc_id.cast("string"), F.lit(_MID),
+                    relation, F.lit("</p><p>"), F.col("text"),
+                    F.lit(_SUFFIX))
+    return docs.select(
+        F.concat(F.lit("https://docs.test/"), doc_id).alias("url"),
+        F.to_timestamp(F.lit("2025-06-14 00:00:00")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"))
