@@ -1,0 +1,143 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", plus kg-throughput extras}.
+
+The KG end-to-end bench is the north-star metric: pages/sec over a
+pre-materialized synthetic crawl (generation is NOT timed; the
+pipeline reads parquet like production reads Iceberg).  Query timings
+force full computation through the noop sink so Catalyst cannot prune
+the work away.
+
+Two-parallelism scaling evidence lives in tools/scaling_bench.py ->
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "latest_order_per_customer",
+    "rollup_lang_source",
+    "hourly_event_stats",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash16",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lsh_topk",
+    "doc_token_stats",
+    "doc_quality_score",
+    "extract_markdown_docs",
+)
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def materialize_pages(spark, n_pages: int, path: str) -> None:
+    from mdscraper_spark.sources.pages import bulk_pages_df
+
+    bulk_pages_df(spark, n_pages).write.mode("overwrite").parquet(path)
+
+
+def run_kg_pipeline(spark, pages_path: str, salt=None) -> dict:
+    from pyspark import StorageLevel
+
+    from mdscraper_spark.config import ExtractConfig
+    from mdscraper_spark.operators import kg as kg_ops
+    from mdscraper_spark.operators.extract_udfs import extract_markdown
+    from mdscraper_spark.sources.fixtures import alias_rows
+
+    pages = spark.read.parquet(pages_path)
+    cfg = ExtractConfig(exclude_selectors=(".ads", "#nav"))
+    # markdown_docs feeds two mining branches; persist so extraction
+    # runs once (production writes it to the warehouse instead)
+    docs = extract_markdown(pages, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    aliases = kg_ops.alias_df(spark)
+    gaz = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
+    mentions = kg_ops.mine_mentions(docs, gaz)
+    triples = kg_ops.mine_triples(docs)
+    links = kg_ops.link_entities(mentions, aliases, salt=salt)
+    cmap = kg_ops.connected_components(kg_ops.coreference_edges(links))
+    edges = kg_ops.build_kg_edges(triples, cmap)
+    try:
+        return {"n_edges": edges.count()}
+    finally:
+        docs.unpersist()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(pathlib.Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from mdscraper_spark.queries import REGISTRY
+    from mdscraper_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus,
+                      extra_conf={
+                          # bench-scale split sizing (see tools/scaling_bench)
+                          "spark.sql.files.maxPartitionBytes":
+                              str(2 * 1024 * 1024),
+                          "spark.sql.files.openCostInBytes":
+                              str(512 * 1024),
+                      })
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict = {}
+
+    # -- KG end-to-end (north-star): pages/sec -------------------------
+    n_pages = max(2000, int(100_000 * sf))
+    workdir = tempfile.mkdtemp(prefix="bench_pages_")
+    try:
+        pages_path = str(pathlib.Path(workdir) / "pages")
+        materialize_pages(spark, n_pages, pages_path)
+        run_kg_pipeline(spark, pages_path)  # warm-up (JVM + Python workers)
+        t0 = time.monotonic()
+        run_kg_pipeline(spark, pages_path)
+        kg_sec = time.monotonic() - t0
+        timings["kg_pipeline"] = round(kg_sec, 3)
+        pages_per_sec = round(n_pages / kg_sec, 1)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    # -- headline registry queries --------------------------------------
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        force(fn(spark, sf_dir))  # warm-up
+        t0 = time.monotonic()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_pages": n_pages,
+        "kg_pages_per_sec": pages_per_sec,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -223,7 +223,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         if cur == prev:
             break
         prev = cur
-    return labels.select(F.col("node_id"), F.col("label").alias("canon_id"))
+    # materialize the fixpoint so downstream consumers don't replay the
+    # remaining iterations' lineage
+    return (labels.select(F.col("node_id"), F.col("label").alias("canon_id"))
+            .localCheckpoint())
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,44 @@
+"""Incremental-crawl extraction via Structured Streaming (SURVEY.md §2.H
+streaming row).
+
+The batch north rule covers a crawl snapshot; this module is the
+incremental analog: new page files land in a directory (standing in for
+Iceberg incremental reads), the SAME Arrow extraction operator runs on
+the stream, late re-crawls of a url within the watermark are dropped,
+and exactly-once progress is carried by the checkpoint — the streaming
+twin of the lineage/resume ledger.
+
+The extraction operator composes unchanged: mapInPandas is available on
+streaming DataFrames, so batch and streaming share one code path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mdscraper_spark.config import ExtractConfig
+from mdscraper_spark.operators.extract_udfs import extract_markdown
+from mdscraper_spark.sources.pages import PAGES_SCHEMA
+
+
+def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
+                   checkpoint_dir: str, config: ExtractConfig,
+                   watermark: str = "1 hour") -> None:
+    """Drain all currently-available page files into markdown_docs
+    parquet, deduplicating re-crawled urls within the watermark.
+
+    ``availableNow`` processes the backlog and stops — each invocation
+    is one incremental ingest; the checkpoint makes repeats exactly-once.
+    """
+    pages = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir))
+    deduped = (pages.withWatermark("warc_ts", watermark)
+               .dropDuplicates(["url"]))
+    docs = extract_markdown(deduped, config)
+    query = (docs.writeStream
+             .format("parquet")
+             .option("path", output_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()

@@ -1,0 +1,77 @@
+"""In-suite DuckDB-oracle checks for the driver-contract queries.
+
+A representative subset runs at sf0.001 inside pytest so `python -m
+pytest` alone guards the contract; the full registry is verified by
+tools/check_oracle.py (run at sf0.001 and sf0.01 before each commit
+touching queries.py).
+"""
+
+import duckdb
+import pytest
+
+from mdscraper_spark.queries import REGISTRY
+from tools.check_oracle import TABLES, frame_digest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "largest_order_argmax",
+    "rollup_lang_source",
+    "events_json_extract",
+    "doc_token_stats",
+    "doc_lang_guess",
+    "doc_quality_score",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash16",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lsh_topk",
+    "extract_markdown_docs",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    fn, sql = REGISTRY[name]
+    sdf = fn(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    res = duck.sql(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows)
+    assert sorted(scols) == sorted(ocols)
+    sd = frame_digest(scols, [[r[c] for c in scols] for r in srows])
+    od = frame_digest(ocols, orows)
+    assert sd == od, f"value mismatch for {name}"
+
+
+def test_every_registry_entry_is_callable():
+    assert len(REGISTRY) >= 25
+    for name, (fn, sql) in REGISTRY.items():
+        assert callable(fn)
+
+
+def test_multimodal_decode_stub(spark):
+    fn, _ = REGISTRY["multimodal_decode"]
+    rows = fn(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    assert all(r.status == "ok" for r in rows)
+    assert all(r.n_bytes > 0 and len(r.content_sha) == 64 for r in rows)
+    assert all(64 <= r.width < 1984 and 64 <= r.height < 1144 for r in rows)
+    # determinism: same content -> same fake features
+    by_id = {r.doc_id: (r.content_sha, r.width, r.height) for r in rows}
+    rows2 = fn(spark, SF_DIR).collect()
+    assert {r.doc_id: (r.content_sha, r.width, r.height)
+            for r in rows2} == by_id
