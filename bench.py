@@ -68,18 +68,21 @@ def run_kg_pipeline(spark, pages_path: str, salt=None) -> dict:
     cfg = ExtractConfig(exclude_selectors=(".ads", "#nav"))
     # markdown_docs feeds two mining branches; persist so extraction
     # runs once (production writes it to the warehouse instead)
-    docs = extract_markdown(pages, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    docs = extract_markdown(pages, cfg)
     aliases = kg_ops.alias_df(spark)
     gaz = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
-    mentions = kg_ops.mine_mentions(docs, gaz)
-    triples = kg_ops.mine_triples(docs)
+    # one Arrow pass mines mentions + triples; persist the (small) mined
+    # rows so the two consumers don't re-run extraction
+    mined = kg_ops.mine_kg_combined(docs, gaz) \
+                  .persist(StorageLevel.MEMORY_AND_DISK)
+    mentions, triples = kg_ops.split_mined(mined)
     links = kg_ops.link_entities(mentions, aliases, salt=salt)
     cmap = kg_ops.connected_components(kg_ops.coreference_edges(links))
     edges = kg_ops.build_kg_edges(triples, cmap)
     try:
         return {"n_edges": edges.count()}
     finally:
-        docs.unpersist()
+        mined.unpersist()
 
 
 def main() -> None:

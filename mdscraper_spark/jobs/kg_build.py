@@ -134,12 +134,13 @@ class KgBuildJob:
                     .collect()]
 
         t0 = time.monotonic()
-        mentions = kg_ops.mine_mentions(docs, gaz_entries)
-        triples = kg_ops.mine_triples(docs)
+        mined = kg_ops.mine_kg_combined(docs, gaz_entries).persist()
+        mentions, triples = kg_ops.split_mined(mined)
         self.wh.write_table(with_part_id(mentions, self.n_buckets),
                             "mentions", partition_by=("part_id",))
         self.wh.write_table(with_part_id(triples, self.n_buckets),
                             "triples", partition_by=("part_id",))
+        mined.unpersist()
         mentions = self.wh.read_table("mentions")
         triples = self.wh.read_table("triples")
         wall_ms = int((time.monotonic() - t0) * 1000)

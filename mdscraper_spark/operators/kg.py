@@ -101,6 +101,69 @@ def mine_mentions(markdown_docs: DataFrame, gaz_entries: tuple) -> DataFrame:
             .mapInPandas(run, MENTIONS_SCHEMA))
 
 
+MINE_COMBINED_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("kind", StringType(), False),   # 'mention' | 'triple'
+    StructField("sent_id", IntegerType(), False),
+    StructField("span_start", IntegerType(), True),
+    StructField("span_end", IntegerType(), True),
+    StructField("surface", StringType(), True),
+    StructField("mtype", StringType(), True),
+    StructField("subj", StringType(), True),
+    StructField("pred", StringType(), True),
+    StructField("obj", StringType(), True),
+    StructField("conf", DoubleType(), True),
+])
+
+
+def mine_kg_combined(markdown_docs: DataFrame, gaz_entries: tuple) -> DataFrame:
+    """Mentions AND triples in ONE pass over the markdown — halves the
+    Arrow transfer + Python parse cost vs running the two miners
+    separately.  Split back out with :func:`split_mined`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz = rules.cached_gazetteer(gaz_entries)
+        cols = ("url", "kind", "sent_id", "span_start", "span_end",
+                "surface", "mtype", "subj", "pred", "obj", "conf")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+
+            def emit(**kw):
+                for k in cols:
+                    rows[k].append(kw.get(k))
+
+            for url, markdown in zip(pdf["url"], pdf["markdown"]):
+                if markdown is None:
+                    continue
+                sentences = rules.split_sentences(markdown)
+                for sid, start, end, surface, mtype in rules.detect_mentions(
+                        sentences, gaz):
+                    emit(url=url, kind="mention", sent_id=sid,
+                         span_start=start, span_end=end, surface=surface,
+                         mtype=mtype)
+                for sid, subj, pred, obj, conf in rules.extract_triples(
+                        sentences):
+                    emit(url=url, kind="triple", sent_id=sid, subj=subj,
+                         pred=pred, obj=obj, conf=conf)
+            yield pd.DataFrame(rows)
+
+    return (markdown_docs.filter(F.col("status") == "ok")
+            .select("url", "markdown")
+            .mapInPandas(run, MINE_COMBINED_SCHEMA))
+
+
+def split_mined(mined: DataFrame) -> tuple:
+    """combined rows -> (mentions, triples) with the canonical schemas."""
+    mentions = (mined.filter(F.col("kind") == "mention")
+                .select("url", "sent_id",
+                        F.col("span_start").cast("int").alias("span_start"),
+                        F.col("span_end").cast("int").alias("span_end"),
+                        "surface", "mtype"))
+    triples = (mined.filter(F.col("kind") == "triple")
+               .select("url", "sent_id", "subj", "pred", "obj", "conf"))
+    return mentions, triples
+
+
 def mine_triples(markdown_docs: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

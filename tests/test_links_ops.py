@@ -1,0 +1,56 @@
+"""URL-source / link-harvest operator tests (A2-A4 Spark analogs)."""
+
+from mdscraper_spark.config import ExtractConfig
+from mdscraper_spark.operators.extract_udfs import extract_markdown
+from mdscraper_spark.operators.links import (
+    div_attr_census,
+    glob_to_regex,
+    site_seed_urls,
+    url_file_source,
+)
+from mdscraper_spark.sources.fixtures import FIXTURE_CASES
+from mdscraper_spark.sources.pages import PAGES_SCHEMA, fixture_pages_df
+
+
+def test_url_file_source(spark, tmp_path):
+    f = tmp_path / "urls.txt"
+    f.write_text("https://a.test/1\n\n  https://a.test/2  \nhttps://a.test/1\n")
+    rows = url_file_source(spark, str(f)).orderBy("pos").collect()
+    assert [r.url for r in rows] == [
+        "https://a.test/1", "https://a.test/2", "https://a.test/1"]
+
+
+def test_glob_to_regex():
+    rx = glob_to_regex(["excluded-page.html", "ignore-this-page*", "p?ge"])
+    import re
+    assert re.match(rx, "excluded-page.html")
+    assert re.match(rx, "ignore-this-page-2.html")
+    assert re.match(rx, "page") and re.match(rx, "pyge")
+    assert not re.match(rx, "page1.html")
+
+
+def test_site_seed_urls_matches_reference_semantics(spark):
+    pages = fixture_pages_df(spark)
+    docs = extract_markdown(pages, ExtractConfig())
+    seeds = docs.filter(docs.url.endswith("links-excluded"))
+    out = site_seed_urls(seeds, "https://example.com",
+                         ["excluded-page.html", "ignore-this-page*"])
+    rows = out.orderBy("pos").collect()
+    assert [r.harvested_url for r in rows] == [
+        "https://example.com/page1.html"]
+
+    mixed = docs.filter(docs.url.endswith("links-mixed"))
+    out2 = site_seed_urls(mixed, "https://example.com")
+    assert [r.harvested_url for r in out2.orderBy("pos").collect()] == [
+        "https://example.com/page1.html",
+        "https://example.com/page2.html",  # foreign host -> path onto root
+    ]
+
+
+def test_div_attr_census(spark):
+    pages = fixture_pages_df(spark)
+    rows = div_attr_census(pages).collect()
+    stats = {(r.kind, r.value): r.n_pages for r in rows}
+    assert stats[("class", "content")] >= 5   # many fixtures use it
+    assert ("id", "main-content") in stats
+    assert ("class", "ads") in stats
