@@ -11,11 +11,14 @@ Scale notes:
   salted sort-merge path exists for dictionaries past the broadcast
   threshold with skewed keys — salt spreads each hub alias over S
   shuffle partitions without changing any output value;
-* best-link-per-mention uses a window with a TOTAL order
-  (score desc, entity_id asc) so results are partition-invariant;
-* label propagation is monotone (labels only decrease), so the
-  convergence check is a cheap checksum; lineage is cut with
-  localCheckpoint every 3 iterations (SURVEY.md §4.3).
+* best-link-per-mention is a max_by aggregate with a TOTAL order key
+  (score desc, entity_id asc): partial map-side aggregation collapses
+  candidates before the shuffle, and results are partition-invariant;
+* canonicalization is size-gated (AQE-style): the distinct co-reference
+  graph is a vocabulary graph, far smaller than the corpus — a driver
+  union-find solves it in one collect when it fits; otherwise
+  hash-partitioned min-label propagation with checksum convergence
+  probes and localCheckpoint lineage cuts (SURVEY.md §4.3).
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ from typing import Iterator, Optional
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -231,13 +234,22 @@ def link_entities(mentions: DataFrame, aliases: DataFrame,
         "url", "mention_key", "entity_id", "surface", "mtype",
         score.alias("score"),
     )
-    # total order => partition-invariant winner
-    w = Window.partitionBy("url", "mention_key").orderBy(
-        F.desc("score"), F.asc("entity_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("url", "mention_key", "entity_id", "surface",
-                    F.col("score").cast("double").alias("score")))
+    # Best candidate per mention via max_by with a TOTAL order key
+    # (score desc, entity_id asc — encoded as max over (score,
+    # -entity_id) struct): partial map-side aggregation collapses the
+    # candidates before the shuffle, where the equivalent row_number
+    # window would shuffle + sort every candidate row.  Winner is
+    # partition-invariant because the order key is total.
+    best = F.max_by(
+        F.struct(F.col("entity_id"), F.col("surface"),
+                 F.col("score").cast("double").alias("score")),
+        F.struct(F.col("score"), (-F.col("entity_id")).alias("tie")))
+    return (scored.groupBy("url", "mention_key")
+            .agg(best.alias("best"))
+            .select("url", "mention_key",
+                    F.col("best.entity_id").alias("entity_id"),
+                    F.col("best.surface").alias("surface"),
+                    F.col("best.score").alias("score")))
 
 
 # ---------------------------------------------------------------------------
@@ -251,16 +263,75 @@ def coreference_edges(entity_links: DataFrame) -> DataFrame:
     return entity_links.select(s_node.alias("src"), e_node.alias("dst")).distinct()
 
 
+def _local_union_find(pairs) -> list:
+    """Driver-side union-find with min-root labels.  Python str
+    comparison (code points) equals Spark's UTF8 binary string order
+    for valid UTF-8, so labels match the distributed path exactly."""
+    parent: dict = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:        # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for src, dst in pairs:
+        nodes.add(src)
+        nodes.add(dst)
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo                    # min root wins
+    return [(n, find(n)) for n in sorted(nodes)]
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25,
-                         checkpoint_every: int = 3) -> DataFrame:
+                         checkpoint_every: int = 3,
+                         local_solve_threshold: int = 2_000_000) -> DataFrame:
     """canonical_map(node_id, canon_id): canon is the component min.
 
-    Min-label propagation over the undirected edge set.  Labels are
-    monotone non-increasing, so sum(xxhash64(node,label)) changes iff
-    any label changed — a one-pass convergence probe instead of a
-    self-join diff.  localCheckpoint every few rounds cuts the lineage
-    chain that otherwise grows linearly with iterations.
+    Two physical strategies behind one semantic contract (the same
+    size-gated shape as AQE's broadcast-join decision):
+
+    * The co-reference graph after ``distinct()`` is the VOCABULARY
+      graph — distinct (surface, entity) pairs — orders of magnitude
+      smaller than the corpus that produced it.  When its edge count
+      fits the driver (``local_solve_threshold`` rows), a local
+      union-find replaces O(diameter) shuffle rounds: one count + one
+      collect instead of ~k driver-coordinated jobs.
+    * Past the threshold (web-scale alias vocabularies): hash-
+      partitioned min-label propagation.  Labels are monotone
+      non-increasing, so sum(xxhash64(node,label)) changes iff any
+      label changed — a one-pass convergence probe instead of a
+      self-join diff.  localCheckpoint every few rounds cuts the
+      lineage chain that otherwise grows linearly with iterations.
+
+    Both paths produce byte-identical labels (component min under
+    UTF8 binary order); tests assert the equality.
     """
+    dedup = edges.distinct()
+    if local_solve_threshold:
+        from pyspark import StorageLevel
+        dedup = dedup.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_edges = dedup.count()
+            if n_edges <= local_solve_threshold:
+                # one collect job (toLocalIterator would run a job per
+                # partition — pathological for a small wide df)
+                rows = _local_union_find(
+                    (r[0], r[1]) for r in dedup.collect())
+                spark = edges.sparkSession
+                schema = StructType([
+                    StructField("node_id", StringType(), False),
+                    StructField("canon_id", StringType(), False),
+                ])
+                return spark.createDataFrame(rows, schema)
+        finally:
+            dedup.unpersist()
+
     und = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst"))).distinct()
     und = und.localCheckpoint()

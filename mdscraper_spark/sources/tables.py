@@ -75,7 +75,16 @@ class Warehouse:
         return snapshot_id
 
     def read_table(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(str(self.table_path(name)))
+        """Read with the manifest schema (Iceberg semantics: schema comes
+        from table metadata, not file-footer inference).  This also makes
+        empty tables readable — a partitioned write of 0 rows leaves no
+        parquet files, which would otherwise fail schema inference."""
+        reader = self.spark.read
+        m = self.manifest(name)
+        if m is not None:
+            from pyspark.sql.types import StructType
+            reader = reader.schema(StructType.fromJson(m["schema"]))
+        return reader.parquet(str(self.table_path(name)))
 
     def manifest(self, name: str) -> Optional[dict]:
         p = self._manifest_path(name)

@@ -95,3 +95,23 @@ def test_lineage_metrics_recorded(spark, tmp_path):
                      .agg(F.sum("n_rows")).collect()[0][0])
     assert extract_total == N_PAGES
     assert all(r.wall_ms >= 0 for r in lineage.collect())
+
+
+def test_empty_corpus_flows_through_all_stages(spark, tmp_path):
+    """A corpus with zero gazetteer hits/triples must still complete:
+    empty partitioned writes leave no parquet files, so read_table must
+    recover the schema from the manifest (Iceberg metadata semantics),
+    and the size-gated CC must handle an empty co-reference graph."""
+    pages = (bulk_pages_df(spark, 5)
+             .withColumn("html", F.encode(F.lit(
+                 "<html><body><div class='content'><h1>T</h1>"
+                 "<p>nothing relevant here</p></div></body></html>"),
+                 "utf-8")))
+    tables = KgBuildJob(spark, str(tmp_path / "wh"), config=CFG,
+                        n_buckets=N_BUCKETS).run(pages, run_id="r-empty")
+    assert tables["markdown_docs"].filter("status='ok'").count() == 5
+    assert tables["mentions"].count() == 0
+    assert tables["canonical_map"].count() == 0
+    assert tables["kg_edges"].count() == 0
+    # schema preserved for the empty tables
+    assert set(tables["mentions"].columns) >= {"url", "sent_id", "surface"}

@@ -113,6 +113,16 @@ def test_canonical_components_match_oracle(spark_kg, oracle):
     assert got_exact == set(oracle["canonical_map"])
 
 
+def test_cc_local_and_distributed_paths_identical(spark_kg):
+    """The size-gated local union-find and the distributed min-label
+    propagation must produce byte-identical canonical maps."""
+    edges = kg_ops.coreference_edges(spark_kg["links"])
+    local = kg_ops.connected_components(edges)  # gated -> local solve
+    dist = kg_ops.connected_components(edges, local_solve_threshold=0)
+    assert {tuple(r) for r in local.collect()} == \
+           {tuple(r) for r in dist.collect()}
+
+
 def test_kg_nodes_and_edges_match_oracle(spark_kg, oracle):
     got_nodes = {tuple(r) for r in spark_kg["nodes"].collect()}
     assert got_nodes == set(oracle["kg_nodes"])
