@@ -31,9 +31,17 @@ SIMHASH_BITS = 16
 # shingling
 # ---------------------------------------------------------------------------
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of the whitespace-token stream."""
-    toks = F.split(F.trim(col), r"\s+")
+def tokenize(col: Column) -> Column:
+    """Whitespace token array.  Materialize this as its OWN projection
+    before shingling: higher-order functions are interpreted (no
+    codegen subexpression elimination), so an inline split() inside the
+    transform lambda re-splits the text for every element_at — O(words
+    x shingles) per doc instead of O(words)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles over a BOUND token-array column."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1))
@@ -41,6 +49,13 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.when(n >= k,
                   F.array_distinct(F.transform(idx, shingle))) \
             .otherwise(F.array())
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """One-shot shingles from raw text.  Convenience/compat path — for
+    hot paths prefer tokenize() in its own select, then
+    shingles_from_tokens() (see tokenize docstring)."""
+    return shingles_from_tokens(tokenize(col), k)
 
 
 SQL_TOKENS_CTE = "regexp_split_to_array(trim({col}), '\\s+')"
@@ -73,25 +88,38 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
 # MinHash signatures + LSH candidate pairs
 # ---------------------------------------------------------------------------
 
+def _rot_hex(h: Column, band: int) -> Column:
+    """Rotate a 32-hex-digit string left by 8*band chars — a bijection
+    on hash values, so ``min`` over each rotation is an independent
+    min-hash band derived from ONE md5 per shingle."""
+    if band == 0:
+        return h
+    cut = 8 * band
+    return F.concat(F.substring(h, cut + 1, 32 - cut), F.substring(h, 1, cut))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        n_bands: int = N_BANDS) -> DataFrame:
-    """(doc_id, band, sig): per band b, sig = min(md5('b:' || shingle)).
+    """(doc_id, band, sig): band b's signature is the min over shingles
+    of rot_b(md5(shingle)), rot_b = rotate the hex string by 8*b chars.
 
-    One explode + one groupBy(doc_id, band); the per-band min is a
-    map-side-combinable aggregate.
+    Scale shape: one md5 per shingle (no per-band row multiplication),
+    one groupBy(doc_id) whose 4 mins are map-side-combinable partials —
+    the shuffle carries #docs rows, not #shingles x #bands.
     """
-    shingled = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col))).alias("shingle"))
-    by_band = shingled.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-        F.col("shingle"))
-    return (by_band
-            .withColumn("h", F.md5(F.concat_ws(":", "band", "shingle")))
-            .groupBy("doc_id", "band")
-            .agg(F.min("h").alias("sig")))
+    shingled = (df.select(F.col(id_col).alias("doc_id"),
+                          tokenize(F.col(text_col)).alias("toks"))
+                .select("doc_id",
+                        F.explode(F.transform(
+                            shingles_from_tokens(F.col("toks")), F.md5))
+                        .alias("h")))
+    mins = shingled.groupBy("doc_id").agg(
+        *[F.min(_rot_hex(F.col("h"), b)).alias(f"sig{b}")
+          for b in range(n_bands)])
+    stack = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
+    return mins.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack}) AS (band, sig)")
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -141,22 +169,51 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         bucket_chars: int = 100) -> DataFrame:
     """Near-dup pairs by 3-gram Jaccard within (lang, length-bucket)
     candidate groups.  jaccard = |A∩B| / (|A| + |B| - |A∩B|), rounded
-    to 6 places for cross-engine hash equality."""
+    to 6 places for cross-engine hash equality.
+
+    Scale shape (vs the naive shingle self-join): ONE shuffle of the
+    exploded shingle stream keyed on (lang, lbucket, xxhash64(shingle))
+    builds posting lists; singleton shingles — the overwhelming
+    majority of text — are dropped before any pairing, and candidate
+    pairs are generated narrowly from each posting list, so only
+    genuine co-occurrences reach the final (doc_a, doc_b) aggregate.
+    The 64-bit shingle hash shrinks shuffle keys; a cross-doc
+    collision would need ~2^64 shingles to matter.
+    """
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),
         (F.floor(F.length(text_col) / bucket_chars)).cast("int").alias("lbucket"),
-        word_shingles(F.col(text_col)).alias("shingles"))
+        tokenize(F.col(text_col)).alias("toks"))
+    docs = docs.select(
+        "doc_id", "lang", "lbucket",
+        shingles_from_tokens(F.col("toks")).alias("shingles"))
     docs = docs.withColumn("n_sh", F.size("shingles"))
-    ex = docs.select("doc_id", "lang", "lbucket", "n_sh",
-                     F.explode("shingles").alias("shingle"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), "lang", "lbucket",
-                  F.col("n_sh").alias("na"), "shingle")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "lang", "lbucket",
-                  F.col("n_sh").alias("nb"), "shingle")
-    inter = (a.join(b, ["lang", "lbucket", "shingle"])
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b", "na", "nb")
+    ex = docs.select("lang", "lbucket",
+                     F.struct("doc_id", "n_sh").alias("d"),
+                     F.explode(F.transform("shingles",
+                                           lambda s: F.xxhash64(s)))
+                     .alias("h"))
+    posts = (ex.groupBy("lang", "lbucket", "h")
+             .agg(F.collect_list("d").alias("ds"))
+             .filter(F.size("ds") > 1))
+    # each unordered doc pair in a posting list, exactly once, a < b
+    pairs = (posts
+             .select(F.posexplode("ds").alias("i", "a"), F.col("ds"))
+             .select("a", F.explode(F.slice(
+                 "ds", F.col("i") + F.lit(2),
+                 F.size("ds") - F.col("i") - F.lit(1))).alias("b"))
+             .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+             .select(
+                 F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                 F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                 F.when(F.col("a.doc_id") < F.col("b.doc_id"),
+                        F.col("a.n_sh")).otherwise(F.col("b.n_sh"))
+                 .alias("na"),
+                 F.when(F.col("a.doc_id") < F.col("b.doc_id"),
+                        F.col("b.n_sh")).otherwise(F.col("a.n_sh"))
+                 .alias("nb")))
+    inter = (pairs.groupBy("doc_a", "doc_b", "na", "nb")
              .agg(F.count(F.lit(1)).alias("shared")))
     jac = F.round(F.col("shared").cast("double")
                   / (F.col("na") + F.col("nb") - F.col("shared")), 6)

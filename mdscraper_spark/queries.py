@@ -42,8 +42,29 @@ def register(name: str, oracle: Optional[str]):
     return deco
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+def load(spark: SparkSession, sf_dir: str, table: str,
+         fan_out: bool = False) -> DataFrame:
+    """Read a test-scale parquet table.
+
+    fan_out=True spreads a tiny input across all cores before
+    compute-heavy narrow stages (shingling, hashing, extraction): a
+    sub-row-group file arrives as ONE scan split, which would serialize
+    the whole stage on one core.  The round-robin shuffle is O(file
+    size) — trivial at test scale — and is skipped for inputs big
+    enough to split naturally (the 100 TB path), where it would be a
+    pure waste.  Cheap scans/aggregates should NOT fan out: the extra
+    exchange costs more than the single-task work it parallelizes."""
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    if fan_out:
+        try:
+            import os
+            small = os.path.getsize(path) < 64 * 1024 * 1024
+        except OSError:
+            small = False
+        if small:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _dec_sum(col, scale: int = 2):
@@ -187,7 +208,7 @@ SELECT lang, source, COUNT(*) AS n
 FROM documents GROUP BY ROLLUP (lang, source)
 """)
 def rollup_lang_source(spark, sf_dir):
-    return (load(spark, sf_dir, "documents")
+    return (load(spark, sf_dir, "documents", fan_out=True)
             .rollup("lang", "source")
             .agg(F.count(F.lit(1)).alias("n")))
 
@@ -231,7 +252,7 @@ FROM documents
 def sanitize_slug(spark, sf_dir):
     """B4 filename sanitizer as a column op (utils.py:87-98)."""
     raw = F.concat(F.col("source"), F.lit("/"), F.substring("text", 1, 30))
-    return (load(spark, sf_dir, "documents")
+    return (load(spark, sf_dir, "documents", fan_out=True)
             .select("doc_id",
                     F.regexp_replace(raw, r'[\\/*?:"<>|]', "_").alias("slug")))
 
@@ -242,7 +263,7 @@ FROM documents
 """)
 def clean_text_collapse(spark, sf_dir):
     """F1 whitespace-collapse step (utils.py:81)."""
-    return (load(spark, sf_dir, "documents")
+    return (load(spark, sf_dir, "documents", fan_out=True)
             .select("doc_id",
                     F.trim(F.regexp_replace("text", r"\s+", " "))
                     .alias("clean")))
@@ -258,7 +279,7 @@ _GLOB_PATTERN = "^(src1.*|src.*2)$"
           "SELECT doc_id, source FROM documents "
           f"WHERE NOT regexp_matches(source, '{_GLOB_PATTERN}')")
 def glob_exclude_filter(spark, sf_dir):
-    return (load(spark, sf_dir, "documents")
+    return (load(spark, sf_dir, "documents", fan_out=True)
             .filter(~F.col("source").rlike(_GLOB_PATTERN))
             .select("doc_id", "source"))
 
@@ -270,7 +291,7 @@ SELECT doc_id,
 FROM documents
 """)
 def doc_token_stats(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", fan_out=True)
     return docs.select(
         "doc_id",
         textstats.token_count_ws(F.col("text")).alias("n_ws_tokens"),
@@ -282,7 +303,7 @@ SELECT doc_id, {textstats.sql_lang_guess('text')} AS lang_guess
 FROM documents
 """)
 def doc_lang_guess(spark, sf_dir):
-    return (load(spark, sf_dir, "documents")
+    return (load(spark, sf_dir, "documents", fan_out=True)
             .select("doc_id",
                     textstats.lang_guess(F.col("text")).alias("lang_guess")))
 
@@ -292,7 +313,7 @@ SELECT doc_id, {textstats.sql_quality_score('text')} AS quality
 FROM documents
 """)
 def doc_quality_score(spark, sf_dir):
-    return (load(spark, sf_dir, "documents")
+    return (load(spark, sf_dir, "documents", fan_out=True)
             .select("doc_id",
                     textstats.quality_score(F.col("text")).alias("quality")))
 
@@ -302,7 +323,7 @@ SELECT doc_id, {textstats.sql_doc_fingerprint('text')} AS fp
 FROM documents
 """)
 def doc_fingerprint_q(spark, sf_dir):
-    return (load(spark, sf_dir, "documents")
+    return (load(spark, sf_dir, "documents", fan_out=True)
             .select("doc_id",
                     textstats.doc_fingerprint(F.col("text")).alias("fp")))
 
@@ -316,7 +337,7 @@ SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
 FROM documents GROUP BY 1
 """)
 def dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup_groups(load(spark, sf_dir, "documents"))
+    return dedup.exact_dedup_groups(load(spark, sf_dir, "documents", fan_out=True))
 
 
 _SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -328,15 +349,26 @@ WITH t AS (
 )
 """)
 
+def _sql_rot_hex(h: str, band: int) -> str:
+    """DuckDB twin of dedup._rot_hex: rotate the 32-hex md5 left 8*band."""
+    if band == 0:
+        return h
+    cut = 8 * band
+    return f"(substr({h}, {cut + 1}, {32 - cut}) || substr({h}, 1, {cut}))"
+
+
 @register("minhash_signatures", _SHINGLES_CTE + """
 SELECT doc_id, band,
-       MIN(md5(band::VARCHAR || ':' || shingle)) AS sig
-FROM (SELECT doc_id, unnest(shingles) AS shingle FROM t),
-     (SELECT unnest(generate_series(0, 3)) AS band)
+       MIN(CASE band """
+    + " ".join(f"WHEN {b} THEN {_sql_rot_hex('h', b)}" for b in range(4))
+    + """ END) AS sig
+FROM (SELECT doc_id, md5(shingle) AS h
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM t)),
+     (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS band)
 GROUP BY doc_id, band
 """)
 def minhash_signatures_q(spark, sf_dir):
-    return dedup.minhash_signatures(load(spark, sf_dir, "documents"))
+    return dedup.minhash_signatures(load(spark, sf_dir, "documents", fan_out=True))
 
 
 @register("simhash16", f"""
@@ -355,7 +387,7 @@ SELECT doc_id,
 FROM votes
 """)
 def simhash16(spark, sf_dir):
-    return dedup.simhash(load(spark, sf_dir, "documents"))
+    return dedup.simhash(load(spark, sf_dir, "documents", fan_out=True))
 
 
 @register("ngram_jaccard_pairs", _SHINGLES_CTE + """
@@ -373,7 +405,7 @@ GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
 HAVING round(CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)), 6) >= 0.2
 """)
 def ngram_jaccard_pairs_q(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents", fan_out=True))
 
 
 # ===========================================================================
@@ -389,7 +421,7 @@ ORDER BY sim DESC, vec_id ASC
 LIMIT 10
 """)
 def cosine_topk(spark, sf_dir):
-    return similarity.brute_force_topk(load(spark, sf_dir, "embeddings"), 0)
+    return similarity.brute_force_topk(load(spark, sf_dir, "embeddings", fan_out=True), 0)
 
 
 @register("lsh_bucket_counts", f"""
@@ -398,7 +430,7 @@ SELECT {similarity.sql_axis_sign_bucket('embedding')} AS bucket,
 FROM embeddings GROUP BY 1
 """)
 def lsh_bucket_counts_q(spark, sf_dir):
-    return similarity.lsh_bucket_counts(load(spark, sf_dir, "embeddings"))
+    return similarity.lsh_bucket_counts(load(spark, sf_dir, "embeddings", fan_out=True))
 
 
 @register("lsh_topk", f"""
@@ -414,7 +446,7 @@ ORDER BY sim DESC, vec_id ASC
 LIMIT 5
 """)
 def lsh_topk_q(spark, sf_dir):
-    return similarity.lsh_topk(load(spark, sf_dir, "embeddings"), 0)
+    return similarity.lsh_topk(load(spark, sf_dir, "embeddings", fan_out=True), 0)
 
 
 # ===========================================================================
@@ -432,27 +464,27 @@ FROM documents
 def extract_markdown_docs(spark, sf_dir):
     """The REAL Arrow extraction UDF, oracle-checked: pages synthesized
     from documents have SQL-reconstructable Markdown."""
-    pages = docs_to_pages(load(spark, sf_dir, "documents"))
+    pages = docs_to_pages(load(spark, sf_dir, "documents", fan_out=True))
     docs = extract_markdown(pages, ExtractConfig())
     return docs.select("url", "markdown", "title", "status")
 
 
 @register("lsh_pairs", None)  # size depends on shingle collisions: rows-only
 def lsh_pairs(spark, sf_dir):
-    sigs = dedup.minhash_signatures(load(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(load(spark, sf_dir, "documents", fan_out=True))
     return dedup.lsh_candidate_pairs(sigs)
 
 
 @register("multimodal_decode", None)  # stubbed decode: rows-only check
 def multimodal_decode(spark, sf_dir):
-    docs = (load(spark, sf_dir, "documents")
+    docs = (load(spark, sf_dir, "documents", fan_out=True)
             .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     return decode_binary_docs(docs)
 
 
 @register("kg_flagship", None)  # full pipeline: rows-only check
 def kg_flagship(spark, sf_dir):
-    pages = docs_to_kg_pages(load(spark, sf_dir, "documents"))
+    pages = docs_to_kg_pages(load(spark, sf_dir, "documents", fan_out=True))
     docs = extract_markdown(pages, ExtractConfig())
     aliases = kg_ops.alias_df(spark)
     gaz_entries = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
