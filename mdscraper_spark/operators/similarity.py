@@ -12,7 +12,7 @@ then rounded for the value-hash compare.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # axis-aligned sign planes; 4 bits -> 16 buckets (tune #planes to the
@@ -86,6 +86,81 @@ def lsh_topk(embeddings: DataFrame, query_vec_id: int, k: int = 5,
                      F.col("bucket").alias("qbucket")))
     cands = (with_bucket.join(F.broadcast(query),
                               F.col("bucket") == F.col("qbucket"))
+             .filter(F.col(id_col) != query_vec_id))
+    scored = cands.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("sim"))
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.35,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs: same axis-sign LSH bucket AND
+    round(cosine, 6) >= threshold.
+
+    The bucket equi-join bounds the quadratic candidate term to
+    bucket-local pairs — at 10^12 rows you add sign planes so
+    candidates-per-bucket stays ~constant; the oracle implements the
+    identical bucket restriction, so results are exact-comparable."""
+    e = embeddings.select(F.col(id_col), F.col(vec_col),
+                          axis_sign_bucket(F.col(vec_col)).alias("bucket"))
+    a = e.select(F.col(id_col).alias("vec_a"),
+                 F.col(vec_col).alias("va"), "bucket")
+    b = e.select(F.col(id_col).alias("vec_b"),
+                 F.col(vec_col).alias("vb"), "bucket")
+    return (a.join(b, "bucket")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
+# -- IVF-style ANN -----------------------------------------------------------
+
+IVF_K = 8  # coarse cells; production uses k-means centroids — here the
+           # centroid set is pinned deterministically (vec_id < K) so the
+           # assignment is reproducible in any engine
+
+
+def ivf_cells(embeddings: DataFrame, n_cells: int = IVF_K,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, embedding, cid): assign every vector to its max-cosine
+    coarse centroid (tie -> lowest cid).
+
+    Scale shape: the centroid table is tiny and broadcast; assignment
+    is a narrow x K expansion reduced by a per-vector argmax — the only
+    shuffle is the argmax window on vec_id, which AQE coalesces."""
+    cents = (embeddings.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).alias("cid"),
+                     F.col(vec_col).alias("cvec")))
+    scored = (embeddings.crossJoin(F.broadcast(cents))
+              .withColumn("csim", cosine(F.col(vec_col), F.col("cvec"))))
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, vec_col, "cid"))
+
+
+def ivf_cell_sizes(embeddings: DataFrame, n_cells: int = IVF_K) -> DataFrame:
+    """(cid, n_vecs, min_vec_id): the IVF cell histogram — decides the
+    candidate-list size the ANN probe scans per query."""
+    return (ivf_cells(embeddings, n_cells)
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.min("vec_id").alias("min_vec_id")))
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+             n_cells: int = IVF_K, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN: exact cosine top-k restricted to the query's IVF cell."""
+    cells = ivf_cells(embeddings, n_cells, id_col, vec_col)
+    query = (cells.filter(F.col(id_col) == query_vec_id)
+             .select(F.col(vec_col).alias("qvec"),
+                     F.col("cid").alias("qcid")))
+    cands = (cells.join(F.broadcast(query), F.col("cid") == F.col("qcid"))
              .filter(F.col(id_col) != query_vec_id))
     scored = cands.select(
         F.col(id_col),

@@ -284,6 +284,56 @@ def glob_exclude_filter(spark, sf_dir):
             .select("doc_id", "source"))
 
 
+@register("md_title_probe", """
+WITH md AS (
+  SELECT doc_id,
+         '# ' || substr(text, 1, 30) || chr(10) || substr(text, 31, 40) AS markdown
+  FROM documents
+)
+SELECT doc_id,
+       replace(regexp_extract(markdown, '(?m)^# (.*)$', 1), '# ', '') AS md_title
+FROM md
+""")
+def md_title_probe(spark, sf_dir):
+    """B3 markdown-title probe (scraper.py:860-882): first '# ' line,
+    then the reference's strip-ALL-occurrences quirk ('# ' removed
+    everywhere in the line, not just the prefix)."""
+    md = F.concat(F.lit("# "), F.substring("text", 1, 30),
+                  F.lit("\n"), F.substring("text", 31, 40))
+    title = F.replace(F.regexp_extract(md, r"(?m)^# (.*)$", 1),
+                      F.lit("# "), F.lit(""))
+    return (load(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id", title.alias("md_title")))
+
+
+@register("relative_url_strip", """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN '/docs' ELSE '/blog' END)
+         || '/' || source ||
+         (CASE WHEN doc_id % 3 = 0 THEN '/docs/extra' ELSE '' END) AS url_path
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN replace(url_path, '/docs', '') <> url_path
+            THEN replace(url_path, '/docs', '')
+            ELSE url_path END AS rel_path
+FROM u
+""")
+def relative_url_strip(spark, sf_dir):
+    """D5 root-path strip (scraper.py:217-245): str.replace removes
+    EVERY occurrence of the root path (so '/docs/a/docs/b' -> '/a/b'),
+    and the original is returned when nothing changed."""
+    url_path = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/docs")).otherwise(F.lit("/blog")),
+        F.lit("/"), F.col("source"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/docs/extra")).otherwise(F.lit("")))
+    stripped = F.replace(url_path, F.lit("/docs"), F.lit(""))
+    rel = F.when(stripped != url_path, stripped).otherwise(url_path)
+    return (load(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id", rel.alias("rel_path")))
+
+
 @register("doc_token_stats", f"""
 SELECT doc_id,
        {textstats.sql_token_count_ws('text')} AS n_ws_tokens,
@@ -447,6 +497,65 @@ LIMIT 5
 """)
 def lsh_topk_q(spark, sf_dir):
     return similarity.lsh_topk(load(spark, sf_dir, "embeddings", fan_out=True), 0)
+
+
+@register("dedup_embedding_pairs", f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {similarity.sql_axis_sign_bucket('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({similarity.sql_cosine('a.embedding', 'b.embedding')}, 6) AS sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({similarity.sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.35
+""")
+def dedup_embedding_pairs_q(spark, sf_dir):
+    """Embedding-cosine near-dup dedup (bucketed candidate pruning)."""
+    return similarity.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings", fan_out=True))
+
+
+_SQL_IVF_CELLS = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+           FROM embeddings WHERE vec_id < {similarity.IVF_K}),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {similarity.sql_cosine('e.embedding', 'c.cvec')} AS csim
+  FROM embeddings e CROSS JOIN c
+),
+ranked AS (
+  SELECT vec_id, embedding, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cid ASC) AS rn
+  FROM scored
+),
+cells AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1)
+"""
+
+
+@register("ivf_cell_sizes", _SQL_IVF_CELLS + """
+SELECT cid, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+FROM cells GROUP BY cid
+""")
+def ivf_cell_sizes_q(spark, sf_dir):
+    return similarity.ivf_cell_sizes(
+        load(spark, sf_dir, "embeddings", fan_out=True))
+
+
+@register("ivf_topk", _SQL_IVF_CELLS + f"""
+, q AS (SELECT embedding AS qvec, cid AS qcid FROM cells WHERE vec_id = 0)
+SELECT e.vec_id, round({similarity.sql_cosine('e.embedding', 'qvec')}, 6) AS sim
+FROM cells e, q
+WHERE e.cid = q.qcid AND e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id ASC
+LIMIT 10
+""")
+def ivf_topk_q(spark, sf_dir):
+    """IVF ANN: cell-restricted exact cosine top-k (scale path beyond
+    brute force; complements the axis-sign LSH variant)."""
+    return similarity.ivf_topk(
+        load(spark, sf_dir, "embeddings", fan_out=True), 0)
 
 
 # ===========================================================================

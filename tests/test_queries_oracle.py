@@ -29,6 +29,10 @@ SUBSET = [
     "ngram_jaccard_pairs",
     "cosine_topk",
     "lsh_topk",
+    "dedup_embedding_pairs",
+    "ivf_topk",
+    "md_title_probe",
+    "relative_url_strip",
     "extract_markdown_docs",
 ]
 
