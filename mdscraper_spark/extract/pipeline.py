@@ -60,16 +60,34 @@ def find_content_by_div_attr(root: Element, attr: str,
     order (scraper.py:564-597).  ``class`` is bs4 token matching;
     ``id`` is the exact-match scan over all divs (scraper.py:583-589,
     authoritative because bs4's ``id_`` kwarg never matches)."""
-    for name in filter_list:
+    if attr not in ("class", "id"):
+        raise NameError(f"unknown div attr {attr}")
+    names = list(filter_list)
+    if not names:
+        return None
+    # ONE walk instead of len(names) full scans: track the first
+    # doc-order div per name, keep only the best (lowest) name index —
+    # identical result to the per-name scans (the first div matching
+    # name i is seen before any later div matching i), ~10x fewer
+    # traversals for the default 10-name list.
+    best_idx: Optional[int] = None
+    best_el: Optional[Element] = None
+    for el in root.iter_elements():
+        if el.name != "div":
+            continue
         if attr == "class":
-            found = root.find("div", class_token=name)
-        elif attr == "id":
-            found = root.find("div", id_value=name)
+            tokens = el.attrs.get("class", "").split()
+            keys = set(tokens)
         else:
-            raise NameError(f"unknown div attr {attr}")
-        if found is not None:
-            return found
-    return None
+            keys = {el.attrs.get("id")}
+        limit = len(names) if best_idx is None else best_idx
+        for i in range(limit):
+            if names[i] in keys:
+                best_idx, best_el = i, el
+                break
+        if best_idx == 0:
+            break
+    return best_el
 
 
 # ---------------------------------------------------------------------------

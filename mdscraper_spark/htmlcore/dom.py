@@ -166,16 +166,25 @@ class Element(Node):
         self.children.append(node)
 
     def descendants(self) -> Iterator[Node]:
-        """All nodes below this one, document (pre-)order."""
-        for child in self.children:
-            yield child
-            if isinstance(child, Element):
-                yield from child.descendants()
+        """All nodes below this one, document (pre-)order.  Explicit
+        stack instead of recursive generators: this is the extraction
+        hot path (millions of nodes per Arrow batch), and nested
+        ``yield from`` frames cost ~3x a flat loop."""
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            yield node
+            if isinstance(node, Element) and node.children:
+                stack.extend(reversed(node.children))
 
     def iter_elements(self) -> Iterator["Element"]:
-        for node in self.descendants():
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
             if isinstance(node, Element):
                 yield node
+                if node.children:
+                    stack.extend(reversed(node.children))
 
     def find_parent(self, names) -> Optional["Element"]:
         if isinstance(names, str):
@@ -224,12 +233,16 @@ class Element(Node):
     # -- text ---------------------------------------------------------
     def get_text(self, separator: str = "", strip: bool = False) -> str:
         parts = []
-        for node in self.descendants():
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
             if isinstance(node, TextNode):
                 s = node.data.strip() if strip else node.data
                 if strip and not s:
                     continue
                 parts.append(s)
+            elif isinstance(node, Element) and node.children:
+                stack.extend(reversed(node.children))
         return separator.join(parts)
 
     # -- CSS selection (subset) ----------------------------------------
