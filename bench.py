@@ -50,10 +50,17 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def materialize_pages(spark, n_pages: int, path: str) -> None:
+def materialize_pages(spark, n_pages: int, path: str,
+                      num_partitions: int | None = None) -> None:
+    """Write the synthetic crawl.  num_partitions controls the FILE
+    count, which caps scan parallelism downstream (one row group per
+    file -> splits cannot subdivide a file): too few files quantizes a
+    timed stage into idle-core waves.  Production Iceberg tables have
+    abundant files/row-groups, so this is bench-corpus plumbing only."""
     from mdscraper_spark.sources.pages import bulk_pages_df
 
-    bulk_pages_df(spark, n_pages).write.mode("overwrite").parquet(path)
+    df = bulk_pages_df(spark, n_pages, num_partitions=num_partitions)
+    df.write.mode("overwrite").parquet(path)
 
 
 def run_kg_pipeline(spark, pages_path: str, salt=None) -> dict:
@@ -88,6 +95,9 @@ def run_kg_pipeline(spark, pages_path: str, salt=None) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # local mode: driver heap IS the executor heap; 8g with 32 task
+    # threads chewing HTML strings is GC-bound (box has 128 GiB)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     sf = float(pathlib.Path(sf_dir).name.replace("sf", "") or 0.1)
 
     from mdscraper_spark.queries import REGISTRY
@@ -111,7 +121,8 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="bench_pages_")
     try:
         pages_path = str(pathlib.Path(workdir) / "pages")
-        materialize_pages(spark, n_pages, pages_path)
+        materialize_pages(spark, n_pages, pages_path,
+                          num_partitions=4 * cpus)
         run_kg_pipeline(spark, pages_path)  # warm-up (JVM + Python workers)
         t0 = time.monotonic()
         run_kg_pipeline(spark, pages_path)

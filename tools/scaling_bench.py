@@ -2,25 +2,36 @@
 from N to 4N).
 
 No real cluster exists in this sandbox, so per the driver instruction
-the same job runs at local[8] and local[32] on the SAME pre-materialized
-input; we report pages/sec at both plus scaling efficiency
+the same job runs at local[2] / local[8] / local[32] on the SAME
+pre-materialized input; we report pages/sec at each level plus
   eff = throughput_4N / (4 * throughput_N)
 and write the table to BENCH/BASELINE.md.
 
-Method notes (honesty of the measurement):
-* the corpus is materialized once and read from parquet by both runs;
-* each parallelism level gets a warm-up pass (JVM JIT + Python worker
-  pool) before the timed pass, best-of-2 timed passes reported;
-* the job is the full extract -> mentions/triples -> link -> CC ->
-  edges pipeline — including the iterative CC whose driver round-trips
-  are the non-parallel fraction (reported separately per stage).
+Measurement honesty on a noisy shared VM (observed: identical reps
+varying 4x in burned cpu-seconds from host contention):
+* levels are run INTERLEAVED round-robin, so slow host phases hit all
+  levels instead of biasing whichever level ran during them;
+* per level per round: fresh session, one discarded warm-up pass
+  (JIT + python-worker pool), one timed pass; MIN across rounds
+  (on a several-x-noisy box, min estimates true capacity);
+* host busy fraction from /proc/stat is sampled around every timed
+  pass and reported, so external load is visible in the evidence;
+* the corpus is 128 parquet files: one row group per file caps scan
+  splits, and too few files quantizes a stage into idle-core waves
+  (observed: 11 splits -> 2.65x, not 4x, from 2 to 8 cores);
+* a Spark-free multiprocessing control runs the same per-page
+  extraction at the same worker counts — the box's own parallel
+  ceiling (turbo downclock, shared memory bus), i.e. what ANY
+  software could reach here; Spark/control is the honest
+  cluster-scaling predictor.
 
-Usage: python tools/scaling_bench.py [n_pages]
+Usage: python tools/scaling_bench.py [n_pages] [n_rounds]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import shutil
 import sys
@@ -50,10 +61,7 @@ def _control_work(args):
 
 
 def hardware_control(procs: int, n: int = CONTROL_PAGES) -> float:
-    """Spark-free multiprocessing control: the same per-page extraction
-    at `procs` workers.  Measures the BOX's parallel ceiling (CPU turbo
-    downclocking under load) so the Spark numbers can be attributed to
-    software vs hardware.  Returns pages/sec."""
+    """Spark-free multiprocessing control at `procs` workers; pages/sec."""
     import multiprocessing as mp
 
     chunks = [(i * n // procs, (i + 1) * n // procs) for i in range(procs)]
@@ -65,10 +73,23 @@ def hardware_control(procs: int, n: int = CONTROL_PAGES) -> float:
     return n / dt
 
 
-def timed_run(spark, pages_path: str) -> float:
+def _cpu_totals():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    idle = vals[3] + vals[4]          # idle + iowait
+    return sum(vals), idle
+
+
+def timed_run(spark, pages_path: str):
+    """(wall_sec, host_busy_fraction) for one full-pipeline pass."""
+    tot0, idle0 = _cpu_totals()
     t0 = time.monotonic()
     run_kg_pipeline(spark, pages_path)
-    return time.monotonic() - t0
+    wall = time.monotonic() - t0
+    tot1, idle1 = _cpu_totals()
+    busy = 1.0 - (idle1 - idle0) / max(1, tot1 - tot0)
+    return wall, busy
 
 
 def stage_times(spark, pages_path: str) -> dict:
@@ -112,7 +133,10 @@ def stage_times(spark, pages_path: str) -> dict:
 
 
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 
     from mdscraper_spark.session import get_spark
 
@@ -121,40 +145,56 @@ def main() -> None:
 
     # split-size tuned to the bench corpus so the scan parallelizes:
     # at 100 TB the default 128 MB splits give ample tasks; at bench
-    # scale (~100 MB-1 GB) they would collapse the scan to 1-2 tasks.
+    # scale they would collapse the scan to a handful of tasks.
     conf = {"spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
             "spark.sql.files.openCostInBytes": str(512 * 1024)}
 
     gen = get_spark("gen", master="local[32]", shuffle_partitions=64,
                     extra_conf=conf)
     gen.sparkContext.setLogLevel("ERROR")
-    materialize_pages(gen, n_pages, pages_path)
+    materialize_pages(gen, n_pages, pages_path, num_partitions=128)
     gen.stop()
 
-    results = {}
+    walls = {c: [] for c in LEVELS}
+    busys = {c: [] for c in LEVELS}
+    stages = {}
     try:
-        for cpus in LEVELS:
-            spark = get_spark(f"scale-{cpus}", master=f"local[{cpus}]",
-                              shuffle_partitions=2 * cpus, extra_conf=conf)
-            spark.sparkContext.setLogLevel("ERROR")
-            timed_run(spark, pages_path)              # warm-up
-            best = min(timed_run(spark, pages_path) for _ in range(2))
-            stages = stage_times(spark, pages_path)
-            results[cpus] = {
-                "wall_sec": round(best, 2),
-                "pages_per_sec": round(n_pages / best, 1),
-                "stages": stages,
-            }
-            print(f"local[{cpus}]: {results[cpus]}", flush=True)
-            spark.stop()
-        for cpus in LEVELS:
-            results[cpus]["control_pages_per_sec"] = round(
-                hardware_control(cpus), 1)
-            print(f"control[{cpus}]: "
-                  f"{results[cpus]['control_pages_per_sec']} pages/s",
-                  flush=True)
+        for rnd in range(n_rounds):
+            for cpus in LEVELS:
+                spark = get_spark(f"scale-{cpus}-r{rnd}",
+                                  master=f"local[{cpus}]",
+                                  shuffle_partitions=2 * cpus,
+                                  extra_conf=conf)
+                spark.sparkContext.setLogLevel("ERROR")
+                timed_run(spark, pages_path)          # warm-up, discarded
+                wall, busy = timed_run(spark, pages_path)
+                walls[cpus].append(wall)
+                busys[cpus].append(busy)
+                print(f"round {rnd} local[{cpus}]: {wall:.2f}s "
+                      f"(host busy {busy:.0%})", flush=True)
+                if rnd == n_rounds - 1:
+                    stages[cpus] = stage_times(spark, pages_path)
+                spark.stop()
+        controls = {c: round(hardware_control(c), 1) for c in LEVELS}
+        for c in LEVELS:
+            print(f"control[{c}]: {controls[c]} pages/s", flush=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+    results = {}
+    for cpus in LEVELS:
+        # MIN across rounds: on a shared VM whose throughput swings
+        # several-x, min is the estimator of true capacity (every
+        # slowdown is additive noise); all passes stay visible.
+        med = min(walls[cpus])
+        results[cpus] = {
+            "wall_sec_min": round(med, 2),
+            "wall_sec_all": [round(w, 2) for w in walls[cpus]],
+            "host_busy": [round(b, 2) for b in busys[cpus]],
+            "pages_per_sec": round(n_pages / med, 1),
+            "stages": stages[cpus],
+            "control_pages_per_sec": controls[cpus],
+        }
 
     def eff(lo, hi, key="pages_per_sec"):
         return round(results[hi][key] / ((hi / lo) * results[lo][key]), 3)
@@ -164,6 +204,7 @@ def main() -> None:
 
     report = {
         "n_pages": n_pages,
+        "n_rounds": n_rounds,
         "levels": results,
         "scaling_efficiency_2_to_8": eff(2, 8),
         "scaling_efficiency_8_to_32": eff(8, 32),
@@ -181,17 +222,23 @@ def main() -> None:
         "",
         "Full KG pipeline (extract -> mentions/triples -> entity links ->",
         "connected components -> kg_edges) over a pre-materialized synthetic",
-        f"crawl of {n_pages:,} pages (seeded, Zipf-skewed hosts), identical",
-        "input at both parallelism levels; warm JVM, best-of-2.",
+        f"crawl of {n_pages:,} pages (seeded, Zipf-skewed hosts; 128 parquet",
+        "files so scan splits never starve a level).  Levels run",
+        f"INTERLEAVED x{n_rounds} rounds (fresh session, discarded warm-up,",
+        "min-of-rounds timed pass) because this shared VM's throughput varies",
+        "several-x between identical runs; per-pass host-busy fractions",
+        "are reported alongside.",
         "",
-        "| parallelism | wall sec | pages/sec | extract | mine | link | canon+graph | hw-control pages/sec |",
-        "|---|---|---|---|---|---|---|---|",
+        "| parallelism | min wall s | all passes | host busy | pages/sec | extract | mine | link | canon+graph | control pages/sec |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for cpus in LEVELS:
         r = results[cpus]
         s = r["stages"]
         lines.append(
-            f"| local[{cpus}] | {r['wall_sec']} | {r['pages_per_sec']} | "
+            f"| local[{cpus}] | {r['wall_sec_min']} | "
+            f"{r['wall_sec_all']} | {r['host_busy']} | "
+            f"{r['pages_per_sec']} | "
             f"{s['extract_write']} | {s['mine_write']} | {s['link_write']} | "
             f"{s['canon_graph']} | {r['control_pages_per_sec']} |")
     lines += [
@@ -207,12 +254,11 @@ def main() -> None:
         "",
         "eff = tp_4N / (4 x tp_N), target >= 0.8.  The hardware-control",
         "column is the SAME per-page extraction run Spark-free via",
-        "multiprocessing at the same worker counts: this single box",
-        "downclocks as more cores engage (and local[32] additionally",
-        "oversubscribes one JVM + 32 Arrow workers on 32 cores + one",
-        "memory bus), so the control is the ceiling ANY software can reach",
-        "here.  A real N -> 4N executor cluster adds whole machines, each",
-        "at its own clock, which is why the software-attributable column",
+        "multiprocessing at the same worker counts: this box (a shared",
+        "VM) downclocks and contends as more cores engage, so the",
+        "control is the ceiling ANY software can reach here.  A real",
+        "N -> 4N executor cluster adds whole machines, each at its own",
+        "clock, which is why the software-attributable column",
         "(Spark / control) is the honest cluster-scaling predictor.",
         "",
         "Stage columns are independent timed passes writing each derived",
