@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mdscraper_spark.config import ExtractConfig
-from mdscraper_spark.operators import dedup, kg as kg_ops, similarity, textstats
+from mdscraper_spark.operators import (dedup, kg as kg_ops, similarity,
+                                       temporal, textstats)
 from mdscraper_spark.operators.extract_udfs import extract_markdown
 from mdscraper_spark.operators.multimodal import decode_binary_docs
 from mdscraper_spark.sources.fixtures import alias_rows
@@ -224,6 +225,71 @@ def hourly_event_stats(spark, sf_dir):
     the same plan runs under readStream + withWatermark on a live feed."""
     return (load(spark, sf_dir, "events")
             .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dec_sum(F.col("value")).alias("sum_value")))
+
+
+@register("event_sessions", """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id,
+       user_id::VARCHAR || '#' || session_no::VARCHAR AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_no
+""")
+def event_sessions_q(spark, sf_dir):
+    """Gap sessionization (30-min session windows) — the batch twin of
+    Structured Streaming session windows."""
+    return temporal.sessionize(load(spark, sf_dir, "events"))
+
+
+@register("asof_prior_click", """
+SELECT e.event_id, e.user_id, e.ts, c.click_event_id, c.click_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, event_id AS click_event_id, ts AS click_ts
+      FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id AND epoch_us(c.click_ts) <= epoch_us(e.ts)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY e.event_id
+                           ORDER BY c.click_ts DESC, c.click_event_id DESC) = 1
+""")
+def asof_prior_click(spark, sf_dir):
+    """As-of join: for each error event, the user's most recent click at
+    or before it.  Spark side is the union-merge window operator (one
+    shuffle, no quadratic candidate join); oracle states the same
+    semantics naively."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error") \
+               .select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id",
+                       F.col("event_id").alias("click_event_id"),
+                       F.col("ts").alias("click_ts"))
+    return temporal.asof_join(errors, clicks, key="user_id",
+                              left_ts="ts", right_ts="click_ts",
+                              right_cols=("click_event_id", "click_ts"),
+                              right_order=("click_ts", "click_event_id"))
+
+
+@register("cube_event_stats", """
+SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY CUBE (event_type, hr)
+""")
+def cube_event_stats(spark, sf_dir):
+    return (load(spark, sf_dir, "events")
+            .withColumn("hr", F.hour("ts").cast("long"))
+            .cube("event_type", "hr")
             .agg(F.count(F.lit(1)).alias("n"),
                  _dec_sum(F.col("value")).alias("sum_value")))
 

@@ -19,6 +19,9 @@ SUBSET = [
     "q3_top_orders",
     "largest_order_argmax",
     "rollup_lang_source",
+    "event_sessions",
+    "asof_prior_click",
+    "cube_event_stats",
     "events_json_extract",
     "doc_token_stats",
     "doc_lang_guess",
