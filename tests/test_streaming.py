@@ -37,3 +37,50 @@ def test_incremental_stream_extract(spark, tmp_path):
     assert len(ok) == len(docs)
     sample = next(r for r in docs if r.url.endswith("page00000"))
     assert sample.markdown.startswith("# Report 0")
+
+
+def test_stateful_host_crawl_stats(spark, tmp_path):
+    from mdscraper_spark.streaming.stateful import host_crawl_stats
+
+    inp = str(tmp_path / "pages_state_in")
+    ckpt = str(tmp_path / "state_ckpt")
+    all_pages = bulk_pages_df(spark, 30).collect()
+
+    # two increments processed through the SAME checkpoint: state
+    # (per-host totals) must carry across restarts
+    out = str(tmp_path / "state_out")
+
+    def run_increment(rows, epoch_tag):
+        spark.createDataFrame(rows, PAGES_SCHEMA) \
+             .write.mode("append").parquet(inp)
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+
+        def sink(batch_df, epoch_id):
+            batch_df.withColumn("run", F.lit(epoch_tag)) \
+                    .write.mode("append").parquet(out)
+
+        q = (host_crawl_stats(stream).writeStream
+             .foreachBatch(sink)
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r.url_host: r for r in
+                spark.read.parquet(out)
+                .filter(F.col("run") == epoch_tag).collect()}
+
+    from pyspark.sql import functions as F
+    got1 = run_increment(all_pages[:18], "r1")
+    assert sum(r.n_pages_total for r in got1.values()) == 18
+
+    got2 = run_increment(all_pages[18:], "r2")
+
+    # totals are cumulative across increments (state restored), and the
+    # second batch only counts its own rows in batch_pages
+    import collections
+    expect_total = collections.Counter()
+    from urllib.parse import urlparse
+    for r in all_pages:
+        expect_total[urlparse(r[0]).netloc] += 1
+    for host, row in got2.items():
+        assert row.n_pages_total == expect_total[host]
+        assert row.batch_pages <= row.n_pages_total
