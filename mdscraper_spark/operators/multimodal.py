@@ -18,7 +18,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -82,3 +84,82 @@ def decode_binary_docs(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(out)
 
     return pruned.mapInPandas(run, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("frame_no", IntegerType(), False),
+    StructField("ts_ms", LongType(), False),
+    StructField("frame_sha", StringType(), False),
+    StructField("status", StringType(), False),
+])
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000,
+                  id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """video binary -> one row per sampled frame (1->N expansion inside
+    the Arrow batch; output batch shape differs from input, which is
+    why this is mapInPandas and not a scalar pandas_udf).
+
+    Stub decode: frame count and hashes are derived deterministically
+    from the content hash; a real deployment swaps in av/ffmpeg frame
+    extraction with the same output schema.
+    """
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_no", "ts_ms",
+                                   "frame_sha", "status")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(data).hexdigest()
+                n_frames = 1 + int(digest[:2], 16) % 8
+                for i in range(n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame_sha"].append(hashlib.sha256(
+                        data + i.to_bytes(4, "big")).hexdigest())
+                    out["status"].append("ok")
+            yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(run, FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("feature", ArrayType(FloatType()), False),
+    StructField("status", StringType(), False),
+])
+
+
+def extract_features(df: DataFrame, dim: int = 16,
+                     id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """binary -> array<float> feature vector (stubbed encoder: floats
+    derived from the content hash, unit-normalized).  The output column
+    is directly consumable by the similarity operators
+    (cosine top-k / LSH / IVF), closing the binary->embedding->ANN
+    pipeline end-to-end."""
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats, status = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                raw = hashlib.sha256(data).digest()
+                while len(raw) < 2 * dim:
+                    raw += hashlib.sha256(raw).digest()
+                vals = [int.from_bytes(raw[2 * i:2 * i + 2], "big") - 32768
+                        for i in range(dim)]
+                norm = sum(v * v for v in vals) ** 0.5 or 1.0
+                ids.append(doc_id)
+                feats.append([float(v / norm) for v in vals])
+                status.append("ok")
+            yield pd.DataFrame(
+                {"doc_id": ids, "feature": feats, "status": status})
+
+    return pruned.mapInPandas(run, FEATURE_SCHEMA)

@@ -77,10 +77,11 @@ def lsh_bucket_counts(embeddings: DataFrame,
 
 
 def lsh_topk(embeddings: DataFrame, query_vec_id: int, k: int = 5,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dims=LSH_DIMS) -> DataFrame:
     """ANN: score only vectors sharing the query's LSH bucket."""
     with_bucket = embeddings.withColumn(
-        "bucket", axis_sign_bucket(F.col(vec_col)))
+        "bucket", axis_sign_bucket(F.col(vec_col), dims))
     query = (with_bucket.filter(F.col(id_col) == query_vec_id)
              .select(F.col(vec_col).alias("qvec"),
                      F.col("bucket").alias("qbucket")))

@@ -25,8 +25,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mdscraper_spark.config import ExtractConfig
-from mdscraper_spark.operators import (dedup, kg as kg_ops, similarity,
-                                       temporal, textstats)
+from mdscraper_spark.operators import (dedup, kg as kg_ops, multimodal,
+                                       similarity, temporal, textstats)
 from mdscraper_spark.operators.extract_udfs import extract_markdown
 from mdscraper_spark.operators.multimodal import decode_binary_docs
 from mdscraper_spark.sources.fixtures import alias_rows
@@ -655,6 +655,29 @@ def multimodal_decode(spark, sf_dir):
     docs = (load(spark, sf_dir, "documents", fan_out=True)
             .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     return decode_binary_docs(docs)
+
+
+@register("multimodal_frame_sample", None)  # stubbed codec: rows-only
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling plumbing: 1->N row expansion inside the
+    Arrow batch (mapInPandas with a different output shape)."""
+    docs = (load(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    return multimodal.sample_frames(docs)
+
+
+@register("multimodal_feature_ann", None)  # stubbed encoder: rows-only
+def multimodal_feature_ann(spark, sf_dir):
+    """binary -> feature vector -> ANN, end to end: stub-encode each
+    payload to a unit array<float>, then exact cosine top-10 against
+    doc 0 restricted to its axis-sign LSH bucket (same operator the
+    embeddings table uses)."""
+    docs = (load(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    feats = multimodal.extract_features(docs) \
+        .select(F.col("doc_id").alias("vec_id"),
+                F.col("feature").alias("embedding"))
+    return similarity.lsh_topk(feats, 0, k=10, dims=(0, 5, 10, 15))
 
 
 @register("kg_flagship", None)  # full pipeline: rows-only check

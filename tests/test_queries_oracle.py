@@ -82,3 +82,25 @@ def test_multimodal_decode_stub(spark):
     rows2 = fn(spark, SF_DIR).collect()
     assert {r.doc_id: (r.content_sha, r.width, r.height)
             for r in rows2} == by_id
+
+
+def test_multimodal_frame_sample_and_feature_ann(spark):
+    fn, _ = REGISTRY["multimodal_frame_sample"]
+    frames = fn(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 1->N expansion with deterministic per-doc frame counts and
+    # contiguous frame numbering at the sampling interval
+    assert len(frames) > len(by_doc)
+    for doc_id, rows in list(by_doc.items())[:20]:
+        nos = sorted(r["frame_no"] for r in rows)
+        assert nos == list(range(len(rows)))
+        assert all(r["ts_ms"] == r["frame_no"] * 1000 for r in rows)
+
+    fn2, _ = REGISTRY["multimodal_feature_ann"]
+    top = fn2(spark, SF_DIR).collect()
+    assert 0 < len(top) <= 10
+    sims = [r["sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
