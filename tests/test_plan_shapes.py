@@ -70,3 +70,62 @@ def test_link_join_is_broadcast(spark):
     with contextlib.redirect_stdout(buf):
         links.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """I7 co-location: kg tables bucketed on canon_id join WITHOUT a
+    shuffle exchange — the plan shape that makes repeated graph joins
+    affordable at 10^12 rows (bucket once, join many times)."""
+    from pyspark.sql import functions as F
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdb "
+              f"LOCATION '{tmp_path}/bucket_wh'")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        nodes = spark.range(0, 1000).select(
+            F.col("id").alias("canon_id"),
+            F.concat(F.lit("n"), F.col("id")).alias("label"))
+        edges = spark.range(0, 5000).select(
+            (F.col("id") % 1000).alias("canon_id"),
+            F.col("id").alias("edge_id"))
+        nodes.write.bucketBy(8, "canon_id").mode("overwrite") \
+             .saveAsTable("bucketdb.nodes_b")
+        edges.write.bucketBy(8, "canon_id").mode("overwrite") \
+             .saveAsTable("bucketdb.edges_b")
+
+        j = (spark.table("bucketdb.nodes_b")
+             .join(spark.table("bucketdb.edges_b"), "canon_id"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 5000
+
+        # control: the same join over non-bucketed parquet DOES shuffle
+        nodes.write.mode("overwrite").parquet(f"{tmp_path}/nodes_p")
+        edges.write.mode("overwrite").parquet(f"{tmp_path}/edges_p")
+        jp = (spark.read.parquet(f"{tmp_path}/nodes_p")
+              .join(spark.read.parquet(f"{tmp_path}/edges_p"), "canon_id"))
+        plan_p = jp._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan_p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_jaccard_posting_lists_no_cartesian(spark):
+    plan = plan_of(spark, "ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_join_free_single_window(spark):
+    """The union-merge as-of must compile to a window over the unioned
+    stream — no join operator anywhere in the plan."""
+    plan = plan_of(spark, "asof_prior_click")
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
+def test_ivf_centroids_are_broadcast(spark):
+    plan = plan_of(spark, "ivf_topk")
+    assert "BroadcastExchange" in plan
