@@ -129,3 +129,40 @@ def test_asof_join_is_join_free_single_window(spark):
 def test_ivf_centroids_are_broadcast(spark):
     plan = plan_of(spark, "ivf_topk")
     assert "BroadcastExchange" in plan
+
+
+def test_aqe_splits_hub_host_skew(spark):
+    """I7 skew handling, first line of defense: a hub-domain key that
+    dwarfs the median partition is split by AQE at runtime
+    (SortMergeJoin(skew=true)) before our explicit salting is needed."""
+    from pyspark.sql import functions as F
+
+    prev = {k: spark.conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor")}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit("hub.example.com"))
+             .otherwise(F.concat(F.lit("h"), (F.col("id") % 997)))
+             .alias("host"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"))
+        dim = spark.range(0, 1000).select(
+            F.when(F.col("id") == 0, F.lit("hub.example.com"))
+             .otherwise(F.concat(F.lit("h"), F.col("id") % 997))
+             .alias("host"),
+            F.col("id").alias("w"))
+        j = fact.join(dim, "host")
+        assert len(j.collect()) == 200_040
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
