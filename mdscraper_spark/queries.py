@@ -294,6 +294,35 @@ def cube_event_stats(spark, sf_dir):
                  _dec_sum(F.col("value")).alias("sum_value")))
 
 
+@register("event_value_percentiles", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+""")
+def event_value_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (sort-based aggregate).  At 100 TB
+    the approximate sketch (approx_percentile / t-digest) replaces
+    this plan; exact is the oracle-comparable baseline."""
+    return (load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90")))
+
+
+@register("distinct_users_per_type", """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""")
+def distinct_users_per_type(spark, sf_dir):
+    """Distinct aggregate (expand + two-phase agg in Spark); the scale
+    variant is approx_count_distinct (HLL) which trades exactness."""
+    return (load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 @register("events_json_extract", """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
 FROM events
