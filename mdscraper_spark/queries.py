@@ -679,6 +679,32 @@ def lsh_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(sigs)
 
 
+@register("doc_size_kb", """
+SELECT doc_id, round(octet_length(encode(text)) / 1024.0, 6) AS size_kb
+FROM documents
+""")
+def doc_size_kb(spark, sf_dir):
+    """B6 file-size metric (utils.py:111-122) as a column, aggregated
+    into run metrics via observe() in the jobs."""
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.round(F.octet_length("text") / 1024.0, 6)
+                    .alias("size_kb")))
+
+
+@register("div_attr_census", None)  # HTML parse inside UDF: rows-only
+def div_attr_census_q(spark, sf_dir):
+    """C4 div class/id census over synthesized pages (utils.py:43-66
+    promoted from debug aid to heuristic-tuning corpus stat)."""
+    from mdscraper_spark.operators.links import div_attr_census
+
+    pages = docs_to_kg_pages(load(spark, sf_dir, "documents", fan_out=True))
+    return (div_attr_census(pages)
+            .groupBy("kind", "value")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("kind"), F.asc("value")))
+
+
 @register("multimodal_decode", None)  # stubbed decode: rows-only check
 def multimodal_decode(spark, sf_dir):
     docs = (load(spark, sf_dir, "documents", fan_out=True)
