@@ -3,15 +3,28 @@
 Production target is an Iceberg catalog (BASELINE.json: Iceberg tables,
 ``bucket(N, url_host)`` partitioning).  This sandbox has no Iceberg
 runtime jar (SURVEY.md §4.4), so the same surface is provided over
-partitioned parquet plus a JSON manifest chain carrying the
-Iceberg-ish metadata we rely on: snapshot id, parent snapshot, schema,
-partition spec.  The adapter is intentionally thin: on a cluster with
-Iceberg jars, ``write_table``/``read_table`` become
+parquet plus a JSON snapshot chain carrying the Iceberg metadata we
+rely on: snapshot id + parent, schema, partition spec, and a
+partition -> owning-snapshot map.  The adapter is intentionally thin:
+on a cluster with Iceberg jars, ``write_table``/``read_table`` become
 ``df.writeTo(...)``/``spark.read.table(...)`` with no caller changes.
 
-Partition-granular idempotency comes from dynamic partition overwrite:
-re-running a work bucket replaces exactly its files, which is what
-makes checkpoint/resume restarts safe (SURVEY.md §2.I8).
+Semantics provided (all tested):
+* **Dynamic partition overwrite** — a partitioned overwrite replaces
+  exactly the partitions present in the incoming DataFrame; untouched
+  partitions stay owned by their previous snapshot.  This is what
+  makes checkpoint/resume restarts idempotent (SURVEY.md §2.I8).
+* **Snapshot isolation / time travel** — every write lands in its own
+  ``data/snap-<id>/`` directory and never mutates earlier snapshots'
+  files, so ``read_table(name, snapshot_id=...)`` reconstructs any
+  retained snapshot exactly.
+* **Compaction** — ``compact()`` bin-packs the current snapshot into
+  ~target-sized files as a NEW snapshot (history stays readable); at
+  100 TB this is the maintenance job that keeps scan split counts
+  sane after many incremental partition overwrites.
+* **Snapshot expiration** — ``expire_snapshots(keep_last=k)`` drops
+  history and deletes data files no retained snapshot references
+  (Iceberg's expire_snapshots + orphan-file cleanup in one step).
 """
 
 from __future__ import annotations
@@ -19,8 +32,9 @@ from __future__ import annotations
 import datetime
 import json
 import pathlib
+import shutil
 import uuid
-from typing import Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,6 +52,12 @@ class Warehouse:
     def _manifest_path(self, name: str) -> pathlib.Path:
         return self.table_path(name) / "_manifest.json"
 
+    def _snapshots_dir(self, name: str) -> pathlib.Path:
+        return self.table_path(name) / "_snapshots"
+
+    def _snap_data_dir(self, name: str, snapshot_id: str) -> pathlib.Path:
+        return self.table_path(name) / "data" / f"snap-{snapshot_id}"
+
     def exists(self, name: str) -> bool:
         return self._manifest_path(name).exists()
 
@@ -47,45 +67,204 @@ class Warehouse:
                     mode: str = "overwrite") -> str:
         """Write + advance the snapshot chain; returns the snapshot id.
 
-        With ``mode='overwrite'`` and a partition spec, only the
-        partitions present in ``df`` are replaced (dynamic overwrite) —
-        Iceberg's overwrite-by-partition-expression semantics.
+        ``mode='overwrite'`` with a partition spec replaces only the
+        partitions present in ``df`` (dynamic overwrite); without one it
+        replaces the whole table.  ``mode='append'`` adds files while
+        keeping every previous file visible.  Earlier snapshots' data
+        files are never touched — time travel stays exact until
+        ``expire_snapshots``.
         """
-        path = self.table_path(name)
-        writer = df.write.mode(mode)
-        if partition_by:
-            writer = writer.option("partitionOverwriteMode", "dynamic")
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(path))
-
-        parent = None
-        if self._manifest_path(name).exists():
-            parent = json.loads(self._manifest_path(name).read_text())["snapshot_id"]
         snapshot_id = uuid.uuid4().hex
+        data_dir = self._snap_data_dir(name, snapshot_id)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
+
+        # discover the partition keys this snapshot wrote (leaf dirs
+        # with data files, relative to the snapshot dir)
+        written: List[str] = []
+        if partition_by:
+            for leaf in sorted({p.parent.relative_to(data_dir).as_posix()
+                                for p in data_dir.rglob("*.parquet")}):
+                written.append(leaf)
+        elif any(data_dir.rglob("*.parquet")):
+            written.append("")
+
+        parent = self.manifest(name)
+        partitions: Dict[str, List[str]] = {}
+        if parent is not None and (mode == "append" or
+                                   (partition_by and mode == "overwrite")):
+            partitions = {k: list(v) for k, v in
+                          parent.get("partitions", {}).items()}
+        if mode == "append":
+            for key in written:
+                partitions.setdefault(key, []).append(snapshot_id)
+        else:
+            if not partition_by:
+                partitions = {}
+            for key in written:
+                partitions[key] = [snapshot_id]
+
         manifest = {
             "table": name,
             "snapshot_id": snapshot_id,
-            "parent_snapshot": parent,
-            "committed_at": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            "parent_snapshot": parent["snapshot_id"] if parent else None,
+            "committed_at":
+                datetime.datetime.now(datetime.timezone.utc).isoformat(),
             "schema": json.loads(df.schema.json()),
             "partition_by": list(partition_by),
             "write_mode": mode,
+            "partitions": partitions,
         }
+        self._snapshots_dir(name).mkdir(parents=True, exist_ok=True)
+        (self._snapshots_dir(name) / f"{snapshot_id}.json").write_text(
+            json.dumps(manifest, indent=2))
         self._manifest_path(name).write_text(json.dumps(manifest, indent=2))
         return snapshot_id
 
-    def read_table(self, name: str) -> DataFrame:
-        """Read with the manifest schema (Iceberg semantics: schema comes
-        from table metadata, not file-footer inference).  This also makes
-        empty tables readable — a partitioned write of 0 rows leaves no
-        parquet files, which would otherwise fail schema inference."""
-        reader = self.spark.read
-        m = self.manifest(name)
-        if m is not None:
-            from pyspark.sql.types import StructType
-            reader = reader.schema(StructType.fromJson(m["schema"]))
-        return reader.parquet(str(self.table_path(name)))
+    def read_table(self, name: str,
+                   snapshot_id: Optional[str] = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to a retained one.
 
-    def manifest(self, name: str) -> Optional[dict]:
+        Schema comes from the snapshot manifest (Iceberg semantics:
+        metadata, not file-footer inference), which also makes empty
+        tables readable.  Partition values are recovered from the
+        directory layout per owning snapshot (basePath)."""
+        from functools import reduce
+
+        from pyspark.sql.types import StructType
+
+        m = self.manifest(name, snapshot_id)
+        if m is None:
+            return self.spark.read.parquet(str(self.table_path(name)))
+        schema = StructType.fromJson(m["schema"])
+        # group partition keys by owning snapshot
+        by_snap: Dict[str, List[str]] = {}
+        for key, sids in m.get("partitions", {}).items():
+            for sid in sids:
+                by_snap.setdefault(sid, []).append(key)
+        parts = []
+        for sid, keys in sorted(by_snap.items()):
+            base = self._snap_data_dir(name, sid)
+            if keys == [""]:
+                if base.exists():
+                    parts.append(self.spark.read.schema(schema)
+                                 .parquet(str(base)))
+            else:
+                # skip physically-lost partition dirs instead of failing:
+                # (Iceberg fails fast here; we degrade to the readable
+                # subset so a damaged bucket can be re-extracted by the
+                # resume path, which then re-commits the partition)
+                paths = [str(base / k) for k in sorted(keys)
+                         if (base / k).exists()]
+                if paths:
+                    parts.append(self.spark.read.schema(schema)
+                                 .option("basePath", str(base))
+                                 .parquet(*paths))
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        cols = [f.name for f in schema.fields]
+        # partitioned reads surface partition columns last; restore the
+        # manifest's column order so the contract is layout-independent
+        return reduce(lambda a, b: a.unionByName(b),
+                      [p.select(*cols) for p in parts])
+
+    def manifest(self, name: str,
+                 snapshot_id: Optional[str] = None) -> Optional[dict]:
+        if snapshot_id is not None:
+            p = self._snapshots_dir(name) / f"{snapshot_id}.json"
+            if not p.exists():
+                raise ValueError(
+                    f"snapshot {snapshot_id} of table {name} not found "
+                    "(expired or never committed)")
+            return json.loads(p.read_text())
         p = self._manifest_path(name)
         return json.loads(p.read_text()) if p.exists() else None
+
+    def snapshots(self, name: str) -> List[dict]:
+        """Snapshot chain, current first, following parent links."""
+        out = []
+        m = self.manifest(name)
+        while m is not None:
+            out.append(m)
+            parent = m.get("parent_snapshot")
+            m = self.manifest(name, parent) if parent else None
+        return out
+
+    # -- maintenance -------------------------------------------------------
+    def _data_files(self, name: str, m: dict) -> List[pathlib.Path]:
+        files: List[pathlib.Path] = []
+        for key, sids in m.get("partitions", {}).items():
+            for sid in sids:
+                base = self._snap_data_dir(name, sid)
+                files.extend((base / key if key else base).rglob("*.parquet"))
+        return files
+
+    def compact(self, name: str,
+                target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Bin-pack the current snapshot into ~target-sized files as a
+        new snapshot.  Partitioned tables get one file per partition
+        (the repartition-on-key collapses each key's file set); history
+        remains time-travelable until expired."""
+        m = self.manifest(name)
+        if m is None:
+            raise ValueError(f"no such table: {name}")
+        before = self._data_files(name, m)
+        total = sum(f.stat().st_size for f in before)
+        df = self.read_table(name)
+        part_by = m.get("partition_by", [])
+        if part_by:
+            df = df.repartition(*part_by)
+        else:
+            df = df.repartition(max(1, -(-total // target_file_bytes)))
+        sid = self.write_table(df, name, partition_by=tuple(part_by),
+                               mode="overwrite") if not part_by else \
+            self._full_overwrite(df, name, tuple(part_by))
+        after = self._data_files(name, self.manifest(name))
+        return {"snapshot_id": sid, "files_before": len(before),
+                "files_after": len(after), "bytes": total}
+
+    def _full_overwrite(self, df: DataFrame, name: str,
+                        partition_by: Sequence[str]) -> str:
+        """Overwrite ALL partitions (compaction), not just those present
+        in df — drop inherited ownership by clearing the parent map."""
+        sid = self.write_table(df, name, partition_by=partition_by,
+                               mode="overwrite")
+        m = self.manifest(name)
+        m["partitions"] = {k: [sid] for k, v in m["partitions"].items()
+                           if sid in v}
+        (self._snapshots_dir(name) / f"{sid}.json").write_text(
+            json.dumps(m, indent=2))
+        self._manifest_path(name).write_text(json.dumps(m, indent=2))
+        return sid
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> dict:
+        """Retain the newest ``keep_last`` snapshots; delete snapshot
+        metadata AND data directories no retained snapshot references
+        (expire + orphan-file cleanup)."""
+        chain = self.snapshots(name)
+        kept, dropped = chain[:keep_last], chain[keep_last:]
+        referenced = {sid for m in kept
+                      for sids in m.get("partitions", {}).values()
+                      for sid in sids}
+        n_dirs = 0
+        for snap_dir in (self.table_path(name) / "data").glob("snap-*"):
+            if snap_dir.name.removeprefix("snap-") not in referenced:
+                shutil.rmtree(snap_dir, ignore_errors=True)
+                n_dirs += 1
+        kept_ids = {m["snapshot_id"] for m in kept}
+        for meta in self._snapshots_dir(name).glob("*.json"):
+            if meta.stem not in kept_ids:
+                meta.unlink()
+        # sever the parent link of the oldest kept snapshot
+        if kept and kept[-1].get("parent_snapshot"):
+            oldest = dict(kept[-1], parent_snapshot=None)
+            (self._snapshots_dir(name)
+             / f"{oldest['snapshot_id']}.json").write_text(
+                json.dumps(oldest, indent=2))
+            if oldest["snapshot_id"] == kept[0]["snapshot_id"]:
+                self._manifest_path(name).write_text(
+                    json.dumps(oldest, indent=2))
+        return {"kept": len(kept), "expired": len(dropped),
+                "data_dirs_deleted": n_dirs}

@@ -49,9 +49,11 @@ def test_resume_after_partial_loss(spark, tmp_path):
     assert lost, "need at least one bucket to damage"
 
     for pid in lost:
-        bucket_dir = job_b.wh.table_path("markdown_docs") / f"part_id={pid}"
-        assert bucket_dir.exists()
-        shutil.rmtree(bucket_dir)
+        bucket_dirs = list(job_b.wh.table_path("markdown_docs")
+                           .glob(f"data/snap-*/part_id={pid}"))
+        assert bucket_dirs, f"no data dirs for bucket {pid}"
+        for bucket_dir in bucket_dirs:
+            shutil.rmtree(bucket_dir)
     kept = lineage.filter(~((F.col("stage") == "extract")
                             & F.col("part_id").isin([int(p) for p in lost])))
     kept_rows = kept.collect()

@@ -1,0 +1,90 @@
+"""Warehouse snapshot semantics: time travel, dynamic partition
+overwrite isolation, compaction, and snapshot expiration."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mdscraper_spark.sources.tables import Warehouse
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(part_id=p, k=k, v=v) for p, k, v in rows])
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def grab(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_time_travel_full_overwrite(spark, wh):
+    s1 = wh.write_table(_df(spark, [(0, "a", 1), (1, "b", 2)]), "t")
+    s2 = wh.write_table(_df(spark, [(0, "c", 3)]), "t")
+    assert grab(wh.read_table("t")) == [(0, "c", 3)]
+    assert grab(wh.read_table("t", snapshot_id=s1)) == [(0, "a", 1), (1, "b", 2)]
+    assert grab(wh.read_table("t", snapshot_id=s2)) == [(0, "c", 3)]
+
+
+def test_dynamic_partition_overwrite_and_travel(spark, wh):
+    s1 = wh.write_table(_df(spark, [(0, "a", 1), (1, "b", 2), (2, "c", 3)]),
+                        "t", partition_by=("part_id",))
+    # overwrite ONLY bucket 1; buckets 0 and 2 stay owned by s1
+    s2 = wh.write_table(_df(spark, [(1, "B", 20)]), "t",
+                        partition_by=("part_id",))
+    assert grab(wh.read_table("t")) == [(0, "a", 1), (1, "B", 20), (2, "c", 3)]
+    assert grab(wh.read_table("t", snapshot_id=s1)) == \
+        [(0, "a", 1), (1, "b", 2), (2, "c", 3)]
+    m = wh.manifest("t")
+    assert m["partitions"]["part_id=1"] == [s2]
+    assert m["partitions"]["part_id=0"] == [s1]
+
+
+def test_append_mode_accumulates(spark, wh):
+    wh.write_table(_df(spark, [(0, "a", 1)]), "t",
+                   partition_by=("part_id",))
+    s2 = wh.write_table(_df(spark, [(0, "b", 2)]), "t",
+                        partition_by=("part_id",), mode="append")
+    assert grab(wh.read_table("t")) == [(0, "a", 1), (0, "b", 2)]
+    assert grab(wh.read_table("t", snapshot_id=s2)) == \
+        [(0, "a", 1), (0, "b", 2)]
+
+
+def test_compaction_reduces_files_preserves_rows_and_history(spark, wh):
+    rows = [(i % 3, f"k{i}", i) for i in range(60)]
+    # many small incremental writes -> many files
+    for i in range(0, 60, 12):
+        wh.write_table(_df(spark, rows[i:i + 12]).repartition(4), "t",
+                       partition_by=("part_id",), mode="append")
+    before = grab(wh.read_table("t"))
+    pre_sid = wh.manifest("t")["snapshot_id"]
+    stats = wh.compact("t")
+    assert stats["files_after"] < stats["files_before"]
+    assert grab(wh.read_table("t")) == before
+    # pre-compaction snapshot still time-travelable
+    assert grab(wh.read_table("t", snapshot_id=pre_sid)) == before
+
+
+def test_expire_snapshots_drops_history_keeps_current(spark, wh):
+    s1 = wh.write_table(_df(spark, [(0, "a", 1)]), "t")
+    s2 = wh.write_table(_df(spark, [(0, "b", 2)]), "t")
+    s3 = wh.write_table(_df(spark, [(0, "c", 3)]), "t")
+    assert len(wh.snapshots("t")) == 3
+    out = wh.expire_snapshots("t", keep_last=1)
+    assert out["expired"] == 2 and out["data_dirs_deleted"] == 2
+    assert grab(wh.read_table("t")) == [(0, "c", 3)]
+    assert [m["snapshot_id"] for m in wh.snapshots("t")] == [s3]
+    with pytest.raises(ValueError):
+        wh.read_table("t", snapshot_id=s1)
+
+
+def test_empty_table_still_readable(spark, wh):
+    empty = _df(spark, [(0, "a", 1)]).filter(F.col("v") > 99)
+    wh.write_table(empty, "t", partition_by=("part_id",))
+    got = wh.read_table("t")
+    assert got.count() == 0
+    assert set(got.columns) == {"part_id", "k", "v"}
