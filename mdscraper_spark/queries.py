@@ -204,6 +204,45 @@ def customers_without_orders(spark, sf_dir):
             .select("c_custkey", "c_name"))
 
 
+@register("part_types_intersect", """
+SELECT p_name FROM part WHERE p_size < 5
+INTERSECT
+SELECT p_name FROM part WHERE p_retailprice > 995
+""")
+def part_types_intersect(spark, sf_dir):
+    """Set intersection (shuffles both sides on the full row; the
+    distinct is implicit in INTERSECT semantics)."""
+    p = load(spark, sf_dir, "part")
+    small = p.filter(F.col("p_size") < 5).select("p_name")
+    pricey = p.filter(F.col("p_retailprice") > 995).select("p_name")
+    return small.intersect(pricey)
+
+
+@register("part_types_except", """
+SELECT p_name FROM part WHERE p_size < 5
+EXCEPT
+SELECT p_name FROM part WHERE p_retailprice > 995
+""")
+def part_types_except(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    small = p.filter(F.col("p_size") < 5).select("p_name")
+    pricey = p.filter(F.col("p_retailprice") > 995).select("p_name")
+    return small.subtract(pricey)
+
+
+@register("alias_edit_distance", """
+SELECT s_suppkey, levenshtein(lower(s_name), 'supplier#000000001') AS dist
+FROM supplier
+""")
+def alias_edit_distance(spark, sf_dir):
+    """Levenshtein — the I4 entity-link scoring primitive — parity
+    checked against DuckDB's implementation."""
+    return (load(spark, sf_dir, "supplier")
+            .select("s_suppkey",
+                    F.levenshtein(F.lower("s_name"),
+                                  F.lit("supplier#000000001")).alias("dist")))
+
+
 @register("rollup_lang_source", """
 SELECT lang, source, COUNT(*) AS n
 FROM documents GROUP BY ROLLUP (lang, source)
