@@ -468,6 +468,64 @@ def relative_url_strip(spark, sf_dir):
             .select("doc_id", rel.alias("rel_path")))
 
 
+@register("url_file_order", """
+SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos,
+       'https://docs.test/' || doc_id AS url
+FROM documents
+""")
+def url_file_order(spark, sf_dir):
+    """A2 url-file source (scraper.py:753-767): blank lines dropped,
+    order and duplicates preserved.  Writes the url list as a real text
+    file, reads it through the source, re-ranks the source's monotonic
+    position into contiguous file order for the oracle compare."""
+    import tempfile
+
+    from mdscraper_spark.operators.links import url_file_source
+
+    ids = [r[0] for r in load(spark, sf_dir, "documents")
+           .select("doc_id").orderBy("doc_id").collect()]
+    with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                     delete=False) as fh:
+        for i, doc_id in enumerate(ids):
+            fh.write(f"https://docs.test/{doc_id}\n")
+            if i % 7 == 3:
+                fh.write("\n")       # blank lines must be dropped
+        path = fh.name
+    src = url_file_source(spark, path)
+    w = Window.orderBy("pos")
+    return src.select((F.row_number().over(w) - 1).alias("pos"), "url")
+
+
+@register("site_seed_harvest", """
+WITH l AS (
+  SELECT 'https://docs.test/' || doc_id AS url, 0 AS pos,
+         '/local/' || source AS url_path, source AS page_name
+  FROM documents
+  UNION ALL
+  SELECT 'https://docs.test/' || doc_id, 1,
+         '/a/' || doc_id, doc_id::VARCHAR
+  FROM documents
+)
+SELECT url, pos, 'https://site.test' || url_path AS harvested_url
+FROM l WHERE NOT regexp_matches(page_name, '^(src1.*)$')
+""")
+def site_seed_harvest(spark, sf_dir):
+    """A3+A4 (scraper.py:666-709): per-seed link harvest with
+    foreign-host absolutes rewritten onto the site root (path only),
+    glob page exclusion, document order preserved."""
+    from mdscraper_spark.operators.links import site_seed_urls
+
+    seeds = (load(spark, sf_dir, "documents", fan_out=True)
+             .select(F.concat(F.lit("https://docs.test/"),
+                              F.col("doc_id")).alias("url"),
+                     F.array(
+                         F.concat(F.lit("/local/"), F.col("source")),
+                         F.concat(F.lit("https://foreign.example/a/"),
+                                  F.col("doc_id"))).alias("links")))
+    return site_seed_urls(seeds, "https://site.test",
+                          exclude_pages=("src1*",))
+
+
 @register("doc_token_stats", f"""
 SELECT doc_id,
        {textstats.sql_token_count_ws('text')} AS n_ws_tokens,
