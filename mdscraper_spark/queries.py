@@ -770,8 +770,25 @@ def extract_markdown_docs(spark, sf_dir):
     return docs.select("url", "markdown", "title", "status")
 
 
-@register("lsh_pairs", None)  # size depends on shingle collisions: rows-only
+@register("lsh_pairs", _SHINGLES_CTE + """
+, sig AS (
+  SELECT doc_id, band,
+         MIN(CASE band """
+    + " ".join(f"WHEN {b} THEN {_sql_rot_hex('h', b)}" for b in range(4))
+    + """ END) AS sig
+  FROM (SELECT doc_id, md5(shingle) AS h
+        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM t)),
+       (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS band)
+  GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+""")
 def lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs — fully deterministic under the
+    md5-rotation band scheme, so the oracle replays the identical
+    banding in SQL."""
     sigs = dedup.minhash_signatures(load(spark, sf_dir, "documents", fan_out=True))
     return dedup.lsh_candidate_pairs(sigs)
 
