@@ -40,6 +40,10 @@ HEADLINE = (
     "ngram_jaccard_pairs",
     "cosine_topk",
     "lsh_topk",
+    "ivf_topk",
+    "dedup_embedding_pairs",
+    "event_sessions",
+    "asof_prior_click",
     "doc_token_stats",
     "doc_quality_score",
     "extract_markdown_docs",

@@ -243,6 +243,23 @@ def alias_edit_distance(spark, sf_dir):
                                   F.lit("supplier#000000001")).alias("dist")))
 
 
+@register("orders_above_customer_avg", """
+SELECT o_orderkey FROM orders o
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders i
+                      WHERE i.o_custkey = o.o_custkey)
+""")
+def orders_above_customer_avg(spark, sf_dir):
+    """Correlated scalar subquery, decorrelated by hand into the plan
+    Catalyst would produce anyway: per-customer aggregate + equi-join.
+    At scale this is one shuffle on o_custkey reused by both sides."""
+    o = load(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("ck")) \
+            .agg(F.avg("o_totalprice").alias("avg_price"))
+    return (o.join(avgs, o.o_custkey == avgs.ck)
+            .filter(F.col("o_totalprice") > F.col("avg_price"))
+            .select("o_orderkey"))
+
+
 @register("rollup_lang_source", """
 SELECT lang, source, COUNT(*) AS n
 FROM documents GROUP BY ROLLUP (lang, source)
