@@ -543,6 +543,41 @@ def site_seed_harvest(spark, sf_dir):
                           exclude_pages=("src1*",))
 
 
+@register("heading_space_insert", """
+WITH md AS (
+  SELECT doc_id,
+         '# Title' || chr(10) || '## ' || source || chr(10) ||
+         'body ' || substr(text, 1, 20) || chr(10) || '### end' AS m
+  FROM documents
+), sp AS (
+  SELECT doc_id, split_part(m, chr(10), 1) AS head,
+         substr(m, length(split_part(m, chr(10), 1)) + 2) AS rest
+  FROM md
+)
+SELECT doc_id,
+       head || chr(10) ||
+       regexp_replace(rest, '(?m)^(## |### )',
+                      chr(10) || chr(10) || chr(10) || '\\1', 'g') AS spaced
+FROM sp
+""")
+def heading_space_insert(spark, sf_dir):
+    """E3 heading-space insertion (scraper.py:270-315): three empty
+    lines before each level-2/3 heading, never before the first line.
+    First line is split off (portable: RE2 has no lookbehind), the
+    rest gets the anchored multiline insert — '## ' cannot match
+    inside '### ' because the level-regex requires the space."""
+    md = F.concat(F.lit("# Title\n## "), F.col("source"),
+                  F.lit("\nbody "), F.substring("text", 1, 20),
+                  F.lit("\n### end"))
+    head = F.substring_index(md, "\n", 1)
+    rest = F.substring(md, F.length(head) + F.lit(2), F.length(md))
+    spaced = F.concat(head, F.lit("\n"),
+                      F.regexp_replace(rest, r"(?m)^(## |### )",
+                                       "\n\n\n$1"))
+    return (load(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id", spaced.alias("spaced")))
+
+
 @register("doc_token_stats", f"""
 SELECT doc_id,
        {textstats.sql_token_count_ws('text')} AS n_ws_tokens,
