@@ -871,28 +871,61 @@ def div_attr_census_q(spark, sf_dir):
             .orderBy(F.desc("n"), F.asc("kind"), F.asc("value")))
 
 
-@register("multimodal_decode", None)  # stubbed decode: rows-only check
+@register("multimodal_decode", f"""
+SELECT doc_id, {multimodal.sql_decode_meta('text')}
+FROM documents
+""")
 def multimodal_decode(spark, sf_dir):
+    """Stubbed decode over utf-8 payloads — the md5/hex-string stub is
+    DuckDB-replayable, so this is a full hash-match oracle row."""
     docs = (load(spark, sf_dir, "documents", fan_out=True)
             .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     return decode_binary_docs(docs)
 
 
-@register("multimodal_frame_sample", None)  # stubbed codec: rows-only
+@register("multimodal_frame_sample", """
+WITH d AS (
+  SELECT doc_id, md5(text) AS h,
+         1 + (CAST('0x' || substr(md5(text), 1, 2) AS INT) % 8) AS n_frames
+  FROM documents
+), i AS (SELECT CAST(unnest(generate_series(0, 7)) AS INT) AS frame_no)
+SELECT doc_id, frame_no,
+       CAST(frame_no AS BIGINT) * 1000 AS ts_ms,
+       md5(h || ':' || frame_no) AS frame_hash,
+       'ok' AS status
+FROM d, i
+WHERE frame_no < n_frames
+""")
 def multimodal_frame_sample(spark, sf_dir):
     """Video frame sampling plumbing: 1->N row expansion inside the
-    Arrow batch (mapInPandas with a different output shape)."""
+    Arrow batch (mapInPandas with a different output shape).  The stub
+    frame count/hash chain is md5-over-strings, replayed in SQL."""
     docs = (load(spark, sf_dir, "documents", fan_out=True)
             .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     return multimodal.sample_frames(docs)
 
 
-@register("multimodal_feature_ann", None)  # stubbed encoder: rows-only
+@register("multimodal_feature_ann", f"""
+WITH {multimodal.sql_feature_cte().lstrip()},
+b AS (
+  SELECT vec_id, embedding,
+         {similarity.sql_axis_sign_bucket('embedding', dims=(0, 5, 10, 15))} AS bucket
+  FROM feat
+),
+q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, round({similarity.sql_cosine('embedding', 'qvec')}, 6) AS sim
+FROM b, q
+WHERE bucket = qbucket AND vec_id <> 0
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+""")
 def multimodal_feature_ann(spark, sf_dir):
     """binary -> feature vector -> ANN, end to end: stub-encode each
     payload to a unit array<float>, then exact cosine top-10 against
     doc 0 restricted to its axis-sign LSH bucket (same operator the
-    embeddings table uses)."""
+    embeddings table uses).  The stub encoder carves 2-byte ints from
+    an md5 hex chain, so DuckDB reproduces the float32 vectors exactly
+    (CAST AS FLOAT at the same rounding point as the Arrow transfer)."""
     docs = (load(spark, sf_dir, "documents", fan_out=True)
             .select("doc_id", F.encode("text", "utf-8").alias("payload")))
     feats = multimodal.extract_features(docs) \

@@ -37,6 +37,9 @@ SUBSET = [
     "md_title_probe",
     "relative_url_strip",
     "extract_markdown_docs",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_feature_ann",
 ]
 
 
@@ -75,12 +78,12 @@ def test_multimodal_decode_stub(spark):
     rows = fn(spark, SF_DIR).collect()
     assert len(rows) == 500
     assert all(r.status == "ok" for r in rows)
-    assert all(r.n_bytes > 0 and len(r.content_sha) == 64 for r in rows)
+    assert all(r.n_bytes > 0 and len(r.content_hash) == 32 for r in rows)
     assert all(64 <= r.width < 1984 and 64 <= r.height < 1144 for r in rows)
     # determinism: same content -> same fake features
-    by_id = {r.doc_id: (r.content_sha, r.width, r.height) for r in rows}
+    by_id = {r.doc_id: (r.content_hash, r.width, r.height) for r in rows}
     rows2 = fn(spark, SF_DIR).collect()
-    assert {r.doc_id: (r.content_sha, r.width, r.height)
+    assert {r.doc_id: (r.content_hash, r.width, r.height)
             for r in rows2} == by_id
 
 
