@@ -934,8 +934,20 @@ def multimodal_feature_ann(spark, sf_dir):
     return similarity.lsh_topk(feats, 0, k=10, dims=(0, 5, 10, 15))
 
 
-@register("kg_flagship", None)  # full pipeline: rows-only check
+@register("kg_flagship", """
+SELECT src, pred, dst, n_support
+FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_edges_*.parquet')
+WHERE corpus_sig = (SELECT md5(string_agg(text, '' ORDER BY doc_id))
+                    FROM documents)
+""")
 def kg_flagship(spark, sf_dir):
+    """Full KG pipeline, oracle-checked against the FROZEN output of the
+    single-threaded pure-Python reference (kg/oracle.py run_oracle —
+    dicts + union-find, no Spark; regenerate with
+    tools/freeze_kg_oracle.py).  The freeze is keyed by a corpus md5
+    signature, so the one static SQL string picks the right expected
+    edges for whichever sf the driver registered, and an unknown corpus
+    fails loudly with zero oracle rows."""
     pages = docs_to_kg_pages(load(spark, sf_dir, "documents", fan_out=True))
     docs = extract_markdown(pages, ExtractConfig())
     aliases = kg_ops.alias_df(spark)

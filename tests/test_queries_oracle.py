@@ -40,6 +40,7 @@ SUBSET = [
     "multimodal_decode",
     "multimodal_frame_sample",
     "multimodal_feature_ann",
+    "kg_flagship",
 ]
 
 

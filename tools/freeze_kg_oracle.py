@@ -1,0 +1,86 @@
+"""Freeze the single-threaded KG oracle's kg_edges as a DuckDB-readable
+fixture, turning the `kg_flagship` registry entry into a full
+hash-match oracle row.
+
+The fixture is INDEPENDENT of the Spark pipeline: pages are synthesized
+in pure Python (same deterministic template as
+``sources/pages_from_docs.docs_to_kg_pages``) and pushed through
+``kg/oracle.run_oracle`` (dicts + union-find, no Spark).  Each sf's
+edges are written with a ``corpus_sig`` column =
+``md5(string_agg(text, '' ORDER BY doc_id))`` over that sf's documents
+table, so one static oracle SQL string can select the right freeze for
+whatever sf dir the driver registered:
+
+    SELECT src, pred, dst, n_support
+    FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_edges_*.parquet')
+    WHERE corpus_sig = (SELECT md5(string_agg(text, '' ORDER BY doc_id))
+                        FROM documents)
+
+A corpus change silently matching is impossible — an unknown signature
+yields zero rows and the row-count compare fails loudly.
+
+Usage: python tools/freeze_kg_oracle.py [sf_dir ...]
+       (default: sf0.001 sf0.01 sf0.1)
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import duckdb  # noqa: E402
+
+from mdscraper_spark.kg.oracle import run_oracle  # noqa: E402
+from mdscraper_spark.sources.fixtures import (  # noqa: E402
+    _FIRST, _LAST, _ORG_A, _ORG_B, alias_rows)
+
+_PREFIX = ('<html><head><title>Doc</title></head><body>'
+           '<div class="content"><h1>Report ')
+_MID = "</h1><p>"
+_SUFFIX = "</p></div></body></html>"
+
+OUT_DIR = pathlib.Path(__file__).resolve().parents[1] / "fixtures" / "kg_oracle"
+
+
+def kg_page_html(doc_id: int, text: str) -> str:
+    """Pure-Python twin of docs_to_kg_pages' column expression."""
+    person = f"{_FIRST[doc_id % 10]} {_LAST[(doc_id // 10) % 10]}"
+    k = doc_id % 100
+    org = f"{_ORG_A[k % 10]} {_ORG_B[(k // 10) % 10]} {k}"
+    relation = f"{person} works for {org}."
+    return (f"{_PREFIX}{doc_id}{_MID}{relation}</p><p>{text}{_SUFFIX}")
+
+
+def freeze(sf_dir: str) -> None:
+    t0 = time.monotonic()
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+    sig = con.sql(
+        "SELECT md5(string_agg(text, '' ORDER BY doc_id)) "
+        f"FROM '{sf_dir}/documents.parquet'").fetchone()[0]
+
+    pages = ((f"https://docs.test/{doc_id}", kg_page_html(int(doc_id), text))
+             for doc_id, text in docs)
+    edges = run_oracle(pages, alias_rows())["kg_edges"]
+
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    out = OUT_DIR / f"kg_edges_{sig}.parquet"
+    con.execute("CREATE TABLE e (src VARCHAR, pred VARCHAR, dst VARCHAR, "
+                "n_support BIGINT, corpus_sig VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?, ?, ?)",
+                    [(s, p, d, int(n), sig) for s, p, d, n in edges])
+    con.execute(f"COPY e TO '{out}' (FORMAT PARQUET)")
+    print(f"{sf_dir}: {len(docs)} docs -> {len(edges)} edges "
+          f"sig={sig} ({time.monotonic() - t0:.1f}s) -> {out}")
+
+
+if __name__ == "__main__":
+    sf_dirs = sys.argv[1:] or [f"/root/testdata/sf{s}"
+                               for s in ("0.001", "0.01", "0.1")]
+    for d in sf_dirs:
+        freeze(d)
