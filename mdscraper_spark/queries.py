@@ -30,7 +30,9 @@ from mdscraper_spark.operators import (dedup, kg as kg_ops, multimodal,
 from mdscraper_spark.operators.extract_udfs import extract_markdown
 from mdscraper_spark.operators.multimodal import decode_binary_docs
 from mdscraper_spark.sources.fixtures import alias_rows
-from mdscraper_spark.sources.pages_from_docs import docs_to_kg_pages, docs_to_pages
+from mdscraper_spark.sources.pages_from_docs import (docs_to_census_pages,
+                                                     docs_to_kg_pages,
+                                                     docs_to_pages)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
@@ -858,17 +860,32 @@ def doc_size_kb(spark, sf_dir):
                     .alias("size_kb")))
 
 
-@register("div_attr_census", None)  # HTML parse inside UDF: rows-only
+@register("div_attr_census", """
+WITH toks AS (
+  SELECT 'class' AS kind, 'page' AS value FROM documents
+  UNION ALL SELECT 'class', 'wrap-' || lang FROM documents
+  UNION ALL SELECT 'class', 'content' FROM documents
+  UNION ALL SELECT 'class', 'post-' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+  UNION ALL SELECT 'class', 'footer' FROM documents
+  UNION ALL SELECT 'id', 'main-' || CAST(doc_id % 5 AS VARCHAR)
+    FROM documents WHERE doc_id % 3 = 0
+)
+SELECT kind, value, COUNT(*) AS n_pages FROM toks GROUP BY kind, value
+""")
 def div_attr_census_q(spark, sf_dir):
     """C4 div class/id census over synthesized pages (utils.py:43-66
-    promoted from debug aid to heuristic-tuning corpus stat)."""
+    promoted from debug aid to heuristic-tuning corpus stat).
+
+    Generator-vs-parser differential oracle: the census pages carry
+    multi-token class lists and conditional ids derived from documents
+    columns, the operator recovers them by real HTML parsing, and the
+    oracle recomputes the expected counts from the generating
+    expressions in SQL."""
     from mdscraper_spark.operators.links import div_attr_census
 
-    pages = docs_to_kg_pages(load(spark, sf_dir, "documents", fan_out=True))
-    return (div_attr_census(pages)
-            .groupBy("kind", "value")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), F.asc("kind"), F.asc("value")))
+    pages = docs_to_census_pages(load(spark, sf_dir, "documents",
+                                      fan_out=True))
+    return div_attr_census(pages)
 
 
 @register("multimodal_decode", f"""

@@ -52,6 +52,32 @@ def docs_to_pages(docs: DataFrame) -> DataFrame:
         F.col("lang"))
 
 
+def docs_to_census_pages(docs: DataFrame) -> DataFrame:
+    """Pages with a richer, fully deterministic div-attribute surface
+    (multi-token class lists, conditional ids) so the HTML-parsing
+    div census has a generator-vs-parser differential oracle: DuckDB
+    recomputes the expected (kind, value) counts straight from the
+    generating expressions over documents columns."""
+    doc_id = F.col("doc_id")
+    maybe_id = F.when(doc_id % 3 == 0,
+                      F.concat(F.lit(' id="main-'),
+                               (doc_id % 5).cast("string"), F.lit('"'))
+                      ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><title>Doc</title></head><body>'
+              '<div class="page wrap-'), F.col("lang"), F.lit('">'),
+        F.lit('<div class="content post-'), (doc_id % 7).cast("string"),
+        F.lit('"'), maybe_id, F.lit("><h1>Report "), doc_id.cast("string"),
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p></div>"),
+        F.lit('<div class="footer"></div></div></body></html>'))
+    return docs.select(
+        F.concat(F.lit("https://docs.test/"), doc_id).alias("url"),
+        F.to_timestamp(F.lit("2025-06-14 00:00:00")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"))
+
+
 def docs_to_kg_pages(docs: DataFrame) -> DataFrame:
     doc_id = F.col("doc_id")
     relation = F.concat(person_col(doc_id), F.lit(" works for "),
