@@ -163,22 +163,42 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # n-gram Jaccard near-dup pairs
 # ---------------------------------------------------------------------------
 
+MAX_POSTING = 64  # stop-shingle cap: a shingle shared by more docs than
+                  # this carries no near-dup signal (navigation chrome,
+                  # boilerplate) but would emit k(k-1)/2 pairs from one
+                  # posting list — at crawl scale a single hot shingle
+                  # can hold millions of docs
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", lang_col: str = "lang",
                         threshold: float = 0.2,
-                        bucket_chars: int = 100) -> DataFrame:
+                        bucket_chars: int = 100,
+                        max_posting: int = MAX_POSTING,
+                        stop_stats=None) -> DataFrame:
     """Near-dup pairs by 3-gram Jaccard within (lang, length-bucket)
     candidate groups.  jaccard = |A∩B| / (|A| + |B| - |A∩B|), rounded
     to 6 places for cross-engine hash equality.
 
-    Scale shape (vs the naive shingle self-join): ONE shuffle of the
-    exploded shingle stream keyed on (lang, lbucket, xxhash64(shingle))
-    builds posting lists; singleton shingles — the overwhelming
-    majority of text — are dropped before any pairing, and candidate
-    pairs are generated narrowly from each posting list, so only
-    genuine co-occurrences reach the final (doc_a, doc_b) aggregate.
-    The 64-bit shingle hash shrinks shuffle keys; a cross-doc
-    collision would need ~2^64 shingles to matter.
+    Scale shape (vs the naive shingle self-join): the exploded shingle
+    stream is shuffled keyed on (lang, lbucket, xxhash64(shingle));
+    singleton shingles — the overwhelming majority of text — are
+    dropped before any pairing, and candidate pairs are generated
+    narrowly from each posting list, so only genuine co-occurrences
+    reach the final (doc_a, doc_b) aggregate.  The 64-bit shingle hash
+    shrinks shuffle keys; a cross-doc collision would need ~2^64
+    shingles to matter.
+
+    Stop-shingle cap: shingles held by more than ``max_posting`` docs
+    within a candidate group are dropped BEFORE the posting-list
+    collect_list (a cheap map-side-combined count pass finds them; the
+    hot-key set is tiny by construction, so it broadcast-anti-joins the
+    stream).  This bounds both the k(k-1)/2 pair blow-up and the
+    collect_list memory of hot keys.  Dropped shingles lower the
+    intersection count of pairs that also share signal shingles — the
+    standard stop-shingle trade-off, replayed identically by the SQL
+    oracle.  Pass a ``pyspark.sql.Observation`` as ``stop_stats`` to
+    record n_stop_shingles / n_postings_dropped on the next action.
     """
     docs = df.select(
         F.col(id_col).alias("doc_id"),
@@ -194,7 +214,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                      F.explode(F.transform("shingles",
                                            lambda s: F.xxhash64(s)))
                      .alias("h"))
-    posts = (ex.groupBy("lang", "lbucket", "h")
+    key_counts = (ex.groupBy("lang", "lbucket", "h")
+                  .agg(F.count(F.lit(1)).alias("k"))
+                  .filter(F.col("k") > max_posting))
+    if stop_stats is not None:
+        key_counts = key_counts.observe(
+            stop_stats,
+            F.count(F.lit(1)).alias("n_stop_shingles"),
+            F.coalesce(F.sum("k"), F.lit(0)).alias("n_postings_dropped"))
+    stops = key_counts.select("lang", "lbucket", "h")
+    kept = ex.join(F.broadcast(stops), ["lang", "lbucket", "h"], "left_anti")
+    posts = (kept.groupBy("lang", "lbucket", "h")
              .agg(F.collect_list("d").alias("ds"))
              .filter(F.size("ds") > 1))
     # each unordered doc pair in a posting list, exactly once, a < b

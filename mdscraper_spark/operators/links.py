@@ -34,6 +34,29 @@ def url_file_source(spark, path: str) -> DataFrame:
     return lines.filter(F.length("url") > 0)
 
 
+def with_contiguous_pos(src: DataFrame) -> DataFrame:
+    """Re-rank url_file_source's sparse monotonic ids into contiguous
+    0-based file order WITHOUT a global single-partition sort: rank
+    within each scan split in parallel, then add the split's offset
+    (prefix sum over the tiny per-split count table, broadcast back).
+    The only global window runs over #splits rows, not #urls.
+    """
+    from pyspark.sql import Window
+
+    ranked = (src.withColumn("split", F.spark_partition_id())
+              .withColumn("r", F.row_number().over(
+                  Window.partitionBy("split").orderBy("pos")) - 1))
+    offsets = (ranked.groupBy("split")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .withColumn("off", F.coalesce(F.sum("n").over(
+                   Window.orderBy("split")
+                   .rowsBetween(Window.unboundedPreceding, -1)),
+                   F.lit(0)))
+               .select("split", "off"))
+    return (ranked.join(F.broadcast(offsets), "split")
+            .select((F.col("r") + F.col("off")).alias("pos"), "url"))
+
+
 def glob_to_regex(globs: Sequence[str]) -> str:
     """fnmatch globs -> one anchored, engine-portable alternation.
     Supports * and ? (the subset the reference's fixtures exercise)."""

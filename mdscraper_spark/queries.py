@@ -60,9 +60,14 @@ def load(spark: SparkSession, sf_dir: str, table: str,
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
     if fan_out:
+        import pathlib
         try:
-            import os
-            small = os.path.getsize(path) < 64 * 1024 * 1024
+            p = pathlib.Path(path)
+            # directory-style tables: sum data files (the dir entry's
+            # own ~4KB size would misclassify every dir table as small)
+            nbytes = (sum(f.stat().st_size for f in p.rglob("*.parquet"))
+                      if p.is_dir() else p.stat().st_size)
+            small = nbytes < 64 * 1024 * 1024
         except OSError:
             small = False
         if small:
@@ -494,25 +499,17 @@ FROM documents
 """)
 def url_file_order(spark, sf_dir):
     """A2 url-file source (scraper.py:753-767): blank lines dropped,
-    order and duplicates preserved.  Writes the url list as a real text
-    file, reads it through the source, re-ranks the source's monotonic
-    position into contiguous file order for the oracle compare."""
-    import tempfile
+    order and duplicates preserved.  The url file is materialized by
+    the fixture layer (sources/fixtures.url_file_fixture — pyarrow,
+    written once, no Spark collect); the sparse monotonic positions are
+    re-ranked into contiguous file order distributively (per-split rank
+    + broadcast prefix-sum offsets, no global single-partition sort)."""
+    from mdscraper_spark.operators.links import (url_file_source,
+                                                 with_contiguous_pos)
+    from mdscraper_spark.sources.fixtures import url_file_fixture
 
-    from mdscraper_spark.operators.links import url_file_source
-
-    ids = [r[0] for r in load(spark, sf_dir, "documents")
-           .select("doc_id").orderBy("doc_id").collect()]
-    with tempfile.NamedTemporaryFile("w", suffix=".txt",
-                                     delete=False) as fh:
-        for i, doc_id in enumerate(ids):
-            fh.write(f"https://docs.test/{doc_id}\n")
-            if i % 7 == 3:
-                fh.write("\n")       # blank lines must be dropped
-        path = fh.name
-    src = url_file_source(spark, path)
-    w = Window.orderBy("pos")
-    return src.select((F.row_number().over(w) - 1).alias("pos"), "url")
+    return with_contiguous_pos(url_file_source(spark,
+                                               url_file_fixture(sf_dir)))
 
 
 @register("site_seed_harvest", """
@@ -686,11 +683,19 @@ def simhash16(spark, sf_dir):
     return dedup.simhash(load(spark, sf_dir, "documents", fan_out=True))
 
 
-@register("ngram_jaccard_pairs", _SHINGLES_CTE + """
-, ex AS (
+@register("ngram_jaccard_pairs", _SHINGLES_CTE + f"""
+, ex0 AS (
   SELECT doc_id, lang, CAST(floor(n_chars_real / 100) AS INT) AS lbucket,
          len(shingles) AS n_sh, unnest(shingles) AS shingle
   FROM t
+), ex AS (
+  -- stop-shingle cap: drop shingles shared by > MAX_POSTING docs in a
+  -- (lang, lbucket) group, same as the operator's anti-join
+  SELECT * FROM ex0 e WHERE NOT EXISTS (
+    SELECT 1 FROM ex0 s
+    WHERE s.lang = e.lang AND s.lbucket = e.lbucket AND s.shingle = e.shingle
+    GROUP BY s.lang, s.lbucket, s.shingle
+    HAVING COUNT(*) > {dedup.MAX_POSTING})
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)), 6) AS jaccard

@@ -417,3 +417,39 @@ def bulk_pages(n: int, seed: int = 42,
     """
     for i in range(n):
         yield bulk_page_row(i, seed, with_truth)
+
+
+# ---------------------------------------------------------------------------
+# url-file fixture (A2 source input)
+# ---------------------------------------------------------------------------
+
+def url_file_fixture(sf_dir: str) -> str:
+    """Materialize the A2 url-file input for a testdata dir — one url
+    per documents row in doc_id order, a blank line after every row
+    with i % 7 == 3 (blank lines must be dropped by the source).
+
+    Fixture-layer synthesis: read the parquet with pyarrow on the
+    driver (no Spark job, no collect inside a registered query), write
+    once to a content-addressed temp path, atomic rename so concurrent
+    verifiers share one file.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"mdscraper_urls_{key}.txt")
+    if os.path.exists(path):
+        return path
+    ids = sorted(pq.read_table(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])["doc_id"].to_pylist())
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        for i, doc_id in enumerate(ids):
+            fh.write(f"https://docs.test/{doc_id}\n")
+            if i % 7 == 3:
+                fh.write("\n")
+    os.replace(tmp, path)
+    return path

@@ -202,14 +202,35 @@ class Warehouse:
         return files
 
     def compact(self, name: str,
-                target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+                target_file_bytes: int = 128 * 1024 * 1024,
+                on_missing: str = "error") -> dict:
         """Bin-pack the current snapshot into ~target-sized files as a
         new snapshot.  Partitioned tables get one file per partition
         (the repartition-on-key collapses each key's file set); history
-        remains time-travelable until expired."""
+        remains time-travelable until expired.
+
+        A partition dir the manifest references but the filesystem has
+        lost is NOT silently finalized out of existence (the resume
+        path treats lost buckets as recoverable): on_missing='error'
+        (default) refuses with the lost keys; on_missing='carry' keeps
+        the lost keys' old ownership entries in the new manifest and
+        reports them in the returned stats."""
+        if on_missing not in ("error", "carry"):
+            raise ValueError(f"on_missing must be error|carry: {on_missing}")
         m = self.manifest(name)
         if m is None:
             raise ValueError(f"no such table: {name}")
+        lost = sorted({
+            key for key, sids in m.get("partitions", {}).items()
+            for sid in sids
+            if not ((self._snap_data_dir(name, sid) / key) if key
+                    else self._snap_data_dir(name, sid)).exists()})
+        if lost and on_missing == "error":
+            raise ValueError(
+                f"compact({name}): manifest references physically missing "
+                f"partition dirs {lost}; recover them or pass "
+                "on_missing='carry' to preserve their ownership entries")
+        lost_entries = {k: list(m["partitions"][k]) for k in lost}
         before = self._data_files(name, m)
         total = sum(f.stat().st_size for f in before)
         df = self.read_table(name)
@@ -221,9 +242,19 @@ class Warehouse:
         sid = self.write_table(df, name, partition_by=tuple(part_by),
                                mode="overwrite") if not part_by else \
             self._full_overwrite(df, name, tuple(part_by))
+        if lost_entries:
+            m2 = self.manifest(name)
+            for key, sids in lost_entries.items():
+                m2["partitions"].setdefault(key, [])
+                m2["partitions"][key] = sorted(
+                    set(m2["partitions"][key]) | set(sids))
+            (self._snapshots_dir(name) / f"{sid}.json").write_text(
+                json.dumps(m2, indent=2))
+            self._manifest_path(name).write_text(json.dumps(m2, indent=2))
         after = self._data_files(name, self.manifest(name))
         return {"snapshot_id": sid, "files_before": len(before),
-                "files_after": len(after), "bytes": total}
+                "files_after": len(after), "bytes": total,
+                "missing_partitions": lost}
 
     def _full_overwrite(self, df: DataFrame, name: str,
                         partition_by: Sequence[str]) -> str:

