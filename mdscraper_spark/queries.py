@@ -386,6 +386,61 @@ def distinct_users_per_type(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_events")))
 
 
+@register("approx_event_value_percentiles", """
+SELECT event_type, true AS ok_p50, true AS ok_p90, true AS ok_p99
+FROM (SELECT DISTINCT event_type FROM events)
+""")
+def approx_event_value_percentiles(spark, sf_dir):
+    """The 100 TB percentile plan: percentile_approx (Greenwald-Khanna
+    sketch, mergeable partials — no global sort) replaces the exact
+    sort-based percentile of `event_value_percentiles`.
+
+    Oracle contract = the sketch's own RANK guarantee: the returned
+    quantile's rank among the group's values must be within 1%·n + 1
+    of the target rank q·n (value-space tolerances are meaningless at
+    tail quantiles of small groups, where exact interpolates between
+    two sparse points).  Deterministic for a given dataset, so the
+    flags are stable hash-comparable facts.  Production drops the
+    rank-verification join; it exists only to prove the bound."""
+    ev = load(spark, sf_dir, "events")
+    ap = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    g = ev.groupBy("event_type").agg(ap.alias("ap"),
+                                     F.count(F.lit(1)).alias("n"))
+    j = ev.join(F.broadcast(g), "event_type")
+    ranks = j.groupBy("event_type").agg(
+        *[F.sum(F.when(F.col("value") <= F.element_at("ap", i), 1)
+                .otherwise(0)).alias(f"r{i}") for i in (1, 2, 3)],
+        F.first("n").alias("n"))
+    def ok(i, q):
+        tol = 0.01 * F.col("n") + 1
+        return F.abs(F.col(f"r{i}") - q * F.col("n")) <= tol
+    return ranks.select("event_type", ok(1, 0.5).alias("ok_p50"),
+                        ok(2, 0.9).alias("ok_p90"),
+                        ok(3, 0.99).alias("ok_p99"))
+
+
+@register("approx_distinct_users_per_type", """
+SELECT event_type, true AS within_5pct
+FROM (SELECT DISTINCT event_type FROM events)
+""")
+def approx_distinct_users_per_type(spark, sf_dir):
+    """The 100 TB distinct-count plan: approx_count_distinct
+    (HyperLogLog++, constant-size mergeable sketch — the shuffle
+    carries one sketch per group instead of the expanded distinct
+    stream) replacing `distinct_users_per_type`'s exact expand.
+
+    Oracle contract = bounded error: the HLL estimate must be within
+    5% of the exact count per group (deterministic for a given
+    dataset).  The exact branch exists only to verify the bound."""
+    g = (load(spark, sf_dir, "events")
+         .groupBy("event_type")
+         .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+              F.countDistinct("user_id").alias("exact_users")))
+    within = (F.abs(F.col("approx_users") - F.col("exact_users"))
+              <= 0.05 * F.col("exact_users"))
+    return g.select("event_type", within.alias("within_5pct"))
+
+
 @register("events_json_extract", """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
 FROM events
