@@ -45,6 +45,8 @@ class ExtractConfig:
     exclude_selectors: Tuple[str, ...] = ()  # CSS selectors (--exclude-selectors)
     output: str = "%TITLE"
     outdir: str = ""
+    debug: bool = False
+    verbose: int = 0
     default_content_names: Tuple[str, ...] = DEFAULT_CONTENT_NAMES
 
     def to_json(self) -> str:
@@ -90,4 +92,8 @@ def resolve_config(cli_options: Optional[dict] = None,
                 raise KeyError(key)
             if merged[key] == default_map[key]:
                 merged[key] = value
+    # reference quirk (scraper.py:161-164): enabling debug promotes a
+    # still-silent verbose to 9 — but an explicit verbose level wins
+    if merged.get("debug") and merged.get("verbose", 0) == 0:
+        merged["verbose"] = 9
     return ExtractConfig.from_dict(merged)

@@ -287,6 +287,28 @@ def harvest_links(content: Element) -> List[str]:
 # G1 — the per-document pipeline
 # ---------------------------------------------------------------------------
 
+def derive_output_name(url: str, markdown: str, output: str) -> str:
+    """B2 output naming (scraper.py:800-837): '%TITLE' names by the
+    markdown's first '# ' line, falling back to '%URL' when no title;
+    '%URL' names by the last URL path segment; anything else is a fixed
+    filename used VERBATIM (no sanitizing, no '.md' suffixing — the
+    reference os.path.joins the literal value)."""
+    if output == "%TITLE":
+        md_title = extract_md_title(markdown)
+        return sanitize_filename(md_title if md_title
+                                 else get_last_url_part(url))
+    if output == "%URL":
+        return sanitize_filename(get_last_url_part(url))
+    return output
+
+
+def output_path(slug: str, output: str, outdir: str) -> str:
+    """Full output path: %-modes get '.md' appended; a fixed --output
+    name is joined verbatim (scraper.py:826-831)."""
+    name = f"{slug}.md" if output in ("%TITLE", "%URL") else slug
+    return f"{outdir}/{name}" if outdir else name
+
+
 def extract_page(url: str, html_text: str, config: ExtractConfig) -> ExtractResult:
     """fetch -> detect -> strip -> title -> markdown -> slug, one page.
 
@@ -323,8 +345,7 @@ def extract_page(url: str, html_text: str, config: ExtractConfig) -> ExtractResu
             return ExtractResult(None, title, None, stage, name,
                                  "render_empty", None, links)
 
-        md_title = extract_md_title(markdown)
-        slug = sanitize_filename(md_title if md_title else get_last_url_part(url))
+        slug = derive_output_name(url, markdown, config.output)
         return ExtractResult(markdown, title, slug, stage, name, "ok", None, links)
     except Exception as exc:  # per-row isolation, never fail the batch
         return ExtractResult(None, None, None, STAGE_NONE, None,

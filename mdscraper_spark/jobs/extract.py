@@ -2,7 +2,18 @@
 
 Every reference flag (/root/reference/mdscraper/cli.py:12-52) maps to
 an ExtractConfig field; the per-file/per-URL modes become table-scale
-modes.  Launch:
+modes over the pages table:
+
+* ``--url URL``       — EP1 (scraper.py:915-916): the single pages row
+  with that url.
+* ``--url-file FILE`` — EP2 (scraper.py:753-767): text file of urls,
+  blank lines dropped, broadcast-semi-joined into the pages scan.
+* ``--site SEED``     — EP3 (scraper.py:769-785): extract the seed
+  page, harvest its in-content links onto the seed's scheme://host
+  root (with --exclude-pages globs), then semi-join the harvested
+  work-list back into pages and extract those.
+
+Launch:
 
     spark-submit --py-files dist/mdscraper_spark.zip \\
         mdscraper_spark/jobs/extract.py \\
@@ -11,15 +22,23 @@ modes.  Launch:
         --run-id run-42 --resume
 
 Config precedence matches the reference (defaults < --settings file <
-CLI flags; scraper.py:184-191).  --save-settings dumps the resolved
-config and exits, like the reference's settings sink (B5).
+CLI flags; scraper.py:184-191), including the debug->verbose-9
+promotion quirk (scraper.py:161-164).  --save-settings dumps the
+resolved config as block-style YAML named ``mdscrapper_{ts}.yaml``
+(sic — the reference's typo'd prefix, utils.py:154-189 +
+scraper.py:204-215) and exits.  With --debug, pages whose content
+detection failed are dumped to a ``debug_html`` warehouse table — the
+table-scale analog of the reference's debug_html.html dump
+(scraper.py:406-411).
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import datetime
 import json
+import pprint
 import sys
 
 
@@ -31,7 +50,21 @@ def create_cli_parser() -> argparse.ArgumentParser:
     src.add_argument("--input", help="pages parquet/Iceberg path")
     src.add_argument("--synthesize", type=int, metavar="N",
                      help="generate N deterministic synthetic pages")
+    mode = p.add_mutually_exclusive_group()
+    mode.add_argument("--url", default=None,
+                      help="process the single pages row with this url")
+    mode.add_argument("--url-file", default=None,
+                      help="text file of urls (one per line) to process")
+    mode.add_argument("--site", default=None, metavar="SEED_URL",
+                      help="harvest the seed page's links and process the "
+                           "harvested urls")
     p.add_argument("--warehouse", required=True, help="output warehouse dir")
+    p.add_argument("--output", default=None,
+                   help="output name mode: %%TITLE (default), %%URL, or a "
+                        "fixed filename used verbatim")
+    p.add_argument("--outdir", default=None,
+                   help="output directory prefix for derived doc paths and "
+                        "--save-settings")
     p.add_argument("--content", "-c", nargs="*", default=None,
                    help="additional div id/class names for the main content")
     p.add_argument("--no-images", "-i", action="store_true")
@@ -45,7 +78,12 @@ def create_cli_parser() -> argparse.ArgumentParser:
     p.add_argument("--extra-heading-space", metavar="LEVELS", default=None)
     p.add_argument("--settings", help="YAML/JSON config file")
     p.add_argument("--save-settings", action="store_true",
-                   help="dump resolved config and exit")
+                   help="dump resolved config as YAML and exit")
+    p.add_argument("--debug", "-d", action="store_true",
+                   help="print resolved options; dump failed-detection "
+                        "pages' HTML to the debug_html table")
+    p.add_argument("--verbose", "-v", action="count", default=0,
+                   help="runtime information; repeat to increase level")
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true",
                    help="skip url-host buckets already ok in lineage")
@@ -73,32 +111,51 @@ def load_settings_file(path: str) -> dict:
     return data
 
 
+def save_settings_file(config, outdir: str = "") -> str:
+    """Block-style YAML dump named mdscrapper_{YYYYmmdd_HHMM}.yaml in
+    outdir (reference utils.py:154-189 create_config_file +
+    generate_filename, scraper.py:204-215 — typo'd prefix preserved)."""
+    import os
+
+    import yaml
+
+    stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M")
+    out = os.path.join(outdir or "", f"mdscrapper_{stamp}.yaml")
+    cfg = {k: (list(v) if isinstance(v, tuple) else v)
+           for k, v in dataclasses.asdict(config).items()}
+    with open(out, "w", encoding="utf-8") as fh:
+        yaml.dump(cfg, fh, default_flow_style=False)
+    print(f"Config file created successfully: {out}")
+    return out
+
+
 def main(argv=None) -> None:
     args = create_cli_parser().parse_args(argv)
 
     from mdscraper_spark.config import resolve_config
 
     cli_opts = {}
-    for key, flag in (("content", "content"), ("no_images", "no_images"),
-                      ("no_links", "no_links"),
-                      ("prepend_source_link", "prepend_source_link"),
-                      ("root_url", "root_url"),
-                      ("exclude_pages", "exclude_pages"),
-                      ("exclude_selectors", "exclude_selectors"),
-                      ("extra_heading_space", "extra_heading_space")):
-        val = getattr(args, flag)
+    for key in ("content", "no_images", "no_links", "prepend_source_link",
+                "root_url", "exclude_pages", "exclude_selectors",
+                "extra_heading_space", "output", "outdir", "debug"):
+        val = getattr(args, key)
         if val not in (None, False):
             cli_opts[key] = tuple(val) if isinstance(val, list) else val
+    if args.verbose:
+        cli_opts["verbose"] = args.verbose
     file_opts = load_settings_file(args.settings) if args.settings else None
     config = resolve_config(cli_opts, file_opts)
 
+    if config.debug:
+        # scraper.py:161-166: debug prints the resolved options
+        print("Options:")
+        pprint.pprint(dataclasses.asdict(config))
+
     if args.save_settings:
-        stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M")
-        out = f"mdscraper_spark_{stamp}.json"
-        with open(out, "w", encoding="utf-8") as fh:
-            fh.write(config.to_json())
-        print(f"Config file created successfully: {out}")
+        save_settings_file(config, config.outdir)
         return
+
+    from pyspark.sql import functions as F
 
     from mdscraper_spark.jobs.kg_build import KgBuildJob
     from mdscraper_spark.session import get_spark
@@ -107,6 +164,19 @@ def main(argv=None) -> None:
     spark = get_spark("mdscraper-spark-extract", master=args.master)
     pages = (spark.read.parquet(args.input) if args.input
              else bulk_pages_df(spark, args.synthesize))
+
+    if args.url:
+        pages = pages.filter(F.col("url") == args.url)
+    elif args.url_file:
+        from mdscraper_spark.operators.links import url_file_source
+
+        urls = url_file_source(spark, args.url_file).select("url").distinct()
+        pages = pages.join(F.broadcast(urls), "url", "left_semi")
+    elif args.site:
+        pages = _site_worklist(spark, pages, args.site, config)
+
+    if config.verbose > 0:
+        print(f"Fetching and parsing pages into {args.warehouse}...")
 
     run_id = args.run_id or datetime.datetime.now().strftime("run-%Y%m%d%H%M%S")
     job = KgBuildJob(spark, args.warehouse, config,
@@ -121,12 +191,65 @@ def main(argv=None) -> None:
     else:
         job.run(pages, run_id=run_id, resume=args.resume)
 
+    if config.debug:
+        _dump_debug_html(job.wh, pages)
+
     counts = {name: job.wh.read_table(name).count()
               for name in ("markdown_docs",) + (
                   () if args.extract_only else
                   ("mentions", "triples", "entity_links", "kg_nodes",
                    "kg_edges"))}
+    if config.verbose > 0:
+        docs = job.wh.read_table("markdown_docs")
+        kb = (docs.agg(F.sum(F.octet_length("markdown"))).first()[0] or 0) / 1024.0
+        print(f"Successfully saved to {args.warehouse} ({kb:.2f} KB)")
+    if config.verbose > 1:
+        sample = (job.wh.read_table("markdown_docs")
+                  .filter(F.col("status") == "ok")
+                  .select("markdown").orderBy("url").first())
+        if sample and sample[0]:
+            preview = sample[0][:300]
+            print("\n--- Markdown Content Preview ---\n")
+            print(preview + ("..." if len(sample[0]) > 300 else ""))
+            print("\n--- End of Preview ---")
     print(json.dumps({"run_id": run_id, "tables": counts}))
+
+
+def _site_worklist(spark, pages, seed_url: str, config):
+    """EP3 site mode (scraper.py:769-785): extract the seed page,
+    harvest links rewritten onto the seed's scheme://host, semi-join
+    the harvested urls back into the pages scan.  The work-list comes
+    from ONE seed page, so it broadcasts."""
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from mdscraper_spark.operators.extract_udfs import extract_markdown
+    from mdscraper_spark.operators.links import site_seed_urls
+
+    seed_docs = extract_markdown(pages.filter(F.col("url") == seed_url),
+                                 config)
+    parsed = urlparse(seed_url)
+    site_root = f"{parsed.scheme}://{parsed.hostname}"
+    work = site_seed_urls(seed_docs, site_root, config.exclude_pages)
+    harvested = (work.select(F.col("harvested_url").alias("url"))
+                 .distinct())
+    return pages.join(F.broadcast(harvested), "url", "left_semi")
+
+
+def _dump_debug_html(wh, pages) -> None:
+    """Table-scale analog of the reference's debug_html.html dump
+    (scraper.py:406-411): every page whose content detection failed,
+    with its HTML, lands in the debug_html table for inspection."""
+    from pyspark.sql import functions as F
+
+    failed = (wh.read_table("markdown_docs")
+              .filter(F.col("status") == "no_content")
+              .select("url", "status"))
+    dump = pages.join(failed, "url", "left_semi").select("url", "html")
+    wh.write_table(dump, "debug_html")
+    n = wh.read_table("debug_html").count()
+    print(f"Saved HTML of {n} failed-detection pages to debug_html")
 
 
 if __name__ == "__main__":

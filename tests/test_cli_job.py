@@ -43,12 +43,148 @@ def test_settings_yaml_and_json(tmp_path):
         load_settings_file(str(bad))
 
 
-def test_save_settings(tmp_path, monkeypatch):
+def test_save_settings_yaml_roundtrip(tmp_path, monkeypatch):
+    """B5: block-style YAML, reference's typo'd mdscrapper_{ts}.yaml
+    name (utils.py:154-189, scraper.py:204-215), written into outdir,
+    re-loadable by the settings reader."""
     monkeypatch.chdir(tmp_path)
     from mdscraper_spark.jobs.extract import main
     main(["--synthesize", "1", "--warehouse", "w", "--no-images",
           "--save-settings"])
-    files = list(tmp_path.glob("mdscraper_spark_*.json"))
+    files = list(tmp_path.glob("mdscrapper_*.yaml"))
     assert len(files) == 1
-    cfg = json.loads(files[0].read_text())
-    assert cfg["no_images"] is True
+    text = files[0].read_text()
+    assert "no_images: true" in text      # block style, not JSON/flow
+    cfg = load_settings_file(str(files[0]))
+    assert cfg["no_images"] is True and cfg["verbose"] == 0
+
+    outdir = tmp_path / "sub"
+    outdir.mkdir()
+    main(["--synthesize", "1", "--warehouse", "w", "--outdir", str(outdir),
+          "--save-settings"])
+    assert list(outdir.glob("mdscrapper_*.yaml"))
+
+
+def test_debug_promotes_silent_verbose_to_9():
+    """G4 quirk (scraper.py:161-164): debug promotes verbose 0 -> 9,
+    but an explicit verbose level wins."""
+    from mdscraper_spark.config import resolve_config
+
+    assert resolve_config({"debug": True}).verbose == 9
+    assert resolve_config({"debug": True, "verbose": 2}).verbose == 2
+    assert resolve_config({}).verbose == 0
+    # promotion also applies when debug arrives via the settings file
+    assert resolve_config(None, {"debug": True}).verbose == 9
+
+
+def test_output_naming_modes():
+    """B2/G5 (scraper.py:800-837): %TITLE with %URL fallback, %URL,
+    and fixed names used verbatim (no sanitize, no .md suffix)."""
+    from mdscraper_spark.extract.pipeline import (derive_output_name,
+                                                  output_path)
+
+    md = "# My: Page?\n\nbody"
+    assert derive_output_name("https://x/a/b.html", md, "%TITLE") == "My_ Page_"
+    assert derive_output_name("https://x/a/b.html", "no title", "%TITLE") == "b.html"
+    assert derive_output_name("https://x/a/b.html", md, "%URL") == "b.html"
+    assert derive_output_name("https://x/a/b.html", md, "fixed:name.md") == "fixed:name.md"
+    assert output_path("slug", "%TITLE", "out") == "out/slug.md"
+    assert output_path("slug", "%URL", "") == "slug.md"
+    assert output_path("fixed:name.md", "fixed:name.md", "out") == "out/fixed:name.md"
+
+
+CONTENT = ('<html><head><title>T{i}</title></head><body><div class="content">'
+           '<h1>Page {i}</h1><p>text {i}</p></div></body></html>')
+SEED = ('<html><head><title>Seed</title></head><body><div class="content">'
+        '<a href="/p1.html">One</a><a href="https://site.test/p2.html">Two</a>'
+        '<a href="/skip-me.html">Skip</a></div></body></html>')
+
+
+def _pages_parquet(spark, tmp_path):
+    import datetime
+
+    rows = [("https://site.test/index.html", SEED)]
+    for i, path in enumerate(("p1.html", "p2.html", "skip-me.html",
+                              "other.html")):
+        rows.append((f"https://site.test/{path}", CONTENT.format(i=i)))
+    rows.append(("https://elsewhere.test/x.html", CONTENT.format(i=9)))
+    ts = datetime.datetime(2025, 6, 14)
+    df = spark.createDataFrame(
+        [(u, ts, h.encode(), None, "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    path = str(tmp_path / "pages_pq")
+    df.write.parquet(path)
+    return path
+
+
+def _docs_urls(spark, warehouse):
+    from mdscraper_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, warehouse)
+    return {r.url for r in wh.read_table("markdown_docs").collect()}
+
+
+def test_site_mode_end_to_end(spark, tmp_path):
+    """EP3 (scraper.py:769-785): seed harvest -> glob exclusion ->
+    semi-join into pages -> extraction of ONLY the harvested urls."""
+    from mdscraper_spark.jobs.extract import main
+
+    pq = _pages_parquet(spark, tmp_path)
+    wh_path = str(tmp_path / "wh_site")
+    main(["--input", pq, "--warehouse", wh_path,
+          "--site", "https://site.test/index.html",
+          "--exclude-pages", "skip*", "--extract-only", "--n-buckets", "4"])
+    assert _docs_urls(spark, wh_path) == {"https://site.test/p1.html",
+                                          "https://site.test/p2.html"}
+
+
+def test_url_and_url_file_modes(spark, tmp_path):
+    from mdscraper_spark.jobs.extract import main
+
+    pq = _pages_parquet(spark, tmp_path)
+    wh1 = str(tmp_path / "wh_url")
+    main(["--input", pq, "--warehouse", wh1,
+          "--url", "https://site.test/p1.html",
+          "--extract-only", "--n-buckets", "4"])
+    assert _docs_urls(spark, wh1) == {"https://site.test/p1.html"}
+
+    url_file = tmp_path / "urls.txt"
+    url_file.write_text("https://site.test/p2.html\n\n"
+                        "https://elsewhere.test/x.html\n")
+    wh2 = str(tmp_path / "wh_file")
+    main(["--input", pq, "--warehouse", wh2, "--url-file", str(url_file),
+          "--extract-only", "--n-buckets", "4"])
+    assert _docs_urls(spark, wh2) == {"https://site.test/p2.html",
+                                      "https://elsewhere.test/x.html"}
+
+
+def test_debug_dumps_failed_detection_html(spark, tmp_path, capsys):
+    """scraper.py:406-411 analog: --debug lands no_content pages' HTML
+    in the debug_html table; options are printed."""
+    import datetime
+
+    from mdscraper_spark.jobs.extract import main
+    from mdscraper_spark.sources.tables import Warehouse
+
+    ts = datetime.datetime(2025, 6, 14)
+    rows = [
+        ("https://site.test/good.html", CONTENT.format(i=1)),
+        ("https://site.test/bare.html",
+         "<html><body><p>no container here</p></body></html>"),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, h.encode(), None, "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    pq = str(tmp_path / "pages_dbg")
+    df.write.parquet(pq)
+
+    wh_path = str(tmp_path / "wh_dbg")
+    main(["--input", pq, "--warehouse", wh_path, "--debug",
+          "--extract-only", "--n-buckets", "4"])
+    out = capsys.readouterr().out
+    assert "Options:" in out
+
+    wh = Warehouse(spark, wh_path)
+    dumped = wh.read_table("debug_html").collect()
+    assert [r.url for r in dumped] == ["https://site.test/bare.html"]
+    assert b"no container here" in bytes(dumped[0].html)
