@@ -864,6 +864,22 @@ def ivf_topk_q(spark, sf_dir):
         load(spark, sf_dir, "embeddings", fan_out=True), 0)
 
 
+@register("ivf_kmeans_recall", """
+SELECT 20 AS n_queries, true AS recall_ge_09
+""")
+def ivf_kmeans_recall_q(spark, sf_dir):
+    """Production IVF: learned k-means centroids (Lloyd as DataFrame
+    ops, deterministic seeding) + multi-probe search, verified by its
+    recall contract against brute-force cosine top-k — recall@10 over
+    20 queries must be >= 0.9 (deterministic given the data, so the
+    flag is a stable hash-comparable fact; the raw recall value and
+    the nprobe trade-off curve are pinned by tests/test_ivf_kmeans.py).
+    The pinned-centroid `ivf_topk` stays as the exact-replay oracle."""
+    r = similarity.ivf_kmeans_recall(
+        load(spark, sf_dir, "embeddings", fan_out=True))
+    return r.select("n_queries", "recall_ge_09")
+
+
 # ===========================================================================
 # engine: real extraction UDF + KG flagship
 # ===========================================================================

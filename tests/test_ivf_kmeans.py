@@ -1,0 +1,56 @@
+"""k-means coarse quantization for IVF: determinism, recall vs the
+brute-force baseline, and the recall/nprobe trade-off curve."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdscraper_spark.operators.similarity import (ivf_assign,
+                                                  ivf_kmeans_recall,
+                                                  kmeans_centroids)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_kmeans_deterministic_and_complete(spark, emb):
+    c1 = sorted((r.cid, tuple(r.cvec)) for r in
+                kmeans_centroids(emb, n_cells=8, iters=3).collect())
+    c2 = sorted((r.cid, tuple(r.cvec)) for r in
+                kmeans_centroids(emb, n_cells=8, iters=3).collect())
+    assert c1 == c2
+    assert len(c1) == 8
+    assert all(len(vec) == 64 for _cid, vec in c1)
+
+    assigned = ivf_assign(emb, kmeans_centroids(emb, 8, 3))
+    assert assigned.count() == emb.count()          # every vector lands
+    assert assigned.select("cid").distinct().count() <= 8
+
+
+def test_kmeans_iterations_reduce_quantization_error(spark, emb):
+    """Lloyd iterations must not worsen the mean max-cosine to the
+    assigned centroid (monotone improvement on the k-means objective,
+    modulo the cosine/mean mismatch — assert non-trivial improvement
+    from 1 to 5 iterations)."""
+    from mdscraper_spark.operators.similarity import cosine
+
+    def mean_sim(iters):
+        cents = kmeans_centroids(emb, 8, iters)
+        a = ivf_assign(emb, cents).join(F.broadcast(cents), "cid")
+        return a.agg(F.avg(cosine(F.col("embedding"),
+                                  F.col("cvec")))).first()[0]
+
+    assert mean_sim(5) >= mean_sim(1) - 1e-9
+
+
+def test_recall_meets_target_and_grows_with_nprobe(spark, emb):
+    r5 = ivf_kmeans_recall(emb).first()
+    assert r5.recall_ge_09 and r5.recall >= 0.9
+    r1 = ivf_kmeans_recall(emb, nprobe=1).first()
+    r3 = ivf_kmeans_recall(emb, nprobe=3).first()
+    assert r1.recall <= r3.recall <= r5.recall
+    r8 = ivf_kmeans_recall(emb, nprobe=8).first()
+    assert r8.recall == 1.0                 # probing all cells == exact
