@@ -179,8 +179,8 @@ def main(argv=None) -> None:
         print(f"Fetching and parsing pages into {args.warehouse}...")
 
     run_id = args.run_id or datetime.datetime.now().strftime("run-%Y%m%d%H%M%S")
-    job = KgBuildJob(spark, args.warehouse, config,
-                     n_buckets=args.n_buckets, salt=args.salt)
+    job = KgBuildJob(spark, args.warehouse, config, n_buckets=args.n_buckets,
+                     salt=args.salt if args.salt is not None else "auto")
     if args.extract_only:
         from mdscraper_spark.operators.extract_udfs import extract_markdown
         from mdscraper_spark.sources.pages import with_part_id

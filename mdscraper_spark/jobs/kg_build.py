@@ -59,7 +59,7 @@ GLOBAL_PART = -1  # lineage part_id for non-bucketed (global) stages
 class KgBuildJob:
     def __init__(self, spark: SparkSession, warehouse_path: str,
                  config: Optional[ExtractConfig] = None,
-                 n_buckets: int = 16, salt: Optional[int] = None,
+                 n_buckets: int = 16, salt="auto",
                  aliases: Optional[DataFrame] = None) -> None:
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_path)

@@ -23,7 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator, Optional, Union
 
 import pandas as pd
 
@@ -200,17 +200,51 @@ def _norm_col(col):
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+def decide_salt(aliases: DataFrame) -> Optional[int]:
+    """Auto-trigger for the salted entity-link join: measure the alias
+    dictionary (one cheap agg over the DIM side only — never a stats
+    pass over the 10^12-row mentions stream) and compare against the
+    session's autoBroadcastJoinThreshold.
+
+    * dict fits the broadcast threshold -> None (broadcast hash join;
+      skew is irrelevant because nothing shuffles on the alias key);
+    * dict too big -> a shuffle join is forced, where one hub alias
+      would pile its mention rows onto one partition — return a salt
+      factor sized to the cluster (defaultParallelism clamped to
+      [4, 64]; dict replication cost grows with S, diminishing returns
+      past the core count)."""
+    spark = aliases.sparkSession
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760"))
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    low = raw.lower().removesuffix("b")
+    mult = units.get(low[-1:], 1)
+    threshold = int(low[:-1] if mult > 1 else low) * mult
+    if threshold < 0:           # -1 disables broadcast entirely
+        threshold = 0
+    est = aliases.agg(
+        F.sum(F.octet_length(F.col("alias").cast("string")) + 64)
+    ).first()[0] or 0
+    if est <= threshold:
+        return None
+    return max(4, min(64, spark.sparkContext.defaultParallelism))
+
+
 def link_entities(mentions: DataFrame, aliases: DataFrame,
-                  salt: Optional[int] = None) -> DataFrame:
+                  salt: Union[int, str, None] = "auto") -> DataFrame:
     """Best entity link per mention.
 
-    Default: broadcast hash join on the normalized surface.  With
-    ``salt=S`` (dictionary too big to broadcast + hub-alias skew): both
-    sides carry a salt key — mentions a deterministic pmod of their url
-    hash, aliases exploded xS — so one hub alias's rows spread over S
-    shuffle partitions.  Salt never reaches the output: values are
-    identical under every placement.
+    ``salt="auto"`` (default) calls :func:`decide_salt`: broadcast hash
+    join while the dictionary fits the broadcast threshold, salted
+    shuffle join beyond it.  ``salt=None`` forces broadcast; ``salt=S``
+    forces the salted path: both sides carry a salt key — mentions a
+    deterministic pmod of their url hash, aliases exploded xS — so one
+    hub alias's rows spread over S shuffle partitions.  Salt never
+    reaches the output: values are identical under every placement
+    (tests/test_kg.py pins byte-identity across all three paths).
     """
+    if salt == "auto":
+        salt = decide_salt(aliases)
     m = (mentions
          .withColumn("mention_key",
                      F.concat_ws("#", "url", "sent_id", "span_start"))

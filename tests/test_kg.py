@@ -144,3 +144,29 @@ def test_rules_units():
     # leftmost-longest: 'Alice Chen' wins over 'Alice'
     assert (1, 0, 10, "Alice Chen", "PERSON") in ments
     assert not any(m[3] == "Alice" for m in ments)
+
+
+def test_auto_salt_triggers_on_big_dict_and_stays_byte_identical(spark_kg, spark):
+    """I7 auto-trigger: with the dict under the broadcast threshold the
+    auto path broadcasts (decide_salt -> None); with the threshold
+    squeezed below the dict size (the hub-alias / giant-dictionary
+    regime) the salted shuffle path kicks in — and both produce
+    byte-identical links."""
+    mentions, aliases = spark_kg["mentions"], spark_kg["aliases"]
+    assert kg_ops.decide_salt(aliases) is None  # fixture dict fits
+
+    base = {tuple(r) for r in spark_kg["links"].collect()}
+    auto_small = kg_ops.link_entities(mentions, aliases, salt="auto")
+    assert {tuple(r) for r in auto_small.collect()} == base
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64b")
+        s = kg_ops.decide_salt(aliases)
+        assert s is not None and s >= 4     # trigger fires
+        auto_big = kg_ops.link_entities(mentions, aliases, salt="auto")
+        plan = auto_big._jdf.queryExecution().executedPlan().toString()
+        assert "salt_key" in plan           # salted keys in the join
+        assert {tuple(r) for r in auto_big.collect()} == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
