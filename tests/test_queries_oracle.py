@@ -108,3 +108,20 @@ def test_multimodal_frame_sample_and_feature_ann(spark):
     sims = [r["sim"] for r in top]
     assert sims == sorted(sims, reverse=True)
     assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_multimodal_stub_seam_guard(monkeypatch):
+    """Item: a deployment where codec libs ARE importable must not
+    silently run the deterministic fake — the stub functions raise at
+    the documented swap point (operators/multimodal.py) until a real
+    decoder is wired in."""
+    from mdscraper_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "REAL_DECODERS_AVAILABLE", True)
+    with pytest.raises(NotImplementedError):
+        mm._decode_image_stub(b"payload")
+    with pytest.raises(NotImplementedError):
+        mm._require_stub()
+    monkeypatch.setattr(mm, "REAL_DECODERS_AVAILABLE", False)
+    meta = mm._decode_image_stub(b"payload")
+    assert meta["status"] == "ok" and len(meta["content_hash"]) == 32
