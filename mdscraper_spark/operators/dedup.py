@@ -214,16 +214,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                      F.explode(F.transform("shingles",
                                            lambda s: F.xxhash64(s)))
                      .alias("h"))
-    key_counts = (ex.groupBy("lang", "lbucket", "h")
-                  .agg(F.count(F.lit(1)).alias("k"))
-                  .filter(F.col("k") > max_posting))
-    if stop_stats is not None:
-        key_counts = key_counts.observe(
-            stop_stats,
-            F.count(F.lit(1)).alias("n_stop_shingles"),
-            F.coalesce(F.sum("k"), F.lit(0)).alias("n_postings_dropped"))
-    stops = key_counts.select("lang", "lbucket", "h")
-    kept = ex.join(F.broadcast(stops), ["lang", "lbucket", "h"], "left_anti")
+    if max_posting is None:
+        kept = ex                      # uncapped: single-pass (unsafe at
+    else:                              # crawl scale; for A/B + tests only)
+        key_counts = (ex.groupBy("lang", "lbucket", "h")
+                      .agg(F.count(F.lit(1)).alias("k"))
+                      .filter(F.col("k") > max_posting))
+        if stop_stats is not None:
+            key_counts = key_counts.observe(
+                stop_stats,
+                F.count(F.lit(1)).alias("n_stop_shingles"),
+                F.coalesce(F.sum("k"), F.lit(0)).alias("n_postings_dropped"))
+        stops = key_counts.select("lang", "lbucket", "h")
+        kept = ex.join(F.broadcast(stops), ["lang", "lbucket", "h"],
+                       "left_anti")
     posts = (kept.groupBy("lang", "lbucket", "h")
              .agg(F.collect_list("d").alias("ds"))
              .filter(F.size("ds") > 1))

@@ -74,9 +74,14 @@ def test_stop_shingle_cap_drops_boilerplate_pairs(spark):
 
 def test_uncapped_boilerplate_would_blow_up(spark):
     df = corpus(spark)
+    # max_posting=None takes the single-pass path (no count pass);
+    # a huge finite cap takes the capped path with an empty stop set —
+    # both must agree and both blow up quadratically on boilerplate
     uncapped = {(r.doc_a, r.doc_b)
+                for r in ngram_jaccard_pairs(df, max_posting=None).collect()}
+    huge_cap = {(r.doc_a, r.doc_b)
                 for r in ngram_jaccard_pairs(df, max_posting=10**9).collect()}
-    # without the cap the 8 boilerplate docs pair quadratically
+    assert uncapped == huge_cap
     assert len(uncapped) >= 8 * 7 // 2
 
 
