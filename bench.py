@@ -46,6 +46,8 @@ HEADLINE = (
     "asof_prior_click",
     "doc_token_stats",
     "doc_quality_score",
+    "doc_repetition_stats",
+    "benchmark_contamination",
     "extract_markdown_docs",
 )
 

@@ -77,6 +77,88 @@ def doc_fingerprint(col: Column, prefix: int = 200) -> Column:
     return F.md5(F.trim(norm))
 
 
+def dup_line_frac(col: Column) -> Column:
+    """Gopher-style repetition filter: fraction of non-empty lines that
+    are duplicates of an earlier line (0.0 for docs with <2 lines)."""
+    lines = F.filter(F.split(col, r"\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n = F.size(lines)
+    return F.when(n > 1,
+                  F.round((n - F.size(F.array_distinct(lines)))
+                          / n.cast("double"), 6)) \
+            .otherwise(F.lit(0.0))
+
+
+def top_bigram_frac(col: Column) -> Column:
+    """Fraction of word-bigram occurrences taken by the most frequent
+    bigram (boilerplate/chant detector; Gopher-style).  Longest run in
+    the sorted bigram array via a fold — per-doc arrays, no shuffle."""
+    toks = F.split(F.trim(col), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(2), F.lit(0)))
+    bigrams = F.when(n >= 2, F.array_sort(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                   F.element_at(toks, i + 2))))) \
+               .otherwise(F.array())
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1) \
+                          .otherwise(F.lit(1))
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+    best = F.aggregate(
+        bigrams, acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"), run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best")),
+        lambda acc: acc["best"])
+    return F.when(n >= 2,
+                  F.round(best / F.size(bigrams).cast("double"), 6)) \
+            .otherwise(F.lit(0.0))
+
+
+def hash_split(id_col: Column, salt: str = "split-v1",
+               train: int = 80, val: int = 10) -> Column:
+    """Deterministic stratified-by-nothing train/val/test assignment:
+    bucket = first 8 md5 hex chars of '{id}:{salt}' mod 100 — stable
+    across engines, partitionings, and reruns (never random())."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(f":{salt}")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 100
+    return F.when(bucket < train, F.lit("train")) \
+            .when(bucket < train + val, F.lit("val")) \
+            .otherwise(F.lit("test"))
+
+
+def contamination(docs: DataFrame, benchmark: DataFrame, k: int = 5,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: per doc, the fraction of its k-gram
+    shingles that appear in ANY benchmark document.
+
+    Scale shape: the benchmark shingle set is the small side — distinct
+    md5 k-gram hashes, broadcast; the corpus side is a narrow explode +
+    one groupBy(doc_id).  (doc_id, n_grams, n_hit, contaminated) with
+    contaminated = hit fraction >= 0.5."""
+    from mdscraper_spark.operators.dedup import (shingles_from_tokens,
+                                                 tokenize)
+
+    def sh(df):
+        return (df.select(F.col(id_col).alias("doc_id"),
+                          tokenize(F.col(text_col)).alias("toks"))
+                .select("doc_id",
+                        F.explode(F.transform(
+                            shingles_from_tokens(F.col("toks"), k), F.md5))
+                        .alias("h")))
+
+    bench_set = sh(benchmark).select("h").distinct()
+    corpus = sh(docs)
+    hit = corpus.join(F.broadcast(bench_set), "h", "left_semi") \
+                .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    out = (totals.join(hit, "doc_id", "left")
+           .withColumn("n_hit", F.coalesce("n_hit", F.lit(0))))
+    frac = F.col("n_hit") / F.col("n_grams").cast("double")
+    return out.select("doc_id", "n_grams", "n_hit",
+                      (frac >= 0.5).alias("contaminated"))
+
+
 # -- SQL twins (DuckDB dialect) ----------------------------------------------
 
 def sql_token_count_ws(col: str) -> str:
@@ -119,3 +201,19 @@ def sql_quality_score(col: str) -> str:
 def sql_doc_fingerprint(col: str, prefix: int = 200) -> str:
     return (f"md5(trim(regexp_replace(lower(substr({col}, 1, {prefix})), "
             f"'\\s+', ' ', 'g')))")
+
+
+def sql_dup_line_frac(col: str) -> str:
+    lines = (f"list_filter(regexp_split_to_array({col}, '\\n'), "
+             "x -> length(trim(x)) > 0)")
+    return (f"(CASE WHEN len({lines}) > 1 THEN "
+            f"round((len({lines}) - len(list_distinct({lines}))) "
+            f"/ CAST(len({lines}) AS DOUBLE), 6) ELSE 0.0 END)")
+
+
+def sql_hash_split(id_col: str, salt: str = "split-v1",
+                   train: int = 80, val: int = 10) -> str:
+    b = (f"(CAST('0x' || substr(md5({id_col} || ':{salt}'), 1, 8) "
+         f"AS BIGINT) % 100)")
+    return (f"(CASE WHEN {b} < {train} THEN 'train' "
+            f"WHEN {b} < {train + val} THEN 'val' ELSE 'test' END)")

@@ -676,6 +676,83 @@ def doc_fingerprint_q(spark, sf_dir):
                     textstats.doc_fingerprint(F.col("text")).alias("fp")))
 
 
+@register("doc_repetition_stats", f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS b
+  FROM t WHERE len(toks) >= 2
+), counts AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, MAX(c) AS best, SUM(c) AS total FROM counts GROUP BY 1
+)
+SELECT d.doc_id,
+       {textstats.sql_dup_line_frac('d.text')} AS dup_line_frac,
+       COALESCE(round(top.best / CAST(top.total AS DOUBLE), 6), 0.0)
+         AS top_bigram_frac
+FROM documents d LEFT JOIN top USING (doc_id)
+""")
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality filters: duplicate-line fraction
+    and most-frequent-bigram occupancy, per doc — pure column
+    expressions (per-doc array folds, no shuffle); the SQL twin
+    recomputes the bigram mode relationally."""
+    return (load(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id",
+                    textstats.dup_line_frac(F.col("text"))
+                    .alias("dup_line_frac"),
+                    textstats.top_bigram_frac(F.col("text"))
+                    .alias("top_bigram_frac")))
+
+
+@register("doc_split_assignment", f"""
+SELECT doc_id, {textstats.sql_hash_split('doc_id')} AS split
+FROM documents
+""")
+def doc_split_assignment(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by salted md5
+    bucket — stable across engines, partitionings, and reruns (the
+    anti-random() split a 100 TB pipeline needs for reproducibility)."""
+    return (load(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id",
+                    textstats.hash_split(F.col("doc_id")).alias("split")))
+
+
+@register("benchmark_contamination", """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(list_distinct(
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+       || ' ' || toks[i+4]
+     FOR i IN range(1, len(toks) - 3)])) AS s
+  FROM t WHERE len(toks) >= 5
+), bset AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+), tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM ex GROUP BY 1),
+hit AS (
+  SELECT e.doc_id, COUNT(*) AS n_hit FROM ex e JOIN bset USING (s) GROUP BY 1
+)
+SELECT t.doc_id, t.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+       (COALESCE(h.n_hit, 0) / CAST(t.n_grams AS DOUBLE)) >= 0.5
+         AS contaminated
+FROM tot t LEFT JOIN hit h USING (doc_id)
+""")
+def benchmark_contamination(spark, sf_dir):
+    """Benchmark decontamination: 5-gram overlap of every document
+    against a deterministic pseudo-benchmark slice (doc_id % 97 == 0).
+    Benchmark shingle set broadcasts; corpus side is one explode + one
+    groupBy — the shape that survives a 100 TB corpus vs a benchmark
+    suite of fixed size."""
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return textstats.contamination(docs, bench, k=5)
+
+
 # ===========================================================================
 # dedup
 # ===========================================================================

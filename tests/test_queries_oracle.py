@@ -41,6 +41,9 @@ SUBSET = [
     "multimodal_frame_sample",
     "multimodal_feature_ann",
     "kg_flagship",
+    "doc_repetition_stats",
+    "doc_split_assignment",
+    "benchmark_contamination",
 ]
 
 

@@ -1,0 +1,77 @@
+"""Repetition filters, deterministic split, and benchmark
+decontamination — hand-computed expectations on crafted corpora."""
+
+from pyspark.sql import functions as F
+
+from mdscraper_spark.operators import textstats
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return df.select(col(F.col("text")).alias("v")).first().v
+
+
+def test_dup_line_frac(spark):
+    assert _one(spark, "a\nb\nc", textstats.dup_line_frac) == 0.0
+    assert _one(spark, "x\ny\nx\nx", textstats.dup_line_frac) == 0.5
+    assert _one(spark, "x\n\n  \nx", textstats.dup_line_frac) == 0.5
+    assert _one(spark, "only one line", textstats.dup_line_frac) == 0.0
+
+
+def test_top_bigram_frac(spark):
+    # "a b a b a" -> bigrams: ab, ba, ab, ba -> top 2/4
+    assert _one(spark, "a b a b a", textstats.top_bigram_frac) == 0.5
+    # all-distinct bigrams -> 1/3
+    assert _one(spark, "w x y z", textstats.top_bigram_frac) == round(1 / 3, 6)
+    # chant: one bigram dominates
+    assert _one(spark, "buy now " * 10, textstats.top_bigram_frac) >= 0.5
+    assert _one(spark, "single", textstats.top_bigram_frac) == 0.0
+
+
+def test_hash_split_deterministic_and_balanced(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    out = df.select("doc_id",
+                    textstats.hash_split(F.col("doc_id")).alias("split"))
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.80) < 0.04
+    assert abs(counts["val"] / 2000 - 0.10) < 0.03
+    assert abs(counts["test"] / 2000 - 0.10) < 0.03
+    again = out.collect()
+    assert {(r.doc_id, r.split) for r in again} == \
+        {(r.doc_id, r.split) for r in out.collect()}
+    # a different salt reshuffles assignments
+    other = df.select(textstats.hash_split(F.col("doc_id"),
+                                           salt="v2").alias("split"))
+    assert [r.split for r in other.collect()] != [r.split for r in again]
+
+
+def test_contamination_known_overlap(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench_text),                                   # the benchmark doc
+        (1, bench_text + " iota kappa"),                   # heavy overlap
+        (2, "one two three four five six seven eight"),    # disjoint
+        (3, "alpha beta gamma delta epsilon " +            # partial
+            "unrelated tail words here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {r.doc_id: r for r in
+           textstats.contamination(docs, bench, k=5).collect()}
+    assert out[0].contaminated                 # benchmark doc: full overlap
+    assert out[0].n_hit == out[0].n_grams
+    assert out[1].contaminated and out[1].n_hit == 4   # the 4 bench 5-grams
+    assert out[2].n_hit == 0 and not out[2].contaminated
+    assert out[3].n_hit == 1 and not out[3].contaminated  # 1 of 6 grams
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}") for i in range(50)],
+        "doc_id long, text string")
+    plan = textstats.contamination(docs, docs.filter(F.col("doc_id") < 2)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
