@@ -182,10 +182,12 @@ def main(argv=None) -> None:
     job = KgBuildJob(spark, args.warehouse, config, n_buckets=args.n_buckets,
                      salt=args.salt if args.salt is not None else "auto")
     if args.extract_only:
-        from mdscraper_spark.operators.extract_udfs import extract_markdown
+        from mdscraper_spark.operators.extract_udfs import (extract_markdown,
+                                                            with_doc_path)
         from mdscraper_spark.sources.pages import with_part_id
 
-        docs = with_part_id(extract_markdown(pages, config), args.n_buckets)
+        docs = with_part_id(with_doc_path(extract_markdown(pages, config),
+                                          config), args.n_buckets)
         job.wh.write_table(docs.repartition(args.n_buckets, "part_id"),
                            "markdown_docs", partition_by=("part_id",))
     else:
@@ -219,7 +221,14 @@ def _site_worklist(spark, pages, seed_url: str, config):
     """EP3 site mode (scraper.py:769-785): extract the seed page,
     harvest links rewritten onto the seed's scheme://host, semi-join
     the harvested urls back into the pages scan.  The work-list comes
-    from ONE seed page, so it broadcasts."""
+    from ONE seed page, so it broadcasts.
+
+    site_root parity quirk (scraper.py:779): the reference builds it
+    from ``urlparse(...).hostname`` — lowercased, PORT DROPPED — so a
+    seed on a non-default port harvests urls that won't match the
+    pages table.  Pinned as reference behavior; because the failure
+    mode here is a silent empty run, a non-empty harvest that matches
+    zero pages raises instead."""
     from urllib.parse import urlparse
 
     from pyspark.sql import functions as F
@@ -234,7 +243,15 @@ def _site_worklist(spark, pages, seed_url: str, config):
     work = site_seed_urls(seed_docs, site_root, config.exclude_pages)
     harvested = (work.select(F.col("harvested_url").alias("url"))
                  .distinct())
-    return pages.join(F.broadcast(harvested), "url", "left_semi")
+    matched = pages.join(F.broadcast(harvested), "url", "left_semi")
+    n_harvested = harvested.limit(1).count()
+    if n_harvested > 0 and matched.limit(1).count() == 0:
+        sample = [r.url for r in harvested.limit(3).collect()]
+        raise SystemExit(
+            f"--site {seed_url}: harvested urls match no pages rows "
+            f"(sample: {sample}); note the reference's site_root drops "
+            "the port and lowercases the host (scraper.py:779)")
+    return matched
 
 
 def _dump_debug_html(wh, pages) -> None:

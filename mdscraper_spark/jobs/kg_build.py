@@ -38,7 +38,8 @@ from pyspark.sql.types import (
 
 from mdscraper_spark.config import ExtractConfig
 from mdscraper_spark.operators import kg as kg_ops
-from mdscraper_spark.operators.extract_udfs import extract_markdown
+from mdscraper_spark.operators.extract_udfs import (extract_markdown,
+                                                    with_doc_path)
 from mdscraper_spark.sources import fixtures
 from mdscraper_spark.sources.pages import with_part_id
 from mdscraper_spark.sources.tables import Warehouse
@@ -105,7 +106,8 @@ class KgBuildJob:
         t0 = time.monotonic()
         n_todo = todo.limit(1).count()
         if n_todo > 0:
-            docs = extract_markdown(todo, self.config)
+            docs = with_doc_path(extract_markdown(todo, self.config),
+                                 self.config)
             docs = with_part_id(docs, self.n_buckets)
             # co-locate each bucket into one task before the partitioned
             # write: one output file per (bucket, write) instead of

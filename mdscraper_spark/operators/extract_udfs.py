@@ -104,3 +104,17 @@ def status_counts(markdown_docs: DataFrame) -> DataFrame:
     return (markdown_docs.groupBy("status")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("status"))
+
+
+def with_doc_path(docs: DataFrame, config: ExtractConfig) -> DataFrame:
+    """B2 full output path as a derived column (scraper.py:826-831):
+    %-modes get ``{outdir}/{doc_slug}.md``; a fixed --output name is
+    joined verbatim (no '.md' suffix).  Null for non-ok rows — the
+    reference never names a file for a failed page."""
+    fixed = config.output not in ("%TITLE", "%URL")
+    name = (F.lit(config.output) if fixed
+            else F.concat(F.col("doc_slug"), F.lit(".md")))
+    path = (F.concat(F.lit(f"{config.outdir}/"), name) if config.outdir
+            else name)
+    return docs.withColumn(
+        "doc_path", F.when(F.col("status") == "ok", path))

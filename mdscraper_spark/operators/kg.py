@@ -212,7 +212,11 @@ def decide_salt(aliases: DataFrame) -> Optional[int]:
       would pile its mention rows onto one partition — return a salt
       factor sized to the cluster (defaultParallelism clamped to
       [4, 64]; dict replication cost grows with S, diminishing returns
-      past the core count)."""
+      past the core count).
+
+    Note: this runs ONE eager Spark action at plan-build time (the
+    dim-side agg) — deliberate: the dictionary is the small side, and
+    the decision must precede join construction."""
     spark = aliases.sparkSession
     raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
                              "10485760"))
@@ -245,6 +249,10 @@ def link_entities(mentions: DataFrame, aliases: DataFrame,
     """
     if salt == "auto":
         salt = decide_salt(aliases)
+    elif salt is not None and (not isinstance(salt, int) or salt < 1):
+        # salt=0 would pmod to NULL and match nothing — fail loudly
+        raise ValueError(f"salt must be a positive int, None, or 'auto': "
+                         f"{salt!r}")
     m = (mentions
          .withColumn("mention_key",
                      F.concat_ws("#", "url", "sent_id", "span_start"))

@@ -79,6 +79,9 @@ def decode_binary_docs(df: DataFrame, id_col: str = "doc_id",
     pruned = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # seam guard OUTSIDE the per-row try: a codec-equipped cluster
+        # must fail loudly, not emit a table of status='error:...' rows
+        _require_stub()
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "n_bytes", "content_hash",
                                    "width", "height", "codec", "status")}

@@ -187,10 +187,15 @@ def kmeans_centroids(embeddings: DataFrame, n_cells: int = IVF_K,
     O(N)); an empty cell keeps its previous centroid.
     """
     spark = embeddings.sparkSession
-    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in
-             embeddings.filter(F.col(id_col) < n_cells)
-             .select(F.col(id_col).cast("int"), F.col(vec_col))
-             .collect()]
+    # seed from the n_cells SMALLEST ids (not `id < n_cells`, which
+    # silently yields fewer/zero centroids on a non-0-based id space)
+    seeds = (embeddings.select(id_col, vec_col)
+             .orderBy(id_col).limit(n_cells).collect())
+    if len(seeds) < n_cells:
+        raise ValueError(f"kmeans_centroids: corpus has only "
+                         f"{len(seeds)} vectors for {n_cells} cells")
+    cents = [(cid, [float(x) for x in r[1]])
+             for cid, r in enumerate(seeds)]
     base = embeddings.select(F.col(id_col).alias("vec_id"),
                              F.col(vec_col).alias("v"))
     for _ in range(iters):
@@ -248,7 +253,9 @@ def ivf_kmeans_recall(embeddings: DataFrame, n_queries: int = 20,
     the recall/nprobe curve is the tuning artifact either way."""
     cents = kmeans_centroids(embeddings, n_cells, iters, id_col, vec_col)
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
-    queries = (assigned.filter(F.col(id_col) < n_queries)
+    # query set = the n_queries SMALLEST ids (id-space-agnostic)
+    qids = embeddings.select(id_col).orderBy(id_col).limit(n_queries)
+    queries = (assigned.join(F.broadcast(qids), id_col, "left_semi")
                .select(F.col(id_col).alias("qid"),
                        F.col(vec_col).alias("qvec")))
 

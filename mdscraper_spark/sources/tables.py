@@ -220,17 +220,23 @@ class Warehouse:
         m = self.manifest(name)
         if m is None:
             raise ValueError(f"no such table: {name}")
-        lost = sorted({
-            key for key, sids in m.get("partitions", {}).items()
-            for sid in sids
-            if not ((self._snap_data_dir(name, sid) / key) if key
-                    else self._snap_data_dir(name, sid)).exists()})
+        def _dir(sid, key):
+            base = self._snap_data_dir(name, sid)
+            return (base / key) if key else base
+
+        # only the (key, sid) pairs whose dirs are PHYSICALLY missing:
+        # carrying a still-present sid too would double-read its rows
+        # after they were folded into the compacted snapshot
+        lost_entries = {
+            key: [sid for sid in sids if not _dir(sid, key).exists()]
+            for key, sids in m.get("partitions", {}).items()}
+        lost_entries = {k: v for k, v in lost_entries.items() if v}
+        lost = sorted(lost_entries)
         if lost and on_missing == "error":
             raise ValueError(
                 f"compact({name}): manifest references physically missing "
                 f"partition dirs {lost}; recover them or pass "
                 "on_missing='carry' to preserve their ownership entries")
-        lost_entries = {k: list(m["partitions"][k]) for k in lost}
         before = self._data_files(name, m)
         total = sum(f.stat().st_size for f in before)
         df = self.read_table(name)

@@ -188,3 +188,50 @@ def test_debug_dumps_failed_detection_html(spark, tmp_path, capsys):
     dumped = wh.read_table("debug_html").collect()
     assert [r.url for r in dumped] == ["https://site.test/bare.html"]
     assert b"no container here" in bytes(dumped[0].html)
+
+
+def test_outdir_and_output_produce_doc_path_column(spark, tmp_path):
+    """B2 wired end-to-end: markdown_docs carries the derived doc_path
+    (outdir-joined, mode-dependent suffix)."""
+    from mdscraper_spark.jobs.extract import main
+    from mdscraper_spark.sources.tables import Warehouse
+
+    pq = _pages_parquet(spark, tmp_path)
+    wh_path = str(tmp_path / "wh_paths")
+    main(["--input", pq, "--warehouse", wh_path,
+          "--url", "https://site.test/p1.html", "--output", "%URL",
+          "--outdir", "out/md", "--extract-only", "--n-buckets", "4"])
+    wh = Warehouse(spark, wh_path)
+    row = wh.read_table("markdown_docs").first()
+    assert row.doc_path == "out/md/p1.html.md"
+
+    wh2_path = str(tmp_path / "wh_fixed")
+    main(["--input", pq, "--warehouse", wh2_path,
+          "--url", "https://site.test/p1.html", "--output", "notes.md",
+          "--extract-only", "--n-buckets", "4"])
+    row2 = Warehouse(spark, wh2_path).read_table("markdown_docs").first()
+    assert row2.doc_path == "notes.md"      # fixed name verbatim, no outdir
+
+
+def test_site_mode_zero_match_raises_instead_of_silent_empty(spark, tmp_path):
+    """Reference parity pins site_root to scheme://hostname (port
+    dropped, scraper.py:779); when that makes the harvest match no
+    pages rows the job must fail loudly, not extract nothing."""
+    import datetime
+
+    import pytest as _pytest
+
+    from mdscraper_spark.jobs.extract import main
+
+    ts = datetime.datetime(2025, 6, 14)
+    rows = [("https://site.test:8443/index.html", SEED),
+            ("https://site.test:8443/p1.html", CONTENT.format(i=1))]
+    df = spark.createDataFrame(
+        [(u, ts, h.encode(), None, "en") for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    pq = str(tmp_path / "pages_port")
+    df.write.parquet(pq)
+    with _pytest.raises(SystemExit, match="match no pages rows"):
+        main(["--input", pq, "--warehouse", str(tmp_path / "wh_port"),
+              "--site", "https://site.test:8443/index.html",
+              "--extract-only", "--n-buckets", "4"])

@@ -54,3 +54,17 @@ def test_recall_meets_target_and_grows_with_nprobe(spark, emb):
     assert r1.recall <= r3.recall <= r5.recall
     r8 = ivf_kmeans_recall(emb, nprobe=8).first()
     assert r8.recall == 1.0                 # probing all cells == exact
+
+
+def test_kmeans_handles_non_zero_based_ids(spark, emb):
+    """Seeding/query selection must not assume ids 0..n-1."""
+    shifted = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+                         "embedding")
+    cents = kmeans_centroids(shifted, n_cells=8, iters=2)
+    assert cents.count() == 8
+    r = ivf_kmeans_recall(shifted, nprobe=8).first()
+    assert r.recall == 1.0          # all-probe == exact, any id space
+
+    tiny = emb.limit(4)
+    with pytest.raises(ValueError, match="only 4 vectors"):
+        kmeans_centroids(tiny, n_cells=8, iters=1)

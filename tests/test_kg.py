@@ -170,3 +170,12 @@ def test_auto_salt_triggers_on_big_dict_and_stays_byte_identical(spark_kg, spark
         assert {tuple(r) for r in auto_big.collect()} == base
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_forced_salt_must_be_positive(spark_kg):
+    import pytest as _pytest
+
+    for bad in (0, -3, 2.5):
+        with _pytest.raises(ValueError, match="salt"):
+            kg_ops.link_entities(spark_kg["mentions"], spark_kg["aliases"],
+                                 salt=bad)

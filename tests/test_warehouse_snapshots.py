@@ -111,3 +111,26 @@ def test_compact_refuses_then_carries_lost_partition_dirs(spark, wh):
     # lost key's old ownership carried forward, survivors compacted
     assert s1 in m2["partitions"][lost_key]
     assert grab(wh.read_table("t")) == [(0, "a", 1), (2, "c", 3)]
+
+
+def test_compact_carry_does_not_duplicate_surviving_sids(spark, wh):
+    """Carry must re-attach ONLY the (key, sid) entries whose dirs are
+    physically missing — re-attaching a surviving sid whose rows were
+    already folded into the compacted snapshot would double-read them."""
+    import shutil
+
+    s1 = wh.write_table(_df(spark, [(0, "a", 1), (1, "b", 2)]), "t",
+                        partition_by=("part_id",), mode="append")
+    s2 = wh.write_table(_df(spark, [(1, "c", 3)]), "t",
+                        partition_by=("part_id",), mode="append")
+    key1 = [k for k in wh.manifest("t")["partitions"] if "1" in k][0]
+    # lose s1's copy of partition 1; s2's copy survives
+    shutil.rmtree(wh._snap_data_dir("t", s1) / key1)
+
+    before = grab(wh.read_table("t"))          # (1,"b",2) already gone
+    stats = wh.compact("t", on_missing="carry")
+    assert stats["missing_partitions"] == [key1]
+    m2 = wh.manifest("t")
+    assert s1 in m2["partitions"][key1]        # lost entry carried
+    assert s2 not in m2["partitions"][key1]    # surviving sid NOT re-attached
+    assert grab(wh.read_table("t")) == before  # and no duplicated rows
