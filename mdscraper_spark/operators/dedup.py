@@ -31,13 +31,24 @@ SIMHASH_BITS = 16
 # shingling
 # ---------------------------------------------------------------------------
 
+def ws_strip(col: Column) -> Column:
+    """Strip ALL leading/trailing whitespace.  NOT F.trim: Spark (and
+    DuckDB) trim removes only spaces, so a newline-leading doc would
+    split into a phantom empty first token, inflating token counts and
+    polluting shingles (caught by differential fuzz)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+SQL_WS_STRIP = "regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+
+
 def tokenize(col: Column) -> Column:
     """Whitespace token array.  Materialize this as its OWN projection
     before shingling: higher-order functions are interpreted (no
     codegen subexpression elimination), so an inline split() inside the
     transform lambda re-splits the text for every element_at — O(words
     x shingles) per doc instead of O(words)."""
-    return F.split(F.trim(col), r"\s+")
+    return F.split(ws_strip(col), r"\s+")
 
 
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
@@ -143,7 +154,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     nibble) — portable to SQL via substr comparison on the hex string.
     """
     toks = df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                     F.explode(F.split(ws_strip(F.col(text_col)), r"\s+"))
                      .alias("tok"))
     toks = toks.withColumn("h", F.md5("tok"))
     votes = [

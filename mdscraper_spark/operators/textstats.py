@@ -31,10 +31,14 @@ def _hits(col: Column, words) -> Column:
 
 
 def token_count_ws(col: Column) -> Column:
-    """Whitespace token count (empty string -> 0)."""
-    trimmed = F.trim(col)
-    return F.when(F.length(trimmed) == 0, F.lit(0)) \
-            .otherwise(F.size(F.split(trimmed, r"\s+")))
+    """Whitespace token count (empty/whitespace-only string -> 0).
+    Strips ALL whitespace (not space-only trim) so newline-leading
+    docs don't count a phantom empty token."""
+    from mdscraper_spark.operators.dedup import ws_strip
+
+    stripped = ws_strip(col)
+    return F.when(F.length(stripped) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(stripped, r"\s+")))
 
 
 def token_count_bpe_ish(col: Column) -> Column:
@@ -93,8 +97,11 @@ def top_bigram_frac(col: Column) -> Column:
     """Fraction of word-bigram occurrences taken by the most frequent
     bigram (boilerplate/chant detector; Gopher-style).  Longest run in
     the sorted bigram array via a fold — per-doc arrays, no shuffle."""
-    toks = F.split(F.trim(col), r"\s+")
-    n = F.size(toks)
+    from mdscraper_spark.operators.dedup import ws_strip
+
+    stripped = ws_strip(col)
+    toks = F.split(stripped, r"\s+")
+    n = F.when(F.length(stripped) == 0, F.lit(0)).otherwise(F.size(toks))
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(2), F.lit(0)))
     bigrams = F.when(n >= 2, F.array_sort(F.transform(
         idx, lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
@@ -161,9 +168,15 @@ def contamination(docs: DataFrame, benchmark: DataFrame, k: int = 5,
 
 # -- SQL twins (DuckDB dialect) ----------------------------------------------
 
+def sql_ws_strip(col: str) -> str:
+    """DuckDB twin of dedup.ws_strip (trim is space-only there too)."""
+    return f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+
+
 def sql_token_count_ws(col: str) -> str:
-    return (f"CASE WHEN length(trim({col})) = 0 THEN 0 "
-            f"ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END")
+    s = sql_ws_strip(col)
+    return (f"CASE WHEN length({s}) = 0 THEN 0 "
+            f"ELSE len(regexp_split_to_array({s}, '\\s+')) END")
 
 
 def sql_token_count_bpe(col: str) -> str:

@@ -75,3 +75,50 @@ def test_contamination_benchmark_side_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def _py_dup_line_frac(text):
+    lines = [l for l in text.split("\n") if l.strip()]
+    if len(lines) <= 1:
+        return 0.0
+    return round((len(lines) - len(set(lines))) / len(lines), 6)
+
+
+def _py_top_bigram_frac(text):
+    toks = text.strip().split()
+    if len(toks) < 2:
+        return 0.0
+    bigrams = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+    top = max(bigrams.count(b) for b in set(bigrams))
+    return round(top / len(bigrams), 6)
+
+
+def test_repetition_stats_differential_fuzz(spark):
+    """Seeded-random differential: 200 adversarial texts (repeats,
+    whitespace runs, empties) in ONE Spark job vs the pure-Python
+    replay — the distributed column folds must agree exactly."""
+    import random
+
+    rng = random.Random("textstats-fuzz-1")
+    words = ["a", "bb", "ccc", "x", "buy", "now", "the", "of"]
+    texts = []
+    for i in range(200):
+        n = rng.randrange(0, 30)
+        toks = [rng.choice(words) for _ in range(n)]
+        t = " ".join(toks)
+        if rng.random() < 0.5:         # inject newlines / blank lines
+            t = t.replace(" ", "\n", rng.randrange(0, 4))
+        if rng.random() < 0.2:
+            t = t + "\n" + t           # duplicated block
+        if rng.random() < 0.1:
+            t = "   "                  # whitespace-only
+        texts.append((i, t))
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: (r.d, r.b) for r in df.select(
+        "doc_id",
+        textstats.dup_line_frac(F.col("text")).alias("d"),
+        textstats.top_bigram_frac(F.col("text")).alias("b")).collect()}
+    for i, t in texts:
+        assert got[i] == (_py_dup_line_frac(t), _py_top_bigram_frac(t)), \
+            (i, repr(t), got[i])
