@@ -386,6 +386,33 @@ def distinct_users_per_type(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_events")))
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register("pivot_user_event_matrix", f"""
+SELECT user_id % 50 AS user_bucket,
+       {', '.join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+                  for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+""")
+def pivot_user_event_matrix(spark, sf_dir):
+    """Pivot (long -> wide): per user-bucket counts per event type.
+    The pivot value list is EXPLICIT — with an inferred list Spark
+    first runs a distinct scan AND the output schema becomes
+    data-dependent; fixed values keep the plan one pass and the
+    schema stable (the 100 TB rule for pivots).  Oracle replays it as
+    portable FILTER aggregates."""
+    ev = load(spark, sf_dir, "events")
+    piv = (ev.withColumn("user_bucket", F.col("user_id") % 50)
+           .groupBy("user_bucket")
+           .pivot("event_type", list(_EVENT_TYPES))
+           .agg(F.count(F.lit(1))))
+    out = piv.select("user_bucket",
+                     *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                       for t in _EVENT_TYPES])
+    return out
+
+
 @register("approx_event_value_percentiles", """
 SELECT event_type, true AS ok_p50, true AS ok_p90, true AS ok_p99
 FROM (SELECT DISTINCT event_type FROM events)
