@@ -1,0 +1,112 @@
+"""Graph queries over the materialized KG (kg_edges: src, pred, dst,
+n_support) — the read side of the knowledge graph: degree statistics,
+multi-hop traversal, and PageRank.
+
+Scale shapes:
+* degree stats — one shuffle (groupBy node), map-side combined;
+* two-hop — one self-equi-join on the hop node + distinct agg; at
+  10^12 edges this is the classic join-on-dst≡src plan that bucketing
+  on the node id makes exchange-free (the kg_edges table is written
+  bucketed by canon_id for exactly this reason, SURVEY §2.I6);
+* PageRank — the standard iterative join plan: contributions =
+  edges ⋈ ranks (re-using the edge partitioning every round), one
+  groupBy(dst) sum per iteration, `localCheckpoint` every few rounds
+  to cut lineage (same discipline as connected_components).
+
+Every result is rounded for cross-engine hash comparison; iteration
+counts are fixed so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """(node, out_deg, in_deg, n_support_out): per-node degree table.
+    Out/in degrees computed in one pass each, outer-merged."""
+    out_d = (edges.groupBy(F.col("src").alias("node"))
+             .agg(F.count(F.lit(1)).alias("out_deg"),
+                  F.sum("n_support").alias("n_support_out")))
+    in_d = (edges.groupBy(F.col("dst").alias("node"))
+            .agg(F.count(F.lit(1)).alias("in_deg")))
+    return (out_d.join(in_d, "node", "full_outer")
+            .select("node",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                    F.coalesce("n_support_out", F.lit(0))
+                    .alias("n_support_out")))
+
+
+def two_hop_counts(edges: DataFrame) -> DataFrame:
+    """(src, n_two_hop): distinct nodes reachable in exactly two hops
+    (src -> mid -> dst, dst may equal src — pure path counting keeps
+    the semantics engine-portable).  Empty on a strictly bipartite
+    graph; see shared_neighbor_counts for the traversal that is
+    non-trivial there."""
+    a = edges.select(F.col("src"), F.col("dst").alias("mid"))
+    b = edges.select(F.col("src").alias("mid"), F.col("dst"))
+    return (a.join(b, "mid")
+            .groupBy("src")
+            .agg(F.countDistinct("dst").alias("n_two_hop")))
+
+
+def shared_neighbor_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_peers): distinct OTHER sources sharing at least one
+    out-neighbor (on the KG: co-workers via a common employer).  Same
+    self-equi-join-on-node shape as two-hop — the plan that bucketing
+    kg_edges on the node id makes exchange-free at 10^12 edges."""
+    a = edges.select(F.col("src").alias("node"), F.col("dst"))
+    b = edges.select(F.col("src").alias("peer"), F.col("dst"))
+    return (a.join(b, "dst")
+            .filter(F.col("node") != F.col("peer"))
+            .groupBy("node")
+            .agg(F.countDistinct("peer").alias("n_peers")))
+
+
+def pagerank(edges: DataFrame, iters: int = 10,
+             damping: float = 0.85, checkpoint_every: int = 4) -> DataFrame:
+    """(node, rank): PageRank with uniform teleport over the node set,
+    dangling mass redistributed uniformly, fixed iteration count.
+
+    DataFrame loop: out-degrees computed once; each round joins ranks
+    to edges on src (the reused partitioning), sums contributions by
+    dst, adds teleport + dangling mass.  Ranks are rounded only at the
+    END so iteration math matches the oracle's double arithmetic.
+    """
+    spark = edges.sparkSession
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edge list with per-edge weight 1/deg(src), reused every round
+    weighted = (edges.select("src", "dst")
+                .join(out_deg, "src")
+                .select("src", "dst", (F.lit(1.0) / F.col("deg"))
+                        .alias("w"))
+                .localCheckpoint())
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for i in range(iters):
+        contrib = (weighted.join(ranks, weighted.src == ranks.node)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") * F.col("w")).alias("c")))
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        # dangling mass = total rank sitting on nodes with no out-edges
+        dangling = (ranks.join(out_deg, ranks.node == out_deg.src,
+                               "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .first()[0])
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (nodes.join(inflow, "node", "left")
+                 .select("node",
+                         (F.lit(base) + F.lit(damping)
+                          * F.coalesce("inflow", F.lit(0.0)))
+                         .alias("rank")))
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    # round 6 (not more): per-iteration double sums are order-dependent
+    # at ~1e-16 and 10 rounds amplify to ~1e-12 vs the oracle's replay
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -1156,6 +1156,84 @@ def kg_flagship(spark, sf_dir):
     return kg_ops.build_kg_edges(triples, cmap)
 
 
+_FROZEN_EDGES = """
+read_parquet('/root/repo/fixtures/kg_oracle/kg_edges_*.parquet')
+WHERE corpus_sig = (SELECT md5(string_agg(text, '' ORDER BY doc_id))
+                    FROM documents)
+"""
+
+
+def _flagship_edges(spark, sf_dir):
+    """The full-pipeline kg_edges DataFrame (shared by the graph-query
+    registry rows)."""
+    return kg_flagship(spark, sf_dir)
+
+
+@register("kg_degree_stats", f"""
+WITH e AS (SELECT src, dst, n_support FROM {_FROZEN_EDGES}),
+o AS (SELECT src AS node, COUNT(*) AS out_deg, SUM(n_support) AS n_support_out
+      FROM e GROUP BY 1),
+i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY 1)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(out_deg, 0) AS out_deg,
+       COALESCE(in_deg, 0) AS in_deg,
+       COALESCE(n_support_out, 0) AS n_support_out
+FROM o FULL OUTER JOIN i ON o.node = i.node
+""")
+def kg_degree_stats(spark, sf_dir):
+    """Graph read side: per-node in/out degree over the KG built by the
+    FULL pipeline; the oracle recomputes degrees from the frozen
+    single-threaded-oracle edges (so this checks pipeline + degree agg
+    end to end)."""
+    from mdscraper_spark.operators.graph import degree_stats
+
+    return degree_stats(_flagship_edges(spark, sf_dir))
+
+
+@register("graph_shared_suppliers", """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey % 10 = 0
+)
+SELECT a.src AS node, COUNT(DISTINCT b.src) AS n_peers
+FROM e a JOIN e b ON a.dst = b.dst AND a.src <> b.src
+GROUP BY a.src
+""")
+def graph_shared_suppliers(spark, sf_dir):
+    """Two-hop traversal via a shared out-neighbor, on the procurement
+    graph (customer -> supplier through lineitems; the synthetic KG is
+    a perfect person<->org matching, so its shared-neighbor set is
+    empty by construction — this graph has real sharing).  Same
+    self-equi-join-on-node plan that bucketing the edge table on the
+    node id makes exchange-free at 10^12 edges."""
+    from mdscraper_spark.operators.graph import shared_neighbor_counts
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    li = load(spark, sf_dir, "lineitem")
+    edges = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_suppkey").alias("dst"))
+             .distinct())
+    return shared_neighbor_counts(edges)
+
+
+@register("kg_pagerank", f"""
+SELECT node, rank
+FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_pagerank_*.parquet')
+WHERE corpus_sig = (SELECT md5(string_agg(text, '' ORDER BY doc_id))
+                    FROM documents)
+""")
+def kg_pagerank(spark, sf_dir):
+    """Iterative PageRank (10 rounds, damping 0.85, dangling mass
+    redistributed) as a DataFrame loop with lineage cuts — verified
+    against the frozen single-threaded replay over the same frozen
+    edges (tools/freeze_kg_oracle.py py_pagerank)."""
+    from mdscraper_spark.operators.graph import pagerank
+
+    return pagerank(_flagship_edges(spark, sf_dir))
+
+
 def queries() -> Dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

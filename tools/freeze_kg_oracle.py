@@ -54,6 +54,25 @@ def kg_page_html(doc_id: int, text: str) -> str:
     return (f"{_PREFIX}{doc_id}{_MID}{relation}</p><p>{text}{_SUFFIX}")
 
 
+def py_pagerank(edges, iters: int = 10, damping: float = 0.85) -> dict:
+    """Pure-Python replay of operators/graph.pagerank over (src, dst)
+    pairs — same math, same fixed iteration count."""
+    nodes = sorted({s for s, _d in edges} | {d for _s, d in edges})
+    n = len(nodes)
+    out_deg: dict = {}
+    for s, _d in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] / out_deg[s]
+        dangling = sum(r for v, r in rank.items() if v not in out_deg)
+        base = (1.0 - damping) / n + damping * dangling / n
+        rank = {v: base + damping * inflow[v] for v in nodes}
+    return {v: round(r, 6) for v, r in rank.items()}
+
+
 def freeze(sf_dir: str) -> None:
     t0 = time.monotonic()
     con = duckdb.connect()
@@ -75,8 +94,19 @@ def freeze(sf_dir: str) -> None:
     con.executemany("INSERT INTO e VALUES (?, ?, ?, ?, ?)",
                     [(s, p, d, int(n), sig) for s, p, d, n in edges])
     con.execute(f"COPY e TO '{out}' (FORMAT PARQUET)")
-    print(f"{sf_dir}: {len(docs)} docs -> {len(edges)} edges "
-          f"sig={sig} ({time.monotonic() - t0:.1f}s) -> {out}")
+
+    # PageRank expected values, replayed single-threaded over the
+    # SAME frozen edges (for the kg_pagerank oracle row)
+    pr = py_pagerank([(s, d) for s, _p, d, _n in edges])
+    out_pr = OUT_DIR / f"kg_pagerank_{sig}.parquet"
+    con.execute("CREATE TABLE p (node VARCHAR, rank DOUBLE, "
+                "corpus_sig VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)",
+                    [(v, r, sig) for v, r in sorted(pr.items())])
+    con.execute(f"COPY p TO '{out_pr}' (FORMAT PARQUET)")
+    print(f"{sf_dir}: {len(docs)} docs -> {len(edges)} edges, "
+          f"{len(pr)} pagerank nodes sig={sig} "
+          f"({time.monotonic() - t0:.1f}s) -> {out}")
 
 
 if __name__ == "__main__":
