@@ -58,6 +58,39 @@ def sessionize(events: DataFrame, key: str = "user_id", ts: str = "ts",
                     "n_events", "session_start", "session_end"))
 
 
+def range_join(left: DataFrame, right: DataFrame, key: str,
+               left_ts: str, right_ts: str,
+               window_minutes: int,
+               left_cols: Sequence[str],
+               right_cols: Sequence[str]) -> DataFrame:
+    """All (left, right) pairs with equal key and
+    |right_ts - left_ts| <= window_minutes.
+
+    Scale shape (vs the naive per-key cross product): both sides are
+    keyed by a time bucket of width = window; the LEFT side explodes to
+    its bucket ±1 (3 rows), the right side keeps one bucket, and the
+    equi-join on (key, bucket) bounds each row's candidates to ~3
+    windows' worth of events instead of the key's whole history.  Every
+    qualifying pair joins exactly once (the right row has ONE bucket).
+    The exact |dt| <= window predicate filters after the equi-join.
+    """
+    w_us = window_minutes * 60 * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    l = (left.select(F.col(key).alias("__k"), l_us.alias("__lt"),
+                     *[F.col(c) for c in left_cols])
+         .withColumn("__b", F.explode(F.array(
+             F.floor(F.col("__lt") / w_us) - 1,
+             F.floor(F.col("__lt") / w_us),
+             F.floor(F.col("__lt") / w_us) + 1))))
+    r = right.select(F.col(key).alias("__k"), r_us.alias("__rt"),
+                     F.floor(r_us / w_us).alias("__b"),
+                     *[F.col(c) for c in right_cols])
+    return (l.join(r, ["__k", "__b"])
+            .filter(F.abs(F.col("__rt") - F.col("__lt")) <= w_us)
+            .select(*left_cols, *right_cols))
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
               right_cols: Sequence[str],

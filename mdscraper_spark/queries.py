@@ -386,6 +386,68 @@ def distinct_users_per_type(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_events")))
 
 
+@register("window_running_stats", """
+SELECT o_custkey, o_orderkey,
+       round(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_spend,
+       NTILE(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey) AS spend_quartile
+FROM orders
+""")
+def window_running_stats(spark, sf_dir):
+    """Running-total + ntile window breadth: cumulative customer spend
+    in strict (date, orderkey) order — the total order makes the
+    double prefix-sum sequence identical in both engines — and spend
+    quartiles per customer."""
+    o = load(spark, sf_dir, "orders")
+    w_run = (Window.partitionBy("o_custkey")
+             .orderBy("o_orderdate", "o_orderkey")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tile = Window.partitionBy("o_custkey").orderBy("o_totalprice",
+                                                     "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_run), 4)
+        .alias("running_spend"),
+        F.ntile(4).over(w_tile).alias("spend_quartile"))
+
+
+@register("events_error_click_window", """
+WITH err AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'error'),
+clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+c AS (
+  SELECT e.event_id, COUNT(*) AS n_near_clicks
+  FROM err e JOIN clk k ON e.user_id = k.user_id
+   AND abs(epoch_us(k.ts) - epoch_us(e.ts)) <= 5 * 60 * 1000000
+  GROUP BY 1
+)
+SELECT e.event_id, COALESCE(c.n_near_clicks, 0) AS n_near_clicks
+FROM err e LEFT JOIN c USING (event_id)
+""")
+def events_error_click_window(spark, sf_dir):
+    """Range (interval) join, bucketed: clicks within ±5 minutes of
+    each error by the same user.  The operator explodes the left side
+    to its time bucket ±1 and equi-joins on (key, bucket), bounding
+    candidates to ~3 windows of events instead of the user's whole
+    history — the naive per-key cross product is the oracle."""
+    ev = load(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts"))
+    pairs = temporal.range_join(errors, clicks.withColumn(
+        "click_ts", F.col("ts")), "user_id", "ts", "ts", 5,
+        ["event_id"], ["click_ts"])
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_near_clicks"))
+    return (errors.select("event_id").join(counts, "event_id", "left")
+            .select("event_id", F.coalesce("n_near_clicks", F.lit(0))
+                    .alias("n_near_clicks")))
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

@@ -81,3 +81,37 @@ def test_asof_join_inner_drops_unmatched(spark):
                              left_ts="ts", right_ts="click_ts",
                              right_cols=("click_event_id", "click_ts"))
     assert [r["event_id"] for r in out.collect()] == [100]
+
+
+def test_range_join_bucket_boundaries_and_plan(spark):
+    """Bucketed range join: pairs straddling a bucket boundary must
+    still match (left explodes to bucket ±1), no pair duplicates, and
+    the plan is an equi-join — never a cross product."""
+    import datetime
+
+    from mdscraper_spark.operators.temporal import range_join
+
+    t0 = datetime.datetime(2025, 6, 14, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [(1, "u", ts(0)), (2, "u", ts(299)), (3, "u", ts(10_000)),
+         (4, "v", ts(0))],
+        "lid long, user string, ts timestamp")
+    right = spark.createDataFrame(
+        # 299s after lid=1 (inside ±300s), 599s (outside for lid=1 but
+        # 300s from lid=2 -> inside), far row, other-key row
+        [("u", ts(299), 10), ("u", ts(599), 11), ("u", ts(50_000), 12),
+         ("w", ts(0), 13)],
+        "user string, rts timestamp, rid int")
+
+    pairs = range_join(left, right, "user", "ts", "rts", 5,
+                       ["lid"], ["rid"])
+    got = sorted((r.lid, r.rid) for r in pairs.collect())
+    assert got == [(1, 10), (2, 10), (2, 11)]
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
