@@ -25,6 +25,13 @@ Semantics provided (all tested):
 * **Snapshot expiration** — ``expire_snapshots(keep_last=k)`` drops
   history and deletes data files no retained snapshot references
   (Iceberg's expire_snapshots + orphan-file cleanup in one step).
+* **MERGE INTO (upsert)** — ``merge_table`` replaces matched keys,
+  inserts new ones, keeps the rest; partitioned merges rewrite only
+  the touched partitions (copy-on-write scoped by the dynamic
+  partition overwrite).
+* **Change data feed** — ``changes(from, to, keys)`` classifies the
+  row-level delta between two retained snapshots as
+  insert / update_postimage / delete (Iceberg CDC shape).
 """
 
 from __future__ import annotations
@@ -191,6 +198,67 @@ class Warehouse:
             parent = m.get("parent_snapshot")
             m = self.manifest(name, parent) if parent else None
         return out
+
+    # -- merge / change data feed -----------------------------------------
+    def merge_table(self, source: DataFrame, name: str,
+                    key_cols: Sequence[str],
+                    partition_by: Sequence[str] = ()) -> str:
+        """MERGE INTO (upsert): target rows matching ``key_cols`` are
+        replaced by the source row, unmatched source rows are inserted,
+        unmatched target rows are kept.  Returns the new snapshot id.
+
+        Partitioned tables rewrite ONLY the partitions the source
+        touches (merged rows routed through the dynamic partition
+        overwrite), so a re-crawl upsert of one url-host bucket leaves
+        every other bucket owned by its previous snapshot — the same
+        property the resume path relies on.  Unpartitioned tables
+        rewrite fully (as Iceberg copy-on-write does).
+        """
+        from pyspark.sql import functions as F
+
+        keys = list(key_cols)
+        if not self.exists(name):
+            return self.write_table(source, name,
+                                    partition_by=tuple(partition_by))
+        target = self.read_table(name)
+        if partition_by:
+            touched = source.select(*partition_by).distinct()
+            target = target.join(F.broadcast(touched),
+                                 list(partition_by), "left_semi")
+        kept = target.join(source.select(*keys).distinct(), keys,
+                           "left_anti")
+        merged = kept.unionByName(source)
+        return self.write_table(merged, name,
+                                partition_by=tuple(partition_by))
+
+    def changes(self, name: str, from_snapshot: str, to_snapshot: str,
+                key_cols: Sequence[str]) -> DataFrame:
+        """Change data feed between two retained snapshots: each row of
+        the newer snapshot that is new ('insert') or whose non-key
+        content changed ('update_postimage'), plus each older-snapshot
+        row whose key disappeared ('delete') — the incremental-consumer
+        contract (Iceberg CDC / changelog scan shape).
+
+        Row-level diff via exceptAll (duplicate-exact), classified by
+        key membership; one extra ``_change_type`` string column.
+        """
+        from pyspark.sql import functions as F
+
+        keys = list(key_cols)
+        old = self.read_table(name, snapshot_id=from_snapshot)
+        new = self.read_table(name, snapshot_id=to_snapshot)
+        added = new.exceptAll(old)          # inserted or post-update
+        removed = old.exceptAll(new)        # deleted or pre-update
+        changed_keys = (added.select(*keys)
+                        .intersect(removed.select(*keys)))
+        updates = added.join(changed_keys, keys, "left_semi") \
+            .withColumn("_change_type", F.lit("update_postimage"))
+        inserts = added.join(changed_keys, keys, "left_anti") \
+            .withColumn("_change_type", F.lit("insert"))
+        deletes = (removed
+                   .join(new.select(*keys).distinct(), keys, "left_anti")
+                   .withColumn("_change_type", F.lit("delete")))
+        return inserts.unionByName(updates).unionByName(deletes)
 
     # -- maintenance -------------------------------------------------------
     def _data_files(self, name: str, m: dict) -> List[pathlib.Path]:

@@ -134,3 +134,44 @@ def test_compact_carry_does_not_duplicate_surviving_sids(spark, wh):
     assert s1 in m2["partitions"][key1]        # lost entry carried
     assert s2 not in m2["partitions"][key1]    # surviving sid NOT re-attached
     assert grab(wh.read_table("t")) == before  # and no duplicated rows
+
+
+def test_merge_table_upsert_partition_scoped(spark, wh):
+    """MERGE: matched keys replaced, new keys inserted, unmatched rows
+    kept; partitioned merges rewrite ONLY the touched partitions and
+    history stays time-travelable."""
+    s1 = wh.write_table(_df(spark, [(0, "a", 1), (0, "b", 2), (1, "c", 3),
+                                    (2, "d", 4)]),
+                        "t", partition_by=("part_id",))
+    # upsert: update (0,"a"), insert (0,"e") — touches ONLY partition 0
+    src = _df(spark, [(0, "a", 10), (0, "e", 5)])
+    s2 = wh.merge_table(src, "t", key_cols=("part_id", "k"),
+                        partition_by=("part_id",))
+    assert grab(wh.read_table("t")) == [
+        (0, "a", 10), (0, "b", 2), (0, "e", 5), (1, "c", 3), (2, "d", 4)]
+    # untouched partitions still owned by the pre-merge snapshot
+    m = wh.manifest("t")
+    owners = {k: v for k, v in m["partitions"].items()}
+    p0 = [k for k in owners if k.endswith("=0")][0]
+    p1 = [k for k in owners if k.endswith("=1")][0]
+    assert owners[p0] == [s2] and owners[p1] == [s1]
+    # pre-merge state reproducible
+    assert grab(wh.read_table("t", snapshot_id=s1)) == [
+        (0, "a", 1), (0, "b", 2), (1, "c", 3), (2, "d", 4)]
+
+
+def test_merge_table_creates_when_missing(spark, wh):
+    wh.merge_table(_df(spark, [(0, "a", 1)]), "fresh", key_cols=("k",))
+    assert grab(wh.read_table("fresh")) == [(0, "a", 1)]
+
+
+def test_changes_classifies_insert_update_delete(spark, wh):
+    s1 = wh.write_table(_df(spark, [(0, "a", 1), (0, "b", 2), (1, "c", 3)]),
+                        "t")
+    s2 = wh.write_table(_df(spark, [(0, "a", 99), (1, "c", 3), (2, "e", 5)]),
+                        "t")
+    rows = {(r.k, r.v, r._change_type)
+            for r in wh.changes("t", s1, s2, key_cols=("k",)).collect()}
+    assert rows == {("a", 99, "update_postimage"),
+                    ("e", 5, "insert"),
+                    ("b", 2, "delete")}
