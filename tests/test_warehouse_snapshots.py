@@ -175,3 +175,21 @@ def test_changes_classifies_insert_update_delete(spark, wh):
     assert rows == {("a", 99, "update_postimage"),
                     ("e", 5, "insert"),
                     ("b", 2, "delete")}
+
+
+def test_schema_evolution_add_column(spark, wh):
+    """Iceberg-style add-column evolution: the manifest schema is
+    authoritative, so pre-evolution files surface the new column as
+    null and time travel reads each snapshot under its own schema."""
+    from pyspark.sql import Row
+
+    s1 = wh.write_table(_df(spark, [(0, "a", 1)]), "t", mode="append")
+    evolved = spark.createDataFrame([Row(part_id=0, k="b", v=2, tag="new")])
+    s2 = wh.write_table(evolved, "t", mode="append")
+    rows = {tuple(r) for r in wh.read_table("t").collect()}
+    assert rows == {(0, "a", 1, None), (0, "b", 2, "new")}
+    # old snapshot still reads under its own (3-column) schema
+    assert grab(wh.read_table("t", snapshot_id=s1)) == [(0, "a", 1)]
+    assert [f.name for f in
+            wh.read_table("t", snapshot_id=s1).schema.fields] == \
+        ["part_id", "k", "v"]
