@@ -241,16 +241,18 @@ def _site_worklist(spark, pages, seed_url: str, config):
     parsed = urlparse(seed_url)
     site_root = f"{parsed.scheme}://{parsed.hostname}"
     work = site_seed_urls(seed_docs, site_root, config.exclude_pages)
-    harvested = (work.select(F.col("harvested_url").alias("url"))
-                 .distinct())
-    matched = pages.join(F.broadcast(harvested), "url", "left_semi")
-    n_harvested = harvested.limit(1).count()
-    if n_harvested > 0 and matched.limit(1).count() == 0:
-        sample = [r.url for r in harvested.limit(3).collect()]
+    # ONE pass over the seed extraction: the harvest comes from a
+    # single page, so collect it once and drive both the zero-match
+    # guard and the work-list filter from the local list (an isin
+    # filter pushes down into the pages scan; no extra Spark actions
+    # re-running the extraction UDF)
+    harvested = sorted({r.harvested_url for r in work.collect()})
+    matched = pages.filter(F.col("url").isin(harvested))
+    if harvested and matched.limit(1).count() == 0:
         raise SystemExit(
             f"--site {seed_url}: harvested urls match no pages rows "
-            f"(sample: {sample}); note the reference's site_root drops "
-            "the port and lowercases the host (scraper.py:779)")
+            f"(sample: {harvested[:3]}); note the reference's site_root "
+            "drops the port and lowercases the host (scraper.py:779)")
     return matched
 
 

@@ -39,7 +39,16 @@ def ws_strip(col: Column) -> Column:
     return F.regexp_replace(col, r"^\s+|\s+$", "")
 
 
-SQL_WS_STRIP = "regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+def sql_ws_strip(col: str) -> str:
+    """DuckDB twin of ws_strip — THE canonical encoding; every oracle
+    that tokenizes must build on this (a stale space-only trim twin is
+    exactly how the phantom-token bug slipped in)."""
+    return f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+
+
+def sql_tokens(col: str) -> str:
+    """DuckDB twin of tokenize()."""
+    return f"regexp_split_to_array({sql_ws_strip(col)}, '\\s+')"
 
 
 def tokenize(col: Column) -> Column:
@@ -69,7 +78,7 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return shingles_from_tokens(tokenize(col), k)
 
 
-SQL_TOKENS_CTE = "regexp_split_to_array(trim({col}), '\\s+')"
+SQL_TOKENS_CTE = "regexp_split_to_array(regexp_replace({col}, '^\\s+|\\s+$', '', 'g'), '\\s+')"  # legacy alias of sql_tokens
 
 
 def sql_word_shingles(toks_expr: str, k: int = 3) -> str:

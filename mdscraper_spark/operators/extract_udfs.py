@@ -108,13 +108,20 @@ def status_counts(markdown_docs: DataFrame) -> DataFrame:
 
 def with_doc_path(docs: DataFrame, config: ExtractConfig) -> DataFrame:
     """B2 full output path as a derived column (scraper.py:826-831):
-    %-modes get ``{outdir}/{doc_slug}.md``; a fixed --output name is
-    joined verbatim (no '.md' suffix).  Null for non-ok rows — the
-    reference never names a file for a failed page."""
+    %-modes get ``os.path.join(outdir, slug + '.md')``; a fixed
+    --output name is joined verbatim (no '.md' suffix).  os.path.join
+    semantics replicated: no doubled slash after a trailing-slash
+    outdir, and an ABSOLUTE fixed name discards outdir.  Null for
+    non-ok rows — the reference never names a file for a failed page."""
     fixed = config.output not in ("%TITLE", "%URL")
     name = (F.lit(config.output) if fixed
             else F.concat(F.col("doc_slug"), F.lit(".md")))
-    path = (F.concat(F.lit(f"{config.outdir}/"), name) if config.outdir
-            else name)
+    outdir = config.outdir
+    if outdir:
+        prefix = outdir if outdir.endswith("/") else outdir + "/"
+        path = F.when(name.startswith("/"), name) \
+                .otherwise(F.concat(F.lit(prefix), name))
+    else:
+        path = name
     return docs.withColumn(
         "doc_path", F.when(F.col("status") == "ok", path))

@@ -66,20 +66,26 @@ def shared_neighbor_counts(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, iters: int = 10,
-             damping: float = 0.85, checkpoint_every: int = 4) -> DataFrame:
+             damping: float = 0.85) -> DataFrame:
     """(node, rank): PageRank with uniform teleport over the node set,
     dangling mass redistributed uniformly, fixed iteration count.
 
     DataFrame loop: out-degrees computed once; each round joins ranks
     to edges on src (the reused partitioning), sums contributions by
-    dst, adds teleport + dangling mass.  Ranks are rounded only at the
-    END so iteration math matches the oracle's double arithmetic.
+    dst, adds teleport + dangling mass.  The per-round inflow table
+    (O(#nodes)) is localCheckpointed, which both truncates lineage
+    every iteration and lets the dangling mass come from ONE cheap
+    aggregate over it — dangling = 1 - Σinflow, since rank mass is
+    conserved (Σranks = 1 every round) and exactly the non-dangling
+    mass flows through edges.  Ranks are rounded only at the END so
+    iteration math matches the oracle's double arithmetic.
     """
-    spark = edges.sparkSession
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct().localCheckpoint())
     n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # edge list with per-edge weight 1/deg(src), reused every round
     weighted = (edges.select("src", "dst")
@@ -89,24 +95,20 @@ def pagerank(edges: DataFrame, iters: int = 10,
                 .localCheckpoint())
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for i in range(iters):
+    for _ in range(iters):
         contrib = (weighted.join(ranks, weighted.src == ranks.node)
                    .select(F.col("dst").alias("node"),
                            (F.col("rank") * F.col("w")).alias("c")))
-        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-        # dangling mass = total rank sitting on nodes with no out-edges
-        dangling = (ranks.join(out_deg, ranks.node == out_deg.src,
-                               "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .first()[0])
+        inflow = (contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+                  .localCheckpoint())
+        dangling = 1.0 - (inflow.agg(F.coalesce(F.sum("inflow"),
+                                                F.lit(0.0))).first()[0])
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = (nodes.join(inflow, "node", "left")
                  .select("node",
                          (F.lit(base) + F.lit(damping)
                           * F.coalesce("inflow", F.lit(0.0)))
                          .alias("rank")))
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
     # round 6 (not more): per-iteration double sums are order-dependent
     # at ~1e-16 and 10 rounds amplify to ~1e-12 vs the oracle's replay
     return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -169,8 +169,10 @@ def contamination(docs: DataFrame, benchmark: DataFrame, k: int = 5,
 # -- SQL twins (DuckDB dialect) ----------------------------------------------
 
 def sql_ws_strip(col: str) -> str:
-    """DuckDB twin of dedup.ws_strip (trim is space-only there too)."""
-    return f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+    """Canonical encoding lives in dedup.sql_ws_strip; kept as a
+    delegating alias for textstats callers."""
+    from mdscraper_spark.operators.dedup import sql_ws_strip as _s
+    return _s(col)
 
 
 def sql_token_count_ws(col: str) -> str:

@@ -767,7 +767,7 @@ def doc_fingerprint_q(spark, sf_dir):
 
 @register("doc_repetition_stats", f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+  SELECT doc_id, {dedup.sql_tokens('text')} AS toks
   FROM documents
 ), bg AS (
   SELECT doc_id,
@@ -810,9 +810,9 @@ def doc_split_assignment(spark, sf_dir):
                     textstats.hash_split(F.col("doc_id")).alias("split")))
 
 
-@register("benchmark_contamination", """
+@register("benchmark_contamination", f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+  SELECT doc_id, {dedup.sql_tokens('text')} AS toks
   FROM documents
 ), ex AS (
   SELECT doc_id, unnest(list_distinct(
@@ -854,7 +854,7 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(load(spark, sf_dir, "documents", fan_out=True))
 
 
-_SQL_TOKS = "regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+_SQL_TOKS = dedup.sql_tokens("text")
 _SHINGLES_CTE = ("""
 WITH t AS (
   SELECT doc_id, lang, length(text) AS n_chars_real,
@@ -887,7 +887,7 @@ def minhash_signatures_q(spark, sf_dir):
 
 @register("simhash16", f"""
 WITH raw AS (
-  SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS tok
+  SELECT doc_id, unnest({dedup.sql_tokens('text')}) AS tok
   FROM documents
 ), tok AS (
   SELECT doc_id, md5(tok) AS h FROM raw

@@ -211,8 +211,13 @@ class Warehouse:
         touches (merged rows routed through the dynamic partition
         overwrite), so a re-crawl upsert of one url-host bucket leaves
         every other bucket owned by its previous snapshot — the same
-        property the resume path relies on.  Unpartitioned tables
-        rewrite fully (as Iceberg copy-on-write does).
+        property the resume path relies on.  That scoping is only
+        sound when the key determines the partition (partition_by ⊆
+        key_cols — a matched row can then never live outside a touched
+        partition); otherwise the merge falls back to a full rewrite
+        so a key that MOVED partitions is still replaced, not
+        duplicated.  Unpartitioned tables always rewrite fully (as
+        Iceberg copy-on-write does).
         """
         from pyspark.sql import functions as F
 
@@ -221,13 +226,19 @@ class Warehouse:
             return self.write_table(source, name,
                                     partition_by=tuple(partition_by))
         target = self.read_table(name)
-        if partition_by:
+        scoped = bool(partition_by) and set(partition_by) <= set(keys)
+        if scoped:
             touched = source.select(*partition_by).distinct()
             target = target.join(F.broadcast(touched),
                                  list(partition_by), "left_semi")
+        cols = target.columns       # key-joins reorder columns; keep
         kept = target.join(source.select(*keys).distinct(), keys,
                            "left_anti")
-        merged = kept.unionByName(source)
+        merged = kept.unionByName(source).select(*cols)
+        if partition_by and not scoped:
+            # full rewrite: a dynamic overwrite would leave a stale
+            # copy in a partition the merged frame no longer touches
+            return self._full_overwrite(merged, name, tuple(partition_by))
         return self.write_table(merged, name,
                                 partition_by=tuple(partition_by))
 
@@ -241,12 +252,29 @@ class Warehouse:
 
         Row-level diff via exceptAll (duplicate-exact), classified by
         key membership; one extra ``_change_type`` string column.
+        Snapshots straddling an add-column evolution are aligned by
+        null-filling each side to the union of both schemas.  Exact
+        for unique-key tables (the engine's tables are url-/id-keyed);
+        with duplicate keys, a removed copy of a key that also has
+        added rows is folded into the update classification rather
+        than emitted as its own delete.
         """
         from pyspark.sql import functions as F
 
         keys = list(key_cols)
         old = self.read_table(name, snapshot_id=from_snapshot)
         new = self.read_table(name, snapshot_id=to_snapshot)
+        # align schemas across add-column evolution (exceptAll needs
+        # identical column sets)
+        o_types, n_types = dict(old.dtypes), dict(new.dtypes)
+        for c, t in n_types.items():
+            if c not in o_types:
+                old = old.withColumn(c, F.lit(None).cast(t))
+        for c, t in o_types.items():
+            if c not in n_types:
+                new = new.withColumn(c, F.lit(None).cast(t))
+        cols = new.columns
+        old = old.select(*cols)
         added = new.exceptAll(old)          # inserted or post-update
         removed = old.exceptAll(new)        # deleted or pre-update
         changed_keys = (added.select(*keys)
@@ -255,8 +283,10 @@ class Warehouse:
             .withColumn("_change_type", F.lit("update_postimage"))
         inserts = added.join(changed_keys, keys, "left_anti") \
             .withColumn("_change_type", F.lit("insert"))
-        deletes = (removed
-                   .join(new.select(*keys).distinct(), keys, "left_anti")
+        # a removed row is a delete unless its key is being updated —
+        # this also catches a vanished duplicate copy of a key that
+        # still exists in the new snapshot
+        deletes = (removed.join(changed_keys, keys, "left_anti")
                    .withColumn("_change_type", F.lit("delete")))
         return inserts.unionByName(updates).unionByName(deletes)
 

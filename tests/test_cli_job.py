@@ -235,3 +235,27 @@ def test_site_mode_zero_match_raises_instead_of_silent_empty(spark, tmp_path):
         main(["--input", pq, "--warehouse", str(tmp_path / "wh_port"),
               "--site", "https://site.test:8443/index.html",
               "--extract-only", "--n-buckets", "4"])
+
+
+def test_doc_path_join_semantics(spark):
+    """os.path.join parity: trailing-slash outdir doesn't double the
+    slash; an absolute fixed name discards outdir (scraper.py:826-831)."""
+    from pyspark.sql import Row
+
+    from mdscraper_spark.config import ExtractConfig
+    from mdscraper_spark.operators.extract_udfs import with_doc_path
+
+    docs = spark.createDataFrame(
+        [Row(doc_slug="slug", status="ok"),
+         Row(doc_slug="x", status="no_content")])
+
+    def path_of(cfg):
+        rows = with_doc_path(docs, cfg).orderBy("doc_slug").collect()
+        return rows[0].doc_path, rows[1].doc_path
+
+    ok, failed = path_of(ExtractConfig(outdir="out/md/"))
+    assert ok == "out/md/slug.md" and failed is None
+    ok, _ = path_of(ExtractConfig(output="/abs/notes.md", outdir="out"))
+    assert ok == "/abs/notes.md"          # absolute fixed name wins
+    ok, _ = path_of(ExtractConfig(output="notes.md", outdir="out"))
+    assert ok == "out/notes.md"

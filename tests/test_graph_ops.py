@@ -53,3 +53,8 @@ def test_pagerank_matches_python_replay(spark, edges):
     expect = py_pagerank([(r.src, r.dst) for r in edges.collect()])
     got = {r.node: r.rank for r in pagerank(edges).collect()}
     assert got == expect
+
+
+def test_pagerank_empty_edges_returns_empty(spark, edges):
+    empty = edges.filter("src = 'nope'")
+    assert pagerank(empty).collect() == []

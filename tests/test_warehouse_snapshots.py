@@ -193,3 +193,36 @@ def test_schema_evolution_add_column(spark, wh):
     assert [f.name for f in
             wh.read_table("t", snapshot_id=s1).schema.fields] == \
         ["part_id", "k", "v"]
+
+
+def test_merge_cross_partition_key_move_not_duplicated(spark, wh):
+    """When key_cols do NOT determine the partition, a key that moved
+    partitions must be replaced, not duplicated (full-rewrite
+    fallback), and its emptied old partition must not linger."""
+    wh.write_table(_df(spark, [(0, "a", 1), (1, "c", 3)]), "t",
+                   partition_by=("part_id",))
+    # key 'a' moves from partition 0 to partition 1
+    wh.merge_table(_df(spark, [(1, "a", 9)]), "t", key_cols=("k",),
+                   partition_by=("part_id",))
+    assert grab(wh.read_table("t")) == [(1, "a", 9), (1, "c", 3)]
+
+
+def test_changes_emits_delete_for_vanished_duplicate(spark, wh):
+    s1 = wh.write_table(_df(spark, [(0, "a", 5), (0, "a", 5), (0, "b", 1)]),
+                        "t")
+    s2 = wh.write_table(_df(spark, [(0, "a", 5), (0, "b", 1)]), "t")
+    rows = [(r.k, r.v, r._change_type)
+            for r in wh.changes("t", s1, s2, key_cols=("k",)).collect()]
+    assert rows == [("a", 5, "delete")]
+
+
+def test_changes_across_schema_evolution(spark, wh):
+    from pyspark.sql import Row
+
+    s1 = wh.write_table(_df(spark, [(0, "a", 1)]), "t", mode="append")
+    s2 = wh.write_table(
+        spark.createDataFrame([Row(part_id=0, k="b", v=2, tag="new")]),
+        "t", mode="append")
+    rows = {(r.k, r.v, r.tag, r._change_type) for r in
+            wh.changes("t", s1, s2, key_cols=("k",)).collect()}
+    assert rows == {("b", 2, "new", "insert")}

@@ -59,6 +59,8 @@ def py_pagerank(edges, iters: int = 10, damping: float = 0.85) -> dict:
     pairs — same math, same fixed iteration count."""
     nodes = sorted({s for s, _d in edges} | {d for _s, d in edges})
     n = len(nodes)
+    if n == 0:
+        return {}
     out_deg: dict = {}
     for s, _d in edges:
         out_deg[s] = out_deg.get(s, 0) + 1
@@ -67,7 +69,9 @@ def py_pagerank(edges, iters: int = 10, damping: float = 0.85) -> dict:
         inflow = {v: 0.0 for v in nodes}
         for s, d in edges:
             inflow[d] += rank[s] / out_deg[s]
-        dangling = sum(r for v, r in rank.items() if v not in out_deg)
+        # same formula as the distributed loop: mass conservation
+        # (dangling = 1 - what flowed through edges)
+        dangling = 1.0 - sum(inflow.values())
         base = (1.0 - damping) / n + damping * dangling / n
         rank = {v: base + damping * inflow[v] for v in nodes}
     return {v: round(r, 6) for v, r in rank.items()}
