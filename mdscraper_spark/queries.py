@@ -1231,6 +1231,27 @@ def _flagship_edges(spark, sf_dir):
     return kg_flagship(spark, sf_dir)
 
 
+@register("kg_nodes_check", """
+SELECT canon_id, label, n_mentions
+FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_nodes_*.parquet')
+WHERE corpus_sig = (SELECT md5(string_agg(text, '' ORDER BY doc_id))
+                    FROM documents)
+""")
+def kg_nodes_check(spark, sf_dir):
+    """I6 node side of the graph materialize, hash-checked against the
+    frozen single-threaded oracle's kg_nodes (canon_id, label,
+    n_mentions) — the edges twin is `kg_flagship`."""
+    pages = docs_to_kg_pages(load(spark, sf_dir, "documents",
+                                  fan_out=True))
+    docs = extract_markdown(pages, ExtractConfig())
+    aliases = kg_ops.alias_df(spark)
+    gaz_entries = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
+    mentions = kg_ops.mine_mentions(docs, gaz_entries)
+    links = kg_ops.link_entities(mentions, aliases)
+    cmap = kg_ops.connected_components(kg_ops.coreference_edges(links))
+    return kg_ops.build_kg_nodes(cmap, mentions, aliases)
+
+
 @register("kg_degree_stats", f"""
 WITH e AS (SELECT src, dst, n_support FROM {_FROZEN_EDGES}),
 o AS (SELECT src AS node, COUNT(*) AS out_deg, SUM(n_support) AS n_support_out

@@ -84,3 +84,48 @@ def test_stateful_host_crawl_stats(spark, tmp_path):
     for host, row in got2.items():
         assert row.n_pages_total == expect_total[host]
         assert row.batch_pages <= row.n_pages_total
+
+
+def test_incremental_kg_edge_accumulation(spark, tmp_path):
+    """foreachBatch + merge_table: per-batch triple support sums into
+    raw_edges exactly-once; the accumulated table equals a one-shot
+    batch mine over the whole corpus, and a re-run with no new files
+    changes nothing (checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from mdscraper_spark.operators import kg as kg_ops
+    from mdscraper_spark.operators.extract_udfs import extract_markdown
+    from mdscraper_spark.sources.tables import Warehouse
+    from mdscraper_spark.streaming.kg_incremental import stream_kg_update
+
+    inp = str(tmp_path / "kg_pages_in")
+    wh_path = str(tmp_path / "kg_wh")
+    ckpt = str(tmp_path / "kg_ckpt")
+    all_pages = bulk_pages_df(spark, 40).collect()
+
+    spark.createDataFrame(all_pages[:25], PAGES_SCHEMA) \
+         .write.mode("append").parquet(inp)
+    stream_kg_update(spark, inp, wh_path, ckpt, CFG)
+    spark.createDataFrame(all_pages[25:], PAGES_SCHEMA) \
+         .write.mode("append").parquet(inp)
+    stream_kg_update(spark, inp, wh_path, ckpt, CFG)
+
+    wh = Warehouse(spark, wh_path)
+    got = {(r.subj, r.pred, r.obj): r.n_support
+           for r in wh.read_table("raw_edges").collect()}
+
+    # batch ground truth over the full corpus in one pass
+    docs = extract_markdown(
+        spark.createDataFrame(all_pages, PAGES_SCHEMA), CFG)
+    want = {(r.subj, r.pred, r.obj): r.n
+            for r in kg_ops.mine_triples(docs)
+            .groupBy("subj", "pred", "obj")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and len(got) > 0
+
+    # no new files -> checkpoint makes the re-run a no-op
+    n_snapshots = len(wh.snapshots("raw_edges"))
+    stream_kg_update(spark, inp, wh_path, ckpt, CFG)
+    assert {(r.subj, r.pred, r.obj): r.n_support
+            for r in wh.read_table("raw_edges").collect()} == want
+    assert len(wh.snapshots("raw_edges")) == n_snapshots

@@ -89,7 +89,9 @@ def freeze(sf_dir: str) -> None:
 
     pages = ((f"https://docs.test/{doc_id}", kg_page_html(int(doc_id), text))
              for doc_id, text in docs)
-    edges = run_oracle(pages, alias_rows())["kg_edges"]
+    derived = run_oracle(pages, alias_rows())
+    edges = derived["kg_edges"]
+    kg_nodes = derived["kg_nodes"]
 
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     out = OUT_DIR / f"kg_edges_{sig}.parquet"
@@ -98,6 +100,13 @@ def freeze(sf_dir: str) -> None:
     con.executemany("INSERT INTO e VALUES (?, ?, ?, ?, ?)",
                     [(s, p, d, int(n), sig) for s, p, d, n in edges])
     con.execute(f"COPY e TO '{out}' (FORMAT PARQUET)")
+
+    out_nodes = OUT_DIR / f"kg_nodes_{sig}.parquet"
+    con.execute("CREATE TABLE n (canon_id VARCHAR, label VARCHAR, "
+                "n_mentions BIGINT, corpus_sig VARCHAR)")
+    con.executemany("INSERT INTO n VALUES (?, ?, ?, ?)",
+                    [(c, l, int(m), sig) for c, l, m in kg_nodes])
+    con.execute(f"COPY n TO '{out_nodes}' (FORMAT PARQUET)")
 
     # PageRank expected values, replayed single-threaded over the
     # SAME frozen edges (for the kg_pagerank oracle row)
