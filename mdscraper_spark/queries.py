@@ -1207,15 +1207,24 @@ def kg_flagship(spark, sf_dir):
     signature, so the one static SQL string picks the right expected
     edges for whichever sf the driver registered, and an unknown corpus
     fails loudly with zero oracle rows."""
-    pages = docs_to_kg_pages(load(spark, sf_dir, "documents", fan_out=True))
+    docs, mentions, aliases, cmap = _kg_pipeline_parts(spark, sf_dir)
+    return kg_ops.build_kg_edges(kg_ops.mine_triples(docs), cmap)
+
+
+def _kg_pipeline_parts(spark, sf_dir):
+    """Shared pipeline prefix of the KG registry rows (pages ->
+    extract -> mentions -> links -> connected components); ONE
+    definition so the edges/nodes oracle rows cannot silently
+    diverge."""
+    pages = docs_to_kg_pages(load(spark, sf_dir, "documents",
+                                  fan_out=True))
     docs = extract_markdown(pages, ExtractConfig())
     aliases = kg_ops.alias_df(spark)
     gaz_entries = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
     mentions = kg_ops.mine_mentions(docs, gaz_entries)
-    triples = kg_ops.mine_triples(docs)
     links = kg_ops.link_entities(mentions, aliases)
     cmap = kg_ops.connected_components(kg_ops.coreference_edges(links))
-    return kg_ops.build_kg_edges(triples, cmap)
+    return docs, mentions, aliases, cmap
 
 
 _FROZEN_EDGES = """
@@ -1241,14 +1250,7 @@ def kg_nodes_check(spark, sf_dir):
     """I6 node side of the graph materialize, hash-checked against the
     frozen single-threaded oracle's kg_nodes (canon_id, label,
     n_mentions) — the edges twin is `kg_flagship`."""
-    pages = docs_to_kg_pages(load(spark, sf_dir, "documents",
-                                  fan_out=True))
-    docs = extract_markdown(pages, ExtractConfig())
-    aliases = kg_ops.alias_df(spark)
-    gaz_entries = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
-    mentions = kg_ops.mine_mentions(docs, gaz_entries)
-    links = kg_ops.link_entities(mentions, aliases)
-    cmap = kg_ops.connected_components(kg_ops.coreference_edges(links))
+    _docs, mentions, aliases, cmap = _kg_pipeline_parts(spark, sf_dir)
     return kg_ops.build_kg_nodes(cmap, mentions, aliases)
 
 

@@ -71,7 +71,8 @@ class Warehouse:
     # -- io ---------------------------------------------------------------
     def write_table(self, df: DataFrame, name: str,
                     partition_by: Sequence[str] = (),
-                    mode: str = "overwrite") -> str:
+                    mode: str = "overwrite",
+                    properties: Optional[dict] = None) -> str:
         """Write + advance the snapshot chain; returns the snapshot id.
 
         ``mode='overwrite'`` with a partition spec replaces only the
@@ -80,6 +81,11 @@ class Warehouse:
         keeping every previous file visible.  Earlier snapshots' data
         files are never touched — time travel stays exact until
         ``expire_snapshots``.
+
+        ``properties`` (JSON-able dict) is committed INSIDE the new
+        snapshot manifest — the Iceberg snapshot-properties analog that
+        lets a writer make application metadata (e.g. a streaming
+        batch id) atomic with the data commit.
         """
         snapshot_id = uuid.uuid4().hex
         data_dir = self._snap_data_dir(name, snapshot_id)
@@ -123,6 +129,7 @@ class Warehouse:
             "partition_by": list(partition_by),
             "write_mode": mode,
             "partitions": partitions,
+            "properties": dict(properties or {}),
         }
         self._snapshots_dir(name).mkdir(parents=True, exist_ok=True)
         (self._snapshots_dir(name) / f"{snapshot_id}.json").write_text(
@@ -202,7 +209,8 @@ class Warehouse:
     # -- merge / change data feed -----------------------------------------
     def merge_table(self, source: DataFrame, name: str,
                     key_cols: Sequence[str],
-                    partition_by: Sequence[str] = ()) -> str:
+                    partition_by: Sequence[str] = (),
+                    properties: Optional[dict] = None) -> str:
         """MERGE INTO (upsert): target rows matching ``key_cols`` are
         replaced by the source row, unmatched source rows are inserted,
         unmatched target rows are kept.  Returns the new snapshot id.
@@ -224,7 +232,8 @@ class Warehouse:
         keys = list(key_cols)
         if not self.exists(name):
             return self.write_table(source, name,
-                                    partition_by=tuple(partition_by))
+                                    partition_by=tuple(partition_by),
+                                    properties=properties)
         target = self.read_table(name)
         scoped = bool(partition_by) and set(partition_by) <= set(keys)
         if scoped:
@@ -238,9 +247,11 @@ class Warehouse:
         if partition_by and not scoped:
             # full rewrite: a dynamic overwrite would leave a stale
             # copy in a partition the merged frame no longer touches
-            return self._full_overwrite(merged, name, tuple(partition_by))
+            return self._full_overwrite(merged, name, tuple(partition_by),
+                                        properties=properties)
         return self.write_table(merged, name,
-                                partition_by=tuple(partition_by))
+                                partition_by=tuple(partition_by),
+                                properties=properties)
 
     def changes(self, name: str, from_snapshot: str, to_snapshot: str,
                 key_cols: Sequence[str]) -> DataFrame:
@@ -361,11 +372,12 @@ class Warehouse:
                 "missing_partitions": lost}
 
     def _full_overwrite(self, df: DataFrame, name: str,
-                        partition_by: Sequence[str]) -> str:
+                        partition_by: Sequence[str],
+                        properties: Optional[dict] = None) -> str:
         """Overwrite ALL partitions (compaction), not just those present
         in df — drop inherited ownership by clearing the parent map."""
         sid = self.write_table(df, name, partition_by=partition_by,
-                               mode="overwrite")
+                               mode="overwrite", properties=properties)
         m = self.manifest(name)
         m["partitions"] = {k: [sid] for k, v in m["partitions"].items()
                            if sid in v}

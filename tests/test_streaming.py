@@ -129,3 +129,31 @@ def test_incremental_kg_edge_accumulation(spark, tmp_path):
     assert {(r.subj, r.pred, r.obj): r.n_support
             for r in wh.read_table("raw_edges").collect()} == want
     assert len(wh.snapshots("raw_edges")) == n_snapshots
+
+
+def test_kg_incremental_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch id that was
+    already committed (crash between table commit and epoch log) must
+    NOT double-count support — the applied id travels inside the
+    snapshot manifest, atomic with the data."""
+    from pyspark.sql import functions as F
+
+    from mdscraper_spark.sources.tables import Warehouse
+    from mdscraper_spark.streaming.kg_incremental import merge_edge_support
+
+    wh = Warehouse(spark, str(tmp_path / "replay_wh"))
+    edges = spark.createDataFrame(
+        [("a", "works for", "X", 2), ("b", "works for", "Y", 1)],
+        "subj string, pred string, obj string, n_support long")
+    merge_edge_support(wh, edges, batch_id=0)
+    merge_edge_support(wh, edges, batch_id=0)      # replay: skipped
+    got = {(r.subj, r.obj): r.n_support
+           for r in wh.read_table("raw_edges").collect()}
+    assert got == {("a", "X"): 2, ("b", "Y"): 1}
+
+    merge_edge_support(wh, edges, batch_id=1)      # genuine new batch
+    got = {(r.subj, r.obj): r.n_support
+           for r in wh.read_table("raw_edges").collect()}
+    assert got == {("a", "X"): 4, ("b", "Y"): 2}
+    # pred-partitioned: the merge is partition-scoped, not full-table
+    assert wh.manifest("raw_edges")["partition_by"] == ["pred"]
