@@ -166,6 +166,47 @@ def contamination(docs: DataFrame, benchmark: DataFrame, k: int = 5,
                       (frac >= 0.5).alias("contaminated"))
 
 
+def greedy_pack(docs: DataFrame, budget: int = 2048, n_buckets: int = 64,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sequence packing for training: assign docs to token-budget packs
+    (doc_id, bucket, n_tokens, pack_id).
+
+    Scale shape: packing needs an ORDER, but a global order is a
+    single-partition sort — so docs are hash-bucketed first and packed
+    independently within each bucket by a running token sum (one
+    shuffle, P parallel windows).  pack_id = bucket * 2^32 +
+    floor(preceding_tokens / budget): a pack may overflow by its last
+    doc (greedy streaming semantics); docs larger than the budget get
+    their own pack run."""
+    t = docs.select(F.col(id_col).alias("doc_id"),
+                    (F.col(id_col) % n_buckets).alias("bucket"),
+                    token_count_ws(F.col(text_col)).alias("n_tokens"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = F.sum("n_tokens").over(w)
+    pack = (F.col("bucket") * F.lit(1 << 32)
+            + F.floor((running - F.col("n_tokens")) / budget))
+    return t.select("doc_id", "bucket", "n_tokens",
+                    pack.cast("long").alias("pack_id"))
+
+
+def sql_greedy_pack(budget: int = 2048, n_buckets: int = 64) -> str:
+    """DuckDB twin of greedy_pack over documents."""
+    return f"""
+SELECT doc_id, bucket, n_tokens,
+       CAST(bucket * {1 << 32} +
+            floor((running - n_tokens) / {budget}) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, doc_id % {n_buckets} AS bucket,
+         {sql_token_count_ws('text')} AS n_tokens,
+         SUM({sql_token_count_ws('text')}) OVER (
+           PARTITION BY doc_id % {n_buckets} ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM documents)
+"""
+
+
 # -- SQL twins (DuckDB dialect) ----------------------------------------------
 
 def sql_ws_strip(col: str) -> str:

@@ -842,6 +842,117 @@ def benchmark_contamination(spark, sf_dir):
     return textstats.contamination(docs, bench, k=5)
 
 
+@register("greedy_token_packing", textstats.sql_greedy_pack())
+def greedy_token_packing(spark, sf_dir):
+    """Sequence packing: hash-bucketed greedy token-budget pack
+    assignment (P parallel running-sum windows — never a global
+    single-partition sort)."""
+    return textstats.greedy_pack(load(spark, sf_dir, "documents",
+                                      fan_out=True))
+
+
+_FUNNEL_FLAGS_SQL = f"""
+WITH flags AS (
+  SELECT d.doc_id,
+         ({textstats.sql_lang_guess('d.text')}) = 'en' AS lang_ok,
+         ({textstats.sql_quality_score('d.text')}) >= 0.5 AS quality_ok,
+         ({textstats.sql_dup_line_frac('d.text')}) <= 0.3 AND
+           COALESCE(tb.top_bigram_frac, 0.0) <= 0.2 AS rep_ok,
+         d.doc_id = MIN(d.doc_id) OVER (PARTITION BY md5(d.text))
+           AS canonical,
+         COALESCE(ct.n_hit / CAST(ct.n_grams AS DOUBLE) < 0.5, true)
+           AS clean
+  FROM documents d
+  LEFT JOIN (
+    WITH t AS (
+      SELECT doc_id, {dedup.sql_tokens('text')} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1]
+                     FOR i IN range(1, len(toks))]) AS b
+      FROM t WHERE len(toks) >= 2
+    ), counts AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+    SELECT doc_id, round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6)
+             AS top_bigram_frac
+    FROM counts GROUP BY doc_id
+  ) tb USING (doc_id)
+  LEFT JOIN (
+    WITH t AS (
+      SELECT doc_id, {dedup.sql_tokens('text')} AS toks FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4]
+         FOR i IN range(1, len(toks) - 3)])) AS s
+      FROM t WHERE len(toks) >= 5
+    ), bset AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM ex GROUP BY 1),
+    hit AS (SELECT e.doc_id, COUNT(*) AS n_hit
+            FROM ex e JOIN bset USING (s) GROUP BY 1)
+    SELECT t.doc_id, t.n_grams, COALESCE(h.n_hit, 0) AS n_hit
+    FROM tot t LEFT JOIN hit h USING (doc_id)
+  ) ct USING (doc_id)
+)
+"""
+
+
+@register("curation_funnel", _FUNNEL_FLAGS_SQL + """
+SELECT s.stage, s.n_docs FROM (
+  SELECT 0 AS ord, 'total' AS stage, COUNT(*) AS n_docs FROM flags
+  UNION ALL SELECT 1, 'lang', COUNT(*) FROM flags WHERE lang_ok
+  UNION ALL SELECT 2, 'quality', COUNT(*) FROM flags
+    WHERE lang_ok AND quality_ok
+  UNION ALL SELECT 3, 'repetition', COUNT(*) FROM flags
+    WHERE lang_ok AND quality_ok AND rep_ok
+  UNION ALL SELECT 4, 'dedup', COUNT(*) FROM flags
+    WHERE lang_ok AND quality_ok AND rep_ok AND canonical
+  UNION ALL SELECT 5, 'decontaminated', COUNT(*) FROM flags
+    WHERE lang_ok AND quality_ok AND rep_ok AND canonical AND clean
+) s
+""")
+def curation_funnel(spark, sf_dir):
+    """The training-data recipe as one auditable artifact: per-stage
+    survivor counts through language -> quality -> repetition ->
+    exact-dedup -> decontamination.  Every stage is a first-class
+    operator elsewhere in the registry; the funnel composes their
+    column expressions in ONE pass over the corpus (flags + conditional
+    counts, no per-stage re-scan) plus the two small joins the dedup/
+    contamination stages need."""
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    w_dup = Window.partitionBy(F.md5("text"))
+    contam = (textstats.contamination(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), k=5)
+        .select("doc_id", (~F.col("contaminated")).alias("clean")))
+    flags = (docs.select(
+        "doc_id",
+        (textstats.lang_guess(F.col("text")) == "en").alias("lang_ok"),
+        (textstats.quality_score(F.col("text")) >= 0.5)
+        .alias("quality_ok"),
+        ((textstats.dup_line_frac(F.col("text")) <= 0.3)
+         & (textstats.top_bigram_frac(F.col("text")) <= 0.2))
+        .alias("rep_ok"),
+        (F.col("doc_id") == F.min("doc_id").over(w_dup))
+        .alias("canonical"))
+        .join(contam, "doc_id", "left")
+        .withColumn("clean", F.coalesce("clean", F.lit(True))))
+    stages = [
+        ("total", F.lit(True)),
+        ("lang", F.col("lang_ok")),
+        ("quality", F.col("lang_ok") & F.col("quality_ok")),
+        ("repetition", F.col("lang_ok") & F.col("quality_ok")
+         & F.col("rep_ok")),
+        ("dedup", F.col("lang_ok") & F.col("quality_ok")
+         & F.col("rep_ok") & F.col("canonical")),
+        ("decontaminated", F.col("lang_ok") & F.col("quality_ok")
+         & F.col("rep_ok") & F.col("canonical") & F.col("clean")),
+    ]
+    agg = flags.agg(*[F.sum(cond.cast("long")).alias(name)
+                      for name, cond in stages])
+    stack = ", ".join(f"'{name}', {name}" for name, _ in stages)
+    return agg.selectExpr(
+        f"stack({len(stages)}, {stack}) AS (stage, n_docs)")
+
+
 # ===========================================================================
 # dedup
 # ===========================================================================

@@ -44,6 +44,8 @@ SUBSET = [
     "doc_repetition_stats",
     "doc_split_assignment",
     "benchmark_contamination",
+    "greedy_token_packing",
+    "curation_funnel",
 ]
 
 
