@@ -1,0 +1,103 @@
+"""Training-set curation job: documents -> filter funnel -> packed
+curated table, with the funnel recorded as run metrics.
+
+The query-registry rows (`curation_funnel`, `greedy_token_packing`)
+verify the semantics against DuckDB; this job is the production
+surface that MATERIALIZES the result: survivors of
+lang -> quality -> repetition -> exact-dedup -> decontamination get
+pack assignments and land in the warehouse's ``curated_docs`` table,
+with per-stage survivor counts committed as snapshot properties so
+every curated snapshot carries its own recipe audit.
+
+    spark-submit --py-files dist/mdscraper_spark.zip \\
+        mdscraper_spark/jobs/curate.py \\
+        --input /path/documents_parquet --warehouse /path/wh \\
+        --budget 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from mdscraper_spark.operators import textstats
+from mdscraper_spark.sources.tables import Warehouse
+
+STAGES = ("total", "lang", "quality", "repetition", "dedup",
+          "decontaminated")
+
+
+def curate(spark: SparkSession, docs, warehouse_path: str,
+           budget: int = 2048, lang: str = "en",
+           min_quality: float = 0.5) -> dict:
+    """Filter + pack + write; returns the funnel counts dict."""
+    w_dup = Window.partitionBy(F.md5("text"))
+    contam = (textstats.contamination(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), k=5)
+        .select("doc_id", (~F.col("contaminated")).alias("clean")))
+    flags = (docs.select(
+        "doc_id", "text", "lang",
+        (textstats.lang_guess(F.col("text")) == lang).alias("lang_ok"),
+        (textstats.quality_score(F.col("text")) >= min_quality)
+        .alias("quality_ok"),
+        ((textstats.dup_line_frac(F.col("text")) <= 0.3)
+         & (textstats.top_bigram_frac(F.col("text")) <= 0.2))
+        .alias("rep_ok"),
+        (F.col("doc_id") == F.min("doc_id").over(w_dup))
+        .alias("canonical"))
+        .join(contam, "doc_id", "left")
+        .withColumn("clean", F.coalesce("clean", F.lit(True))))
+
+    conds = {
+        "total": F.lit(True),
+        "lang": F.col("lang_ok"),
+        "quality": F.col("lang_ok") & F.col("quality_ok"),
+        "repetition": F.col("lang_ok") & F.col("quality_ok")
+        & F.col("rep_ok"),
+        "dedup": F.col("lang_ok") & F.col("quality_ok") & F.col("rep_ok")
+        & F.col("canonical"),
+        "decontaminated": F.col("lang_ok") & F.col("quality_ok")
+        & F.col("rep_ok") & F.col("canonical") & F.col("clean"),
+    }
+    flags = flags.localCheckpoint()     # one corpus pass feeds both the
+    funnel = flags.agg(                 # funnel agg and the survivors
+        *[F.sum(c.cast("long")).alias(s) for s, c in conds.items()]
+    ).first().asDict()
+
+    survivors = flags.filter(conds["decontaminated"]) \
+                     .select("doc_id", "text", "lang")
+    packed = textstats.greedy_pack(survivors, budget=budget)
+    curated = survivors.join(packed.select("doc_id", "n_tokens",
+                                           "pack_id"), "doc_id")
+    wh = Warehouse(spark, warehouse_path)
+    wh.write_table(curated, "curated_docs",
+                   properties={"funnel": {s: int(funnel[s])
+                                          for s in STAGES},
+                               "budget": budget})
+    return {s: int(funnel[s]) for s in STAGES}
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="curate a training set")
+    p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--budget", type=int, default=2048)
+    p.add_argument("--lang", default="en")
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from mdscraper_spark.session import get_spark
+
+    spark = get_spark("mdscraper-spark-curate", master=args.master)
+    docs = spark.read.parquet(args.input)
+    funnel = curate(spark, docs, args.warehouse, budget=args.budget,
+                    lang=args.lang, min_quality=args.min_quality)
+    print(json.dumps({"funnel": funnel}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Curation job: funnel counts match the oracle-checked registry row,
+survivors are materialized with pack assignments, and the recipe audit
+travels in the snapshot properties."""
+
+import json
+
+from mdscraper_spark.jobs.curate import curate
+from mdscraper_spark.sources.tables import Warehouse
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curate_materializes_survivors_with_audit(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    wh_path = str(tmp_path / "wh_curate")
+    funnel = curate(spark, docs, wh_path, budget=512)
+
+    # funnel agrees with the oracle-checked registry query
+    from mdscraper_spark.queries import REGISTRY
+    want = {r.stage: r.n_docs
+            for r in REGISTRY["curation_funnel"][0](spark, SF_DIR).collect()}
+    assert funnel == want
+    assert funnel["total"] > funnel["decontaminated"] > 0
+
+    wh = Warehouse(spark, wh_path)
+    curated = wh.read_table("curated_docs").collect()
+    assert len(curated) == funnel["decontaminated"]
+    assert all(r.n_tokens > 0 and r.pack_id >= 0 for r in curated)
+    # packs respect the budget up to greedy overflow by one doc
+    by_pack = {}
+    for r in curated:
+        by_pack.setdefault(r.pack_id, []).append(r.n_tokens)
+    assert all(sum(t) - max(t) < 512 for t in by_pack.values())
+
+    props = wh.manifest("curated_docs")["properties"]
+    assert props["funnel"] == funnel and props["budget"] == 512
+
+
+def test_curate_cli(spark, tmp_path, capsys):
+    from mdscraper_spark.jobs.curate import main
+
+    main(["--input", f"{SF_DIR}/documents.parquet",
+          "--warehouse", str(tmp_path / "wh_cli"), "--budget", "1024"])
+    out = capsys.readouterr().out
+    payload = json.loads([l for l in out.splitlines()
+                          if l.startswith("{")][-1])
+    assert payload["funnel"]["total"] == 500
