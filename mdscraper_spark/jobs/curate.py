@@ -30,16 +30,25 @@ STAGES = ("total", "lang", "quality", "repetition", "dedup",
           "decontaminated")
 
 
-def curate(spark: SparkSession, docs, warehouse_path: str,
-           budget: int = 2048, lang: str = "en",
-           min_quality: float = 0.5) -> dict:
-    """Filter + pack + write; returns the funnel counts dict."""
+FLAG_COLUMNS = ("doc_id", "lang_ok", "quality_ok", "rep_ok",
+                "canonical", "clean")
+
+
+def doc_flags(docs, lang: str = "en", min_quality: float = 0.5):
+    """Per-doc funnel flags, PROJECTED DOWN TO (doc_id, 5 booleans).
+
+    ``text`` is read during flag computation but never carried past
+    this projection — the curate job localCheckpoints this frame, and
+    at crawl scale checkpointing the text column would rewrite ~the
+    whole corpus to executor disk.  Survivor text is re-joined from
+    the source scan instead (one doc_id semi-join vs a corpus-sized
+    materialization)."""
     w_dup = Window.partitionBy(F.md5("text"))
     contam = (textstats.contamination(
         docs, docs.filter(F.col("doc_id") % 97 == 0), k=5)
         .select("doc_id", (~F.col("contaminated")).alias("clean")))
-    flags = (docs.select(
-        "doc_id", "text", "lang",
+    return (docs.select(
+        "doc_id",
         (textstats.lang_guess(F.col("text")) == lang).alias("lang_ok"),
         (textstats.quality_score(F.col("text")) >= min_quality)
         .alias("quality_ok"),
@@ -50,6 +59,14 @@ def curate(spark: SparkSession, docs, warehouse_path: str,
         .alias("canonical"))
         .join(contam, "doc_id", "left")
         .withColumn("clean", F.coalesce("clean", F.lit(True))))
+
+
+def curate(spark: SparkSession, docs, warehouse_path: str,
+           budget: int = 2048, lang: str = "en",
+           min_quality: float = 0.5) -> dict:
+    """Filter + pack + write; returns the funnel counts dict."""
+    flags = doc_flags(docs, lang=lang, min_quality=min_quality)
+    assert set(flags.columns) == set(FLAG_COLUMNS), flags.columns
 
     conds = {
         "total": F.lit(True),
@@ -62,13 +79,17 @@ def curate(spark: SparkSession, docs, warehouse_path: str,
         "decontaminated": F.col("lang_ok") & F.col("quality_ok")
         & F.col("rep_ok") & F.col("canonical") & F.col("clean"),
     }
-    flags = flags.localCheckpoint()     # one corpus pass feeds both the
-    funnel = flags.agg(                 # funnel agg and the survivors
+    # checkpoint ONLY (doc_id, flags) — a few bytes/doc — so one corpus
+    # pass feeds both the funnel agg and the survivor filter; survivor
+    # text comes back from the source scan via a doc_id semi-join
+    flags = flags.localCheckpoint()
+    funnel = flags.agg(
         *[F.sum(c.cast("long")).alias(s) for s, c in conds.items()]
     ).first().asDict()
 
-    survivors = flags.filter(conds["decontaminated"]) \
-                     .select("doc_id", "text", "lang")
+    surviving_ids = flags.filter(conds["decontaminated"]).select("doc_id")
+    survivors = (docs.select("doc_id", "text", "lang")
+                 .join(surviving_ids, "doc_id", "left_semi"))
     packed = textstats.greedy_pack(survivors, budget=budget)
     curated = survivors.join(packed.select("doc_id", "n_tokens",
                                            "pack_id"), "doc_id")

@@ -39,26 +39,96 @@ def degree_stats(edges: DataFrame) -> DataFrame:
                     .alias("n_support_out")))
 
 
-def two_hop_counts(edges: DataFrame) -> DataFrame:
+def hub_hop_nodes(edges: DataFrame, max_hub_degree: int) -> DataFrame:
+    """(node, in_deg, out_deg): hop nodes whose fan-in or fan-out
+    exceeds ``max_hub_degree`` — the nodes whose in×out intermediate
+    blow-up the self-equi-join traversals must not pay.  One map-side-
+    combined count pass per direction; only nodes with BOTH in- and
+    out-edges can ever be a two-hop midpoint, so the inner join keeps
+    the hub set tiny (it is a top-of-the-degree-distribution set by
+    construction — broadcastable at any graph size)."""
+    in_d = (edges.groupBy(F.col("dst").alias("node"))
+            .agg(F.count(F.lit(1)).alias("in_deg")))
+    out_d = (edges.groupBy(F.col("src").alias("node"))
+             .agg(F.count(F.lit(1)).alias("out_deg")))
+    return (in_d.join(out_d, "node")
+            .filter((F.col("in_deg") > max_hub_degree)
+                    | (F.col("out_deg") > max_hub_degree)))
+
+
+def two_hop_counts(edges: DataFrame,
+                   max_hub_degree: int | None = None,
+                   hub_stats=None) -> DataFrame:
     """(src, n_two_hop): distinct nodes reachable in exactly two hops
     (src -> mid -> dst, dst may equal src — pure path counting keeps
     the semantics engine-portable).  Empty on a strictly bipartite
     graph; see shared_neighbor_counts for the traversal that is
-    non-trivial there."""
+    non-trivial there.
+
+    Hub guard: the self-equi-join on ``mid`` emits in(mid)×out(mid)
+    rows per midpoint — one celebrity node with 10^6 neighbors is
+    10^12 intermediate rows.  With ``max_hub_degree`` set, midpoints
+    whose fan-in or fan-out exceeds it are dropped from the join by a
+    broadcast anti-join (count pass first — the same stop-shingle
+    pattern as dedup.ngram_jaccard_pairs), bounding the per-key
+    intermediate volume at max_hub_degree².  Paths THROUGH dropped
+    hubs are not counted — the documented stop-hub trade-off, replayed
+    identically by the SQL oracle.  Pass an ``Observation`` as
+    ``hub_stats`` to record n_hub_nodes / n_paths_dropped on the next
+    action."""
     a = edges.select(F.col("src"), F.col("dst").alias("mid"))
     b = edges.select(F.col("src").alias("mid"), F.col("dst"))
+    if max_hub_degree is not None:
+        hubs = hub_hop_nodes(edges, max_hub_degree)
+        if hub_stats is not None:
+            hubs = hubs.observe(
+                hub_stats,
+                F.count(F.lit(1)).alias("n_hub_nodes"),
+                F.coalesce(F.sum(F.col("in_deg") * F.col("out_deg")),
+                           F.lit(0)).alias("n_paths_dropped"))
+        # eager checkpoint: the (tiny) hub list is computed ONCE — it
+        # feeds two anti-joins, and the Observation must fire exactly
+        # once (a duplicated observed node breaks metric collection)
+        stop = hubs.select(F.col("node").alias("mid")).localCheckpoint()
+        a = a.join(F.broadcast(stop), "mid", "left_anti")
+        b = b.join(F.broadcast(stop), "mid", "left_anti")
     return (a.join(b, "mid")
             .groupBy("src")
             .agg(F.countDistinct("dst").alias("n_two_hop")))
 
 
-def shared_neighbor_counts(edges: DataFrame) -> DataFrame:
+def shared_neighbor_counts(edges: DataFrame,
+                           max_hub_degree: int | None = None,
+                           hub_stats=None) -> DataFrame:
     """(node, n_peers): distinct OTHER sources sharing at least one
     out-neighbor (on the KG: co-workers via a common employer).  Same
     self-equi-join-on-node shape as two-hop — the plan that bucketing
-    kg_edges on the node id makes exchange-free at 10^12 edges."""
+    kg_edges on the node id makes exchange-free at 10^12 edges.
+
+    Hub guard: the join key is the shared neighbor ``dst``, so the
+    blow-up is in_deg(dst)² per neighbor.  With ``max_hub_degree``
+    set, neighbors with more than that many in-edges are anti-joined
+    out before pairing (count pass + broadcast anti-join, logged via
+    ``hub_stats``): peers who ONLY share a mega-hub neighbor (everyone
+    "shares" Wikipedia) are not counted — the standard stop-hub
+    trade-off, replayed identically by the SQL oracle."""
     a = edges.select(F.col("src").alias("node"), F.col("dst"))
     b = edges.select(F.col("src").alias("peer"), F.col("dst"))
+    if max_hub_degree is not None:
+        hubs = (edges.groupBy("dst")
+                .agg(F.count(F.lit(1)).alias("in_deg"))
+                .filter(F.col("in_deg") > max_hub_degree))
+        if hub_stats is not None:
+            hubs = hubs.observe(
+                hub_stats,
+                F.count(F.lit(1)).alias("n_hub_nodes"),
+                F.coalesce(F.sum(F.col("in_deg") * F.col("in_deg")),
+                           F.lit(0)).alias("n_pairs_dropped"))
+        # eager checkpoint, same reason as two_hop_counts: one compute
+        # of the hub list, one firing of the Observation
+        stop = hubs.select("dst").localCheckpoint()
+        a = a.join(F.broadcast(stop), "dst", "left_anti")
+        b = b.join(F.broadcast(stop), "dst", "left_anti")
     return (a.join(b, "dst")
             .filter(F.col("node") != F.col("peer"))
             .groupBy("node")

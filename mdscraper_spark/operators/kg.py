@@ -69,7 +69,12 @@ def alias_df(spark: SparkSession) -> DataFrame:
         StructField("etype", StringType(), False),
         StructField("prior", DoubleType(), False),
     ])
-    return spark.createDataFrame(fixtures.alias_rows(), schema)
+    df = spark.createDataFrame(fixtures.alias_rows(), schema)
+    # stable identity tag: lets decide_salt cache its broadcast-vs-salt
+    # decision across pipeline runs (the decision is a property of the
+    # dictionary, not of the mention batch)
+    df._mdscraper_salt_key = "fixture_alias_v1"
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -200,6 +205,9 @@ def _norm_col(col):
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+_SALT_DECISIONS: dict = {}
+
+
 def decide_salt(aliases: DataFrame) -> Optional[int]:
     """Auto-trigger for the salted entity-link join: measure the alias
     dictionary (one cheap agg over the DIM side only — never a stats
@@ -216,8 +224,14 @@ def decide_salt(aliases: DataFrame) -> Optional[int]:
 
     Note: this runs ONE eager Spark action at plan-build time (the
     dim-side agg) — deliberate: the dictionary is the small side, and
-    the decision must precede join construction."""
+    the decision must precede join construction.  When the dictionary
+    carries an identity tag (``_mdscraper_salt_key``, set by
+    :func:`alias_df` or any caller that knows its dict is stable) the
+    decision is cached per (tag, broadcast threshold, parallelism), so
+    repeated pipeline runs over the same dictionary pay the probe agg
+    once instead of once per batch."""
     spark = aliases.sparkSession
+    tag = getattr(aliases, "_mdscraper_salt_key", None)
     raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
                              "10485760"))
     units = {"k": 1024, "m": 1024**2, "g": 1024**3}
@@ -226,12 +240,17 @@ def decide_salt(aliases: DataFrame) -> Optional[int]:
     threshold = int(low[:-1] if mult > 1 else low) * mult
     if threshold < 0:           # -1 disables broadcast entirely
         threshold = 0
+    par = spark.sparkContext.defaultParallelism
+    cache_key = (tag, threshold, par) if tag is not None else None
+    if cache_key is not None and cache_key in _SALT_DECISIONS:
+        return _SALT_DECISIONS[cache_key]
     est = aliases.agg(
         F.sum(F.octet_length(F.col("alias").cast("string")) + 64)
     ).first()[0] or 0
-    if est <= threshold:
-        return None
-    return max(4, min(64, spark.sparkContext.defaultParallelism))
+    decision = None if est <= threshold else max(4, min(64, par))
+    if cache_key is not None:
+        _SALT_DECISIONS[cache_key] = decision
+    return decision
 
 
 def link_entities(mentions: DataFrame, aliases: DataFrame,
@@ -409,18 +428,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
 # I6 — graph materialization
 # ---------------------------------------------------------------------------
 
-def build_kg_nodes(canonical_map: DataFrame, mentions: DataFrame,
-                   aliases: DataFrame) -> DataFrame:
-    """kg_nodes(canon_id, label, n_mentions).  Node label: the canonical
-    entity name when the component root is an entity node, else the
-    bare surface."""
-    s_node = F.concat(F.lit("s:"), _norm_col(F.col("surface")))
-    mention_nodes = mentions.select(s_node.alias("node_id"))
-    counted = (mention_nodes.join(canonical_map, "node_id", "left")
-               .withColumn("canon_id", F.coalesce("canon_id", "node_id"))
-               .groupBy("canon_id")
-               .agg(F.count(F.lit(1)).alias("n_mentions")))
-
+def _label_nodes(counted: DataFrame, aliases: DataFrame) -> DataFrame:
+    """(canon_id, n_mentions) -> kg_nodes(canon_id, label, n_mentions):
+    canonical entity name when the component root is an entity node,
+    else the bare surface."""
     ent_labels = (aliases.select(
         F.concat(F.lit("e:"), F.col("entity_id").cast("string")).alias("canon_id"),
         F.col("canonical")).distinct())
@@ -429,6 +440,41 @@ def build_kg_nodes(canonical_map: DataFrame, mentions: DataFrame,
                 "label",
                 F.coalesce("canonical", F.substring(F.col("canon_id"), 3, 10000)))
             .select("canon_id", "label", "n_mentions"))
+
+
+def mention_node_counts(mentions: DataFrame) -> DataFrame:
+    """(node_id, n_mentions): per-surface-node mention occurrences —
+    the accumulable mention statistic (sums across batches), keyed by
+    the same normalized surface-node id the co-reference graph uses."""
+    s_node = F.concat(F.lit("s:"), _norm_col(F.col("surface")))
+    return (mentions.select(s_node.alias("node_id"))
+            .groupBy("node_id")
+            .agg(F.count(F.lit(1)).alias("n_mentions")))
+
+
+def build_kg_nodes(canonical_map: DataFrame, mentions: DataFrame,
+                   aliases: DataFrame) -> DataFrame:
+    """kg_nodes(canon_id, label, n_mentions).  Node label: the canonical
+    entity name when the component root is an entity node, else the
+    bare surface."""
+    return build_kg_nodes_from_counts(canonical_map,
+                                      mention_node_counts(mentions),
+                                      aliases)
+
+
+def build_kg_nodes_from_counts(canonical_map: DataFrame,
+                               mention_counts: DataFrame,
+                               aliases: DataFrame) -> DataFrame:
+    """kg_nodes from PRE-AGGREGATED per-node mention counts
+    (node_id, n_mentions) — the standing-ingest path, where counts
+    accumulate across micro-batches and only their SUM reaches the
+    periodic canonicalization job.  Identical output to build_kg_nodes
+    over the union of the batches' mentions (counting is associative)."""
+    counted = (mention_counts.join(canonical_map, "node_id", "left")
+               .withColumn("canon_id", F.coalesce("canon_id", "node_id"))
+               .groupBy("canon_id")
+               .agg(F.sum("n_mentions").alias("n_mentions")))
+    return _label_nodes(counted, aliases)
 
 
 def build_kg_edges(triples: DataFrame, canonical_map: DataFrame) -> DataFrame:
@@ -451,3 +497,31 @@ def build_kg_edges(triples: DataFrame, canonical_map: DataFrame) -> DataFrame:
                 F.coalesce("dst_canon", "obj_node").alias("dst"))
             .groupBy("src", "pred", "dst")
             .agg(F.count(F.lit(1)).alias("n_support")))
+
+
+def build_kg_edges_from_support(support: DataFrame,
+                                canonical_map: DataFrame) -> DataFrame:
+    """kg_edges from PRE-AGGREGATED raw triple support
+    (subj, pred, obj, n_support) — the standing-ingest path: the
+    streaming job accumulates per-surface-triple support sums, and the
+    periodic canonicalization maps them onto canonical ids, SUMMING the
+    accumulated support instead of re-counting rows.  Identical output
+    to build_kg_edges over the union of the batches' triples (support
+    counting is associative)."""
+    cmap = F.broadcast(canonical_map)
+    subj_node = F.concat(F.lit("s:"), _norm_col(F.col("subj")))
+    obj_node = F.concat(F.lit("s:"), _norm_col(F.col("obj")))
+    t = (support
+         .withColumn("subj_node", subj_node)
+         .withColumn("obj_node", obj_node))
+    t = (t.join(cmap.withColumnRenamed("node_id", "subj_node")
+                .withColumnRenamed("canon_id", "src_canon"), "subj_node", "left")
+         .join(cmap.withColumnRenamed("node_id", "obj_node")
+               .withColumnRenamed("canon_id", "dst_canon"), "obj_node", "left"))
+    return (t.select(
+                F.coalesce("src_canon", "subj_node").alias("src"),
+                F.col("pred"),
+                F.coalesce("dst_canon", "obj_node").alias("dst"),
+                F.col("n_support"))
+            .groupBy("src", "pred", "dst")
+            .agg(F.sum("n_support").alias("n_support")))

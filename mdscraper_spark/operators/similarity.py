@@ -226,10 +226,17 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
     ivf_cells to learned centroids."""
     scored = (embeddings.crossJoin(F.broadcast(centroids))
               .withColumn("csim", cosine(F.col(vec_col), F.col("cvec"))))
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, vec_col, "cid"))
+    # min-struct argmax (negated sim asc, then cid asc == sim desc, cid
+    # asc): a partial-aggregating hash agg instead of a window sort —
+    # same pattern as kmeans_centroids above and the link-scoring
+    # best-pick (operators/kg.py).  No row_number, no per-key sort.
+    return (scored.groupBy(id_col)
+            .agg(F.min(F.struct(F.negate("csim").alias("neg"),
+                                F.col("cid"),
+                                F.col(vec_col).alias("v"))).alias("best"))
+            .select(F.col(id_col),
+                    F.col("best.v").alias(vec_col),
+                    F.col("best.cid").alias("cid")))
 
 
 def ivf_kmeans_recall(embeddings: DataFrame, n_queries: int = 20,

@@ -207,6 +207,52 @@ FROM (
 """
 
 
+def pack_utilization(docs: DataFrame, budget: int = 2048,
+                     n_buckets: int = 64, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Pack-quality observability for greedy_pack (J23): one row per
+    bucket — (bucket, n_packs, n_docs, total_tokens, n_overflow_packs,
+    fill_frac).  fill_frac = total_tokens / (n_packs * budget) is the
+    budget fill fraction; an overflow pack is one whose token sum
+    exceeds the budget (greedy streaming lets the LAST doc overflow).
+    Two map-side-combined aggs over the packer's own output — the
+    packer's quality becomes an oracled artifact, the same way the
+    n-gram dedup reports its drop stats."""
+    packs = greedy_pack(docs, budget=budget, n_buckets=n_buckets,
+                        text_col=text_col, id_col=id_col)
+    per_pack = (packs.groupBy("bucket", "pack_id")
+                .agg(F.sum("n_tokens").alias("pack_tokens"),
+                     F.count(F.lit(1)).alias("n_docs")))
+    fill = F.round(F.col("total_tokens")
+                   / (F.col("n_packs") * F.lit(budget)).cast("double"), 6)
+    return (per_pack.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_packs"),
+                 F.sum("n_docs").alias("n_docs"),
+                 F.sum("pack_tokens").alias("total_tokens"),
+                 F.sum((F.col("pack_tokens") > budget).cast("long"))
+                 .alias("n_overflow_packs"))
+            .select("bucket", "n_packs", "n_docs", "total_tokens",
+                    "n_overflow_packs", fill.alias("fill_frac")))
+
+
+def sql_pack_utilization(budget: int = 2048, n_buckets: int = 64) -> str:
+    """DuckDB twin of pack_utilization over documents."""
+    return f"""
+WITH packs AS ({sql_greedy_pack(budget, n_buckets)}),
+per_pack AS (
+  SELECT bucket, pack_id, SUM(n_tokens) AS pack_tokens,
+         COUNT(*) AS n_docs
+  FROM packs GROUP BY bucket, pack_id)
+SELECT bucket, COUNT(*) AS n_packs, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN pack_tokens > {budget} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overflow_packs,
+       round(SUM(pack_tokens) / CAST(COUNT(*) * {budget} AS DOUBLE), 6)
+         AS fill_frac
+FROM per_pack GROUP BY bucket
+"""
+
+
 # -- SQL twins (DuckDB dialect) ----------------------------------------------
 
 def sql_ws_strip(col: str) -> str:

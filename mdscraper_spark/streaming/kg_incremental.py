@@ -17,10 +17,18 @@ the snapshot manifest (Iceberg snapshot-properties analog) atomically
 with the data, so a replayed batch is detected and skipped instead of
 double-counted.
 
-Canonicalization stays a periodic batch job over the accumulated table
-(connected components is global by nature; running it per micro-batch
-would recompute the world every few seconds — the standard
-lambda-architecture split for KG builds).
+Canonicalization stays a periodic batch job (connected components is
+global by nature; running it per micro-batch would recompute the world
+every few seconds — the standard lambda-architecture split for KG
+builds).  To make that batch half EXACT, the stream accumulates three
+tables: ``raw_edges`` (per-triple support sums), ``raw_coref`` (the
+distinct surface<->entity winning-link vocabulary — per-mention link
+winners depend only on the mention's own surface and the alias dict,
+so the batched union equals the one-shot set) and ``raw_mentions``
+(per-surface-node mention counts).  ``canonicalize_accumulated`` then
+reproduces the one-shot batch build bit-for-bit from those three
+accumulations alone — pinned end-to-end (including a mid-stream
+restart) by tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -35,39 +43,54 @@ from mdscraper_spark.sources.pages import PAGES_SCHEMA
 from mdscraper_spark.sources.tables import Warehouse
 
 RAW_EDGES = "raw_edges"
+RAW_COREF = "raw_coref"
+RAW_MENTIONS = "raw_mentions"
 EDGE_KEYS = ("subj", "pred", "obj")
+
+
+def merge_accumulate(wh: Warehouse, table: str, batch_df, keys,
+                     value_col: str, batch_id: int,
+                     partition_by=None) -> None:
+    """Sum a batch's per-key ``value_col`` into an accumulated table:
+    touched keys are read back, summed with the batch, and upserted —
+    a partitioned merge rewrites only the touched partitions while the
+    snapshot chain keeps every prior accumulation time-travelable.
+
+    Idempotence (foreachBatch is at-least-once): ``batch_id`` is
+    committed in the snapshot's properties atomically with the data;
+    a replayed batch whose id was already applied to THIS table is
+    skipped, so a crash between a table commit and the streaming epoch
+    log cannot double-count — each accumulated table tracks its own
+    applied id, so a crash mid-batch (some tables committed, some not)
+    replays into exactly the tables that missed it."""
+    keys = list(keys)
+    partition_by = tuple(partition_by or ())
+    props = {"last_batch_id": int(batch_id)}
+    if not wh.exists(table):
+        wh.write_table(batch_df, table, partition_by=partition_by,
+                       properties=props)
+        return
+    applied = (wh.manifest(table).get("properties", {})
+               .get("last_batch_id", -1))
+    if batch_id <= applied:
+        return                      # replayed micro-batch: already in
+    existing = (wh.read_table(table)
+                .join(batch_df.select(*keys).distinct(), keys,
+                      "left_semi"))
+    combined = (existing.unionByName(batch_df)
+                .groupBy(*keys)
+                .agg(F.sum(value_col).alias(value_col)))
+    wh.merge_table(combined, table, key_cols=tuple(keys),
+                   partition_by=partition_by, properties=props)
 
 
 def merge_edge_support(wh: Warehouse, batch_edges,
                        batch_id: int) -> None:
-    """Sum a batch's per-triple support into the accumulated table:
-    touched keys are read back, summed with the batch, and upserted —
-    the pred-partitioned merge rewrites only the touched predicates'
-    partitions while the snapshot chain keeps every prior accumulation
-    time-travelable.
-
-    Idempotence (foreachBatch is at-least-once): ``batch_id`` is
-    committed in the snapshot's properties atomically with the data;
-    a replayed batch whose id was already applied is skipped, so a
-    crash between the table commit and the streaming epoch log cannot
-    double-count support."""
-    props = {"last_batch_id": int(batch_id)}
-    if not wh.exists(RAW_EDGES):
-        wh.write_table(batch_edges, RAW_EDGES,
-                       partition_by=("pred",), properties=props)
-        return
-    applied = (wh.manifest(RAW_EDGES).get("properties", {})
-               .get("last_batch_id", -1))
-    if batch_id <= applied:
-        return                      # replayed micro-batch: already in
-    existing = (wh.read_table(RAW_EDGES)
-                .join(batch_edges.select(*EDGE_KEYS).distinct(),
-                      list(EDGE_KEYS), "left_semi"))
-    combined = (existing.unionByName(batch_edges)
-                .groupBy(*EDGE_KEYS)
-                .agg(F.sum("n_support").alias("n_support")))
-    wh.merge_table(combined, RAW_EDGES, key_cols=EDGE_KEYS,
-                   partition_by=("pred",), properties=props)
+    """Triple-support specialization of merge_accumulate (kept as the
+    named surface the tests and docs pin): pred-partitioned so a batch
+    rewrites only the predicates it touches."""
+    merge_accumulate(wh, RAW_EDGES, batch_edges, EDGE_KEYS, "n_support",
+                     batch_id, partition_by=("pred",))
 
 
 def stream_kg_update(spark: SparkSession, input_dir: str,
@@ -80,17 +103,38 @@ def stream_kg_update(spark: SparkSession, input_dir: str,
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
 
     def update(batch_df, batch_id) -> None:
+        from mdscraper_spark.sources.fixtures import alias_rows
+
         docs = extract_markdown(batch_df, config)
-        triples = kg_ops.mine_triples(docs)
-        # materialize once: the merge references this plan several
-        # times (semi-join, union) and Spark does not dedupe common
-        # subtrees — without the checkpoint the Arrow extraction +
-        # mining would re-run ~4x per batch
+        gaz = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
+        # ONE Arrow pass mines mentions + triples; materialize once —
+        # three accumulated tables consume it and Spark does not dedupe
+        # common subtrees (without the checkpoint the extraction +
+        # mining would re-run per consumer)
+        mined = kg_ops.mine_kg_combined(docs, gaz).localCheckpoint()
+        mentions, triples = kg_ops.split_mined(mined)
+        wh = Warehouse(spark, warehouse_path)
+
+        # (1) per-triple support — the edge side of the lambda split
         batch_edges = (triples.groupBy(*EDGE_KEYS)
-                       .agg(F.count(F.lit(1)).alias("n_support"))
-                       .localCheckpoint())
-        merge_edge_support(Warehouse(spark, warehouse_path), batch_edges,
-                           int(batch_id))
+                       .agg(F.count(F.lit(1)).alias("n_support")))
+        merge_edge_support(wh, batch_edges, int(batch_id))
+
+        # (2) co-reference VOCABULARY edges (distinct surface<->entity
+        # winning links).  Per-mention link winners depend only on the
+        # mention's own surface + the alias dict, so the union of the
+        # batches' distinct pairs equals the one-shot batch build's —
+        # which is what makes the periodic canonicalization exact.
+        links = kg_ops.link_entities(mentions, kg_ops.alias_df(spark))
+        coref = (kg_ops.coreference_edges(links)
+                 .withColumn("n_seen", F.lit(1).cast("long")))
+        merge_accumulate(wh, RAW_COREF, coref, ("src", "dst"), "n_seen",
+                         int(batch_id))
+
+        # (3) per-surface-node mention counts — feeds kg_nodes
+        merge_accumulate(wh, RAW_MENTIONS,
+                         kg_ops.mention_node_counts(mentions),
+                         ("node_id",), "n_mentions", int(batch_id))
 
     query = (pages.writeStream
              .foreachBatch(update)
@@ -98,3 +142,34 @@ def stream_kg_update(spark: SparkSession, input_dir: str,
              .trigger(availableNow=True)
              .start())
     query.awaitTermination()
+
+
+def canonicalize_accumulated(spark: SparkSession, warehouse_path: str,
+                             aliases=None):
+    """The PERIODIC BATCH half of the lambda split: canonicalize the
+    accumulated vocabulary and materialize kg_nodes / kg_edges.
+
+    Connected components runs over the accumulated co-reference
+    vocabulary graph (distinct (surface, entity) pairs — orders of
+    magnitude smaller than the page stream that produced it), then the
+    accumulated triple support and mention counts are mapped onto
+    canonical ids with SUM aggregation.  Because link winners are
+    per-mention-local and support/mention counting is associative, the
+    result hash-matches the one-shot batch build over every page ever
+    ingested — pinned by tests/test_streaming.py.
+
+    Returns (nodes_df, edges_df); both are also written to the
+    warehouse as ``kg_nodes`` / ``kg_edges`` snapshots."""
+    wh = Warehouse(spark, warehouse_path)
+    aliases = aliases if aliases is not None else kg_ops.alias_df(spark)
+    coref = wh.read_table(RAW_COREF).select("src", "dst")
+    cmap = kg_ops.connected_components(coref)
+    edges = kg_ops.build_kg_edges_from_support(
+        wh.read_table(RAW_EDGES), cmap)
+    nodes = kg_ops.build_kg_nodes_from_counts(
+        cmap, wh.read_table(RAW_MENTIONS), aliases)
+    edges = edges.localCheckpoint()   # materialize before the table
+    nodes = nodes.localCheckpoint()   # writes re-read the plans
+    wh.write_table(edges, "kg_edges")
+    wh.write_table(nodes, "kg_nodes")
+    return nodes, edges

@@ -36,6 +36,21 @@ def test_curate_materializes_survivors_with_audit(spark, tmp_path):
     assert props["funnel"] == funnel and props["budget"] == 512
 
 
+def test_checkpointed_flags_carry_no_text(spark):
+    """The frame the curate job localCheckpoints is (doc_id, flags)
+    only — at crawl scale checkpointing the text column would rewrite
+    ~the whole corpus to executor disk (VERDICT r02 'what's wrong' #2)."""
+    from mdscraper_spark.jobs.curate import FLAG_COLUMNS, doc_flags
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    flags = doc_flags(docs)
+    assert set(flags.columns) == set(FLAG_COLUMNS)
+    assert "text" not in flags.columns
+    # every non-key column is a boolean flag: nothing corpus-sized
+    assert all(f.dataType.simpleString() == "boolean"
+               for f in flags.schema.fields if f.name != "doc_id")
+
+
 def test_curate_cli(spark, tmp_path, capsys):
     from mdscraper_spark.jobs.curate import main
 

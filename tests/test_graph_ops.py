@@ -33,6 +33,52 @@ def test_two_hop_and_shared_neighbors(spark, edges):
     assert sn == {"a": 2, "b": 1, "c": 1}  # via shared x / y
 
 
+def test_hub_degree_guard_bounds_blowup(spark):
+    """Pathological hub: one midpoint with 80 in- and 80 out-edges
+    would emit 6400 intermediate rows (10^12 for a 10^6-degree node at
+    crawl scale).  With the cap, the hub is anti-joined out of the
+    self-join — paths through it vanish, the clean subgraph is exact,
+    and the Observation reports exactly what was dropped."""
+    from pyspark.sql import Observation
+
+    hub_in = [(f"u{i}", "r", "HUB", 1) for i in range(80)]
+    hub_out = [("HUB", "r", f"v{j}", 1) for j in range(80)]
+    clean = [("p", "r", "m", 1), ("m", "r", "q", 1), ("m", "r", "p", 1)]
+    edges = spark.createDataFrame(
+        hub_in + hub_out + clean,
+        "src string, pred string, dst string, n_support long")
+
+    exact = {r.src: r.n_two_hop for r in two_hop_counts(edges).collect()}
+    assert exact["u0"] == 80                      # through the hub
+
+    obs = Observation("hub")
+    capped = {r.src: r.n_two_hop
+              for r in two_hop_counts(edges, max_hub_degree=10,
+                                      hub_stats=obs).collect()}
+    # hub paths gone, clean subgraph untouched (m: in 1, out 2 <= cap)
+    assert "u0" not in capped
+    assert capped == {"p": 2, "m": 1}             # p->m->{q,p}, m->p->m
+    assert obs.get == {"n_hub_nodes": 1, "n_paths_dropped": 80 * 80}
+
+    # shared-neighbor twin: everyone "shares" the hub; capped, only the
+    # genuine pair survives
+    sn_exact = {r.node: r.n_peers
+                for r in shared_neighbor_counts(edges).collect()}
+    assert sn_exact["u0"] == 79
+    obs2 = Observation("hub2")
+    sn = {r.node: r.n_peers
+          for r in shared_neighbor_counts(edges, max_hub_degree=10,
+                                          hub_stats=obs2).collect()}
+    assert all(not n.startswith("u") for n in sn)
+    assert obs2.get["n_hub_nodes"] == 1
+    assert obs2.get["n_pairs_dropped"] == 80 * 80
+
+    # cap high enough to keep everything == exact semantics
+    assert {r.src: r.n_two_hop
+            for r in two_hop_counts(edges, max_hub_degree=100)
+            .collect()} == exact
+
+
 def test_pagerank_invariants(spark, edges):
     pr = {r.node: r.rank for r in pagerank(edges, iters=10).collect()}
     assert set(pr) == {"a", "b", "c", "x", "y", "z"}

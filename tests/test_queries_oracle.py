@@ -79,6 +79,28 @@ def test_every_registry_entry_is_callable():
         assert callable(fn)
 
 
+def test_engine_rows_inside_driver_window():
+    """The driver's correctness harness hashes only the first 50
+    entries of queries(); the engine-defining rows must sit inside
+    that window (VERDICT r02 task 1), and the driver-facing order must
+    stay an exact permutation of the registry."""
+    from mdscraper_spark.queries import oracle_sql, queries
+
+    names = list(queries())
+    assert set(names) == set(REGISTRY)
+    first50 = set(names[:50])
+    for must in ("kg_flagship", "kg_nodes_check", "kg_pagerank",
+                 "kg_degree_stats", "graph_shared_suppliers",
+                 "two_hop_hub_capped", "extract_markdown_docs",
+                 "div_attr_census", "doc_size_kb", "lsh_pairs",
+                 "ivf_topk", "ivf_kmeans_recall", "multimodal_decode",
+                 "multimodal_frame_sample", "multimodal_feature_ann",
+                 "pack_utilization", "curation_funnel"):
+        assert must in first50, must
+    # ordering of oracle_sql() mirrors queries()
+    assert [n for n in names if n in oracle_sql()] == list(oracle_sql())
+
+
 def test_multimodal_decode_stub(spark):
     fn, _ = REGISTRY["multimodal_decode"]
     rows = fn(spark, SF_DIR).collect()

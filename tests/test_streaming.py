@@ -131,6 +131,79 @@ def test_incremental_kg_edge_accumulation(spark, tmp_path):
     assert len(wh.snapshots("raw_edges")) == n_snapshots
 
 
+def test_lambda_loop_streaming_plus_canonicalize_matches_batch(
+        spark, tmp_path):
+    """The full lambda loop, end to end: micro-batch ingest (two
+    increments through the SAME checkpoint — the second invocation IS
+    a restart of the standing query), a crash-replay probe against
+    every accumulated table, then the periodic batch canonicalization —
+    and the final kg_nodes/kg_edges hash-match the one-shot batch build
+    over every page ever ingested."""
+    from pyspark.sql import functions as F
+
+    from mdscraper_spark.operators import kg as kg_ops
+    from mdscraper_spark.operators.extract_udfs import extract_markdown
+    from mdscraper_spark.sources.fixtures import alias_rows
+    from mdscraper_spark.sources.tables import Warehouse
+    from mdscraper_spark.streaming.kg_incremental import (
+        RAW_COREF, RAW_EDGES, RAW_MENTIONS, canonicalize_accumulated,
+        merge_accumulate, stream_kg_update)
+
+    inp = str(tmp_path / "lambda_pages_in")
+    wh_path = str(tmp_path / "lambda_wh")
+    ckpt = str(tmp_path / "lambda_ckpt")
+    all_pages = bulk_pages_df(spark, 40).collect()
+
+    # increment 1, then a mid-stream restart (same checkpoint) for
+    # increment 2
+    spark.createDataFrame(all_pages[:25], PAGES_SCHEMA) \
+         .write.mode("append").parquet(inp)
+    stream_kg_update(spark, inp, wh_path, ckpt, CFG)
+    spark.createDataFrame(all_pages[25:], PAGES_SCHEMA) \
+         .write.mode("append").parquet(inp)
+    stream_kg_update(spark, inp, wh_path, ckpt, CFG)
+
+    # crash-replay probe: re-applying an already-committed batch id
+    # must not change ANY accumulated table (each tracks its own id)
+    wh = Warehouse(spark, wh_path)
+    before = {t: sorted(map(tuple, wh.read_table(t).collect()))
+              for t in (RAW_EDGES, RAW_COREF, RAW_MENTIONS)}
+    dummy = spark.createDataFrame(
+        [("zz", "works for", "zz", 9)],
+        "subj string, pred string, obj string, n_support long")
+    merge_accumulate(wh, RAW_EDGES, dummy, ("subj", "pred", "obj"),
+                     "n_support", batch_id=0, partition_by=("pred",))
+    assert sorted(map(tuple, wh.read_table(RAW_EDGES).collect())) \
+        == before[RAW_EDGES]
+
+    # periodic batch canonicalization over the accumulated tables
+    nodes, edges = canonicalize_accumulated(spark, wh_path)
+    got_edges = {(r.src, r.pred, r.dst): r.n_support
+                 for r in edges.collect()}
+    got_nodes = {r.canon_id: (r.label, r.n_mentions)
+                 for r in nodes.collect()}
+
+    # one-shot batch build over the same 40 pages
+    docs = extract_markdown(
+        spark.createDataFrame(all_pages, PAGES_SCHEMA), CFG)
+    gaz = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
+    mentions = kg_ops.mine_mentions(docs, gaz)
+    triples = kg_ops.mine_triples(docs)
+    links = kg_ops.link_entities(mentions, kg_ops.alias_df(spark))
+    cmap = kg_ops.connected_components(kg_ops.coreference_edges(links))
+    want_edges = {(r.src, r.pred, r.dst): r.n_support
+                  for r in kg_ops.build_kg_edges(triples, cmap).collect()}
+    want_nodes = {r.canon_id: (r.label, r.n_mentions)
+                  for r in kg_ops.build_kg_nodes(cmap, mentions,
+                                                 kg_ops.alias_df(spark))
+                  .collect()}
+
+    assert got_edges == want_edges and len(got_edges) > 0
+    assert got_nodes == want_nodes and len(got_nodes) > 0
+    # the canonicalization also materialized warehouse snapshots
+    assert wh.exists("kg_edges") and wh.exists("kg_nodes")
+
+
 def test_kg_incremental_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: replaying a batch id that was
     already committed (crash between table commit and epoch log) must
