@@ -204,8 +204,117 @@ CUSTOM_CONTAINER = """
 </html>
 """
 
+# -- hostile-HTML envelope (round 3) ----------------------------------------
+# Malformed/adversarial structures the reference meets on the real web
+# (bs4 html.parser tolerates them all; its builder does NO implicit
+# closes — nested <li>/<p> chains stay nested, end tags pop to the
+# nearest matching open tag, unmatched end tags are ignored — exactly
+# the _TreeBuilder contract in htmlcore/dom.py).  Frozen as goldens so
+# the tolerated-input envelope is regression-pinned, not just
+# crash-safe (fuzz).  Outputs hand-reviewed once at freeze time.
+
+HOSTILE_COMMENTS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Comments</h1>
+        <!-- a plain comment -->
+        <p>before<!-- inline comment -->after</p>
+        <!-- <div class="content"><p>decoy inside comment</p></div> -->
+        <p>done</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_SCRIPT_CDATA = """
+<html>
+<head><title>Script Soup</title>
+<script>if (a < b && c > d) { document.write("<p>injected</p>"); }</script>
+<style>.x > .y { color: red; } /* </style> tricks end here */</style>
+</head>
+<body>
+    <div class="content">
+        <h1>Real</h1>
+        <script>//<![CDATA[
+          var html = "<div class='content'>fake</div>";
+        //]]></script>
+        <p>visible text</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_MISNEST = """
+<html>
+<body>
+    <div class="content">
+        <h1>Misnest</h1>
+        <p><b>bold <i>both</b> italic tail</i> plain</p>
+        <span>before<div><p>block in span</p></div>after</span>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_IMPLICIT_CLOSE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Lists</h1>
+        <ul>
+            <li>one
+            <li>two
+            <li>three
+        </ul>
+        <p>first para
+        <p>second para
+        <ol>
+            <li>outer
+            <ul><li>inner a<li>inner b</ul>
+            <li>outer two
+        </ol>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_ENTITIES = """
+<html>
+<body>
+    <div class="content">
+        <h1>Entities &amp;amp; Friends</h1>
+        <p>double: &amp;amp; hex: &#x27;quoted&#x27; dec: &#169;</p>
+        <p>unknown: &fake; bare: AT&T and 1 &lt; 2 &gt; 0</p>
+        <p>tag-as-text: &lt;div class="content"&gt;</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_TAGSOUP = """
+<html>
+<body>
+    <DIV CLASS="content" >
+        <h1>Tag Soup</h1>
+        </div> stray close above? no, that closed the container.
+        <p>orphan paragraph</p>
+    <div class="content">
+        <h2>Second content div</h2>
+        <p>unclosed div chain <div><div>deep text
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
     "article-basic": ARTICLE_BASIC,
+    "hostile-comments": HOSTILE_COMMENTS,
+    "hostile-script-cdata": HOSTILE_SCRIPT_CDATA,
+    "hostile-misnest": HOSTILE_MISNEST,
+    "hostile-implicit-close": HOSTILE_IMPLICIT_CLOSE,
+    "hostile-entities": HOSTILE_ENTITIES,
+    "hostile-tagsoup": HOSTILE_TAGSOUP,
     "div-content-images": DIV_CONTENT_IMAGES,
     "empty-lines": EMPTY_LINES,
     "links-basic": LINKS_BASIC,

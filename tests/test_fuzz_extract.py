@@ -25,8 +25,32 @@ tag_soup = st.text(
         "<>/=\"' abcdivph123spanclassnavhref&#;!-\n\t")),
     max_size=400)
 
+# hostile-envelope seeds: structural fragments mirroring the frozen
+# hostile-* golden corpus (comments, CDATA-ish script bodies,
+# mis-nested inline/block, implicit-close li/p chains, entity edges,
+# stray closes), mutated by interleaving them in random orders
+_HOSTILE_FRAGMENTS = [
+    "<!-- <div class='content'><p>decoy</p></div> -->",
+    "<script>if (a < b && c > d) { x(\"<p>i</p>\"); }</script>",
+    "<style>.x > .y { } /* </style> */</style>",
+    "<p><b>bold <i>both</b> tail</i> plain</p>",
+    "<span>s<div><p>block</p></div>t</span>",
+    "<ul><li>one<li>two<li>three</ul>",
+    "<p>first<p>second",
+    "<ol><li>o<ul><li>ia<li>ib</ul><li>ot</ol>",
+    "&amp;amp; &#x27; &#169; &fake; AT&T 1 &lt; 2",
+    "</div></p></b>",
+    "<DIV CLASS='content' ><h1>X</h1></div>tail",
+    "<div><div><div>deep",
+]
+
+hostile_soup = st.lists(
+    st.sampled_from(_HOSTILE_FRAGMENTS), min_size=1, max_size=6,
+).map(lambda frags: "<div class='content'>" + "".join(frags) + "</div>")
+
 html_ish = st.one_of(
     tag_soup,
+    hostile_soup,
     st.builds(lambda t, a: f"<div class='{a}'><p>{t}</p></div>",
               st.text(max_size=100), st.text(max_size=20)),
     st.text(max_size=200),  # arbitrary unicode, no structure
