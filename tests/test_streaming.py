@@ -204,6 +204,29 @@ def test_lambda_loop_streaming_plus_canonicalize_matches_batch(
     assert wh.exists("kg_edges") and wh.exists("kg_nodes")
 
 
+def test_kg_stream_cli(spark, tmp_path, capsys):
+    """spark-submit entry for the lambda loop: --ingest drains the
+    available files, --canonicalize materializes the graph; combined
+    invocation prints both results."""
+    import json
+
+    from mdscraper_spark.jobs.kg_stream import main
+    from mdscraper_spark.sources.tables import Warehouse
+
+    inp = str(tmp_path / "cli_pages_in")
+    wh_path = str(tmp_path / "cli_wh")
+    ckpt = str(tmp_path / "cli_ckpt")
+    spark.createDataFrame(bulk_pages_df(spark, 15).collect(),
+                          PAGES_SCHEMA).write.parquet(inp)
+    main(["--input", inp, "--warehouse", wh_path,
+          "--checkpoint", ckpt, "--ingest", "--canonicalize"])
+    out = json.loads([l for l in capsys.readouterr().out.splitlines()
+                      if l.startswith("{")][-1])
+    assert out["ingested"] and out["n_edges"] > 0 and out["n_nodes"] > 0
+    wh = Warehouse(spark, wh_path)
+    assert wh.exists("raw_edges") and wh.exists("kg_edges")
+
+
 def test_kg_incremental_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: replaying a batch id that was
     already committed (crash between table commit and epoch log) must
