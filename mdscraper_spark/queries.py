@@ -1374,6 +1374,46 @@ def kg_nodes_check(spark, sf_dir):
     return kg_ops.build_kg_nodes(cmap, mentions, aliases)
 
 
+@register("kg_triple_pr", f"""
+WITH e AS (SELECT src, pred, dst FROM {_FROZEN_EDGES})
+SELECT COUNT(*) AS n_spark, COUNT(*) AS n_oracle, COUNT(*) AS n_common,
+       CAST(1.0 AS DOUBLE) AS triple_precision,
+       CAST(1.0 AS DOUBLE) AS triple_recall,
+       true AS meets_north_rule
+FROM e
+""")
+def kg_triple_pr(spark, sf_dir):
+    """North-rule artifact: precision/recall of the distributed
+    pipeline's emitted canonical triples against the frozen
+    single-threaded reference replay (P/R >= 0.95 is the BASELINE.json
+    acceptance bar; this row REPORTS the measured values instead of
+    leaving them implied by the kg_flagship hash match).  The DuckDB
+    twin replays both sides from the freeze, so the row hash-matches
+    iff the live pipeline reproduces the reference triples exactly
+    (P = R = 1.0)."""
+    live = (_flagship_edges(spark, sf_dir)
+            .select("src", "pred", "dst"))
+    docs = load(spark, sf_dir, "documents")
+    sig = docs.agg(F.md5(F.concat_ws("", F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s.text)))).first()[0]
+    frozen = (spark.read.parquet(
+        "/root/repo/fixtures/kg_oracle/kg_edges_*.parquet")
+        .filter(F.col("corpus_sig") == sig)
+        .select("src", "pred", "dst"))
+    live = live.localCheckpoint()       # pipeline runs once, feeds two
+    n_spark = live.count()              # counts + the intersection
+    n_oracle = frozen.count()
+    n_common = live.join(frozen, ["src", "pred", "dst"], "inner").count()
+    p = round(n_common / n_spark, 6) if n_spark else 0.0
+    r = round(n_common / n_oracle, 6) if n_oracle else 0.0
+    return spark.createDataFrame(
+        [(n_spark, n_oracle, n_common, p, r, p >= 0.95 and r >= 0.95)],
+        "n_spark long, n_oracle long, n_common long, "
+        "triple_precision double, triple_recall double, "
+        "meets_north_rule boolean")
+
+
 @register("kg_degree_stats", f"""
 WITH e AS (SELECT src, dst, n_support FROM {_FROZEN_EDGES}),
 o AS (SELECT src AS node, COUNT(*) AS out_deg, SUM(n_support) AS n_support_out
@@ -1507,8 +1547,8 @@ def kg_pagerank(spark, sf_dir):
 # placing it here fails at import, not silently past the cap.
 _DRIVER_ORDER = [
     # KG flagship + graph read side (the engine's centerpiece)
-    "kg_flagship", "kg_nodes_check", "kg_pagerank", "kg_degree_stats",
-    "graph_shared_suppliers", "two_hop_hub_capped",
+    "kg_flagship", "kg_nodes_check", "kg_triple_pr", "kg_pagerank",
+    "kg_degree_stats", "graph_shared_suppliers", "two_hop_hub_capped",
     # real extraction surface
     "extract_markdown_docs", "div_attr_census", "doc_size_kb",
     # multimodal plumbing
@@ -1531,11 +1571,12 @@ _DRIVER_ORDER = [
     # distinctive relational rows (sessionization, as-of, range join,
     # running windows, correlated subquery, approx contracts)
     "q1_pricing_summary", "event_sessions", "asof_prior_click",
-    "events_error_click_window", "window_running_stats",
+    "events_error_click_window",
     "orders_above_customer_avg", "approx_event_value_percentiles",
     "approx_distinct_users_per_type",
     # ---- driver cap (50) falls here: rows below overlap the ones
     # ---- above in operator coverage and stay check_oracle-verifiable
+    "window_running_stats",
     "q3_top_orders", "q5_region_revenue", "status_counts",
     "latest_order_per_customer", "largest_order_argmax",
     "customers_without_orders", "part_types_intersect",
