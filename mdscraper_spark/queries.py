@@ -1331,20 +1331,36 @@ def kg_flagship(spark, sf_dir):
     return kg_ops.build_kg_edges(kg_ops.mine_triples(docs), cmap)
 
 
+_KG_PARTS_CACHE: dict = {}
+
+
 def _kg_pipeline_parts(spark, sf_dir):
     """Shared pipeline prefix of the KG registry rows (pages ->
     extract -> mentions -> links -> connected components); ONE
     definition so the edges/nodes oracle rows cannot silently
-    diverge."""
+    diverge.
+
+    Memoized per (Spark application, sf_dir) with the expensive frames
+    localCheckpointed: seven registry rows (flagship, nodes, triple
+    P/R, degrees, shared-neighbor, two-hop, pagerank) consume this
+    prefix, and without the cache each would re-run extraction +
+    mining + linking + CC from scratch.  Keyed by applicationId so a
+    fresh session (whose checkpoints are gone) rebuilds instead of
+    replaying dead references."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _KG_PARTS_CACHE:
+        return _KG_PARTS_CACHE[key]
     pages = docs_to_kg_pages(load(spark, sf_dir, "documents",
                                   fan_out=True))
-    docs = extract_markdown(pages, ExtractConfig())
+    docs = extract_markdown(pages, ExtractConfig()).localCheckpoint()
     aliases = kg_ops.alias_df(spark)
     gaz_entries = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
-    mentions = kg_ops.mine_mentions(docs, gaz_entries)
+    mentions = kg_ops.mine_mentions(docs, gaz_entries).localCheckpoint()
     links = kg_ops.link_entities(mentions, aliases)
     cmap = kg_ops.connected_components(kg_ops.coreference_edges(links))
-    return docs, mentions, aliases, cmap
+    parts = (docs, mentions, aliases, cmap)
+    _KG_PARTS_CACHE[key] = parts
+    return parts
 
 
 _FROZEN_EDGES = """
