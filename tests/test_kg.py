@@ -172,6 +172,28 @@ def test_auto_salt_triggers_on_big_dict_and_stays_byte_identical(spark_kg, spark
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_decide_salt_cached_per_dict_identity(spark):
+    """The broadcast-vs-salt decision is a property of the dictionary,
+    not of the batch: tagged dicts pay the probe agg once per
+    (tag, threshold, parallelism); untagged dicts never cache."""
+    from unittest import mock
+
+    kg_ops._SALT_DECISIONS.clear()
+    a = kg_ops.alias_df(spark)
+    d1 = kg_ops.decide_salt(a)
+    assert len(kg_ops._SALT_DECISIONS) == 1
+    # second call must hit the cache: poison DataFrame.agg to prove no
+    # probe action runs
+    a2 = kg_ops.alias_df(spark)
+    with mock.patch.object(type(a2), "agg",
+                           side_effect=AssertionError("probe re-ran")):
+        assert kg_ops.decide_salt(a2) == d1
+    # an untagged dict (no identity) probes every time, never caches
+    bare = spark.createDataFrame(a.collect(), a.schema)
+    kg_ops.decide_salt(bare)
+    assert len(kg_ops._SALT_DECISIONS) == 1
+
+
 def test_forced_salt_must_be_positive(spark_kg):
     import pytest as _pytest
 
