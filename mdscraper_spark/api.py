@@ -72,9 +72,12 @@ class MdScraperSpark:
     @staticmethod
     def extract_md_title(markdown: Optional[str]) -> Optional[str]:
         """First ``# `` line with the reference's strip-ALL quirk
-        (every ``'# '`` occurrence removed, B3)."""
+        (every ``'# '`` occurrence removed, B3).  None-safe so it
+        composes with fetch_content's None-on-failure contract."""
         from mdscraper_spark.extract.textfns import extract_md_title
 
+        if markdown is None:
+            return None
         return extract_md_title(markdown)
 
     # -- distributed twin -------------------------------------------------

@@ -34,6 +34,25 @@ FLAG_COLUMNS = ("doc_id", "lang_ok", "quality_ok", "rep_ok",
                 "canonical", "clean")
 
 
+def stage_conditions():
+    """Ordered cumulative funnel conditions over the doc_flags columns
+    — the ONE definition shared by this job and the oracled
+    `curation_funnel` registry row (a threshold change desyncing the
+    two silently would invalidate the recipe audit).  A function, not
+    a constant: Column expressions need an active JVM gateway."""
+    return [
+        ("total", F.lit(True)),
+        ("lang", F.col("lang_ok")),
+        ("quality", F.col("lang_ok") & F.col("quality_ok")),
+        ("repetition", F.col("lang_ok") & F.col("quality_ok")
+         & F.col("rep_ok")),
+        ("dedup", F.col("lang_ok") & F.col("quality_ok")
+         & F.col("rep_ok") & F.col("canonical")),
+        ("decontaminated", F.col("lang_ok") & F.col("quality_ok")
+         & F.col("rep_ok") & F.col("canonical") & F.col("clean")),
+    ]
+
+
 def doc_flags(docs, lang: str = "en", min_quality: float = 0.5):
     """Per-doc funnel flags, PROJECTED DOWN TO (doc_id, 5 booleans).
 
@@ -68,17 +87,7 @@ def curate(spark: SparkSession, docs, warehouse_path: str,
     flags = doc_flags(docs, lang=lang, min_quality=min_quality)
     assert set(flags.columns) == set(FLAG_COLUMNS), flags.columns
 
-    conds = {
-        "total": F.lit(True),
-        "lang": F.col("lang_ok"),
-        "quality": F.col("lang_ok") & F.col("quality_ok"),
-        "repetition": F.col("lang_ok") & F.col("quality_ok")
-        & F.col("rep_ok"),
-        "dedup": F.col("lang_ok") & F.col("quality_ok") & F.col("rep_ok")
-        & F.col("canonical"),
-        "decontaminated": F.col("lang_ok") & F.col("quality_ok")
-        & F.col("rep_ok") & F.col("canonical") & F.col("clean"),
-    }
+    conds = dict(stage_conditions())
     # checkpoint ONLY (doc_id, flags) — a few bytes/doc — so one corpus
     # pass feeds both the funnel agg and the survivor filter; survivor
     # text comes back from the source scan via a doc_id semi-join

@@ -90,6 +90,12 @@ def two_hop_counts(edges: DataFrame,
         # feeds two anti-joins, and the Observation must fire exactly
         # once (a duplicated observed node breaks metric collection)
         stop = hubs.select(F.col("node").alias("mid")).localCheckpoint()
+        # anti-join BOTH sides: one side would suffice semantically
+        # (an inner join can't match a pruned key), but the hub rows
+        # ARE the skewed mass — pruning b too keeps them out of the
+        # join's shuffle/probe instead of shipping them to find no
+        # partner.  The SQL oracle replays the equivalent one-sided
+        # filter.
         a = a.join(F.broadcast(stop), "mid", "left_anti")
         b = b.join(F.broadcast(stop), "mid", "left_anti")
     return (a.join(b, "mid")

@@ -927,34 +927,14 @@ def curation_funnel(spark, sf_dir):
     column expressions in ONE pass over the corpus (flags + conditional
     counts, no per-stage re-scan) plus the two small joins the dedup/
     contamination stages need."""
+    # the flag frame and stage conditions are THE production job's own
+    # definitions (jobs/curate.py doc_flags / stage_conditions), so the
+    # oracled row and the materializing job cannot silently diverge
+    from mdscraper_spark.jobs.curate import doc_flags, stage_conditions
+
     docs = load(spark, sf_dir, "documents", fan_out=True)
-    w_dup = Window.partitionBy(F.md5("text"))
-    contam = (textstats.contamination(
-        docs, docs.filter(F.col("doc_id") % 97 == 0), k=5)
-        .select("doc_id", (~F.col("contaminated")).alias("clean")))
-    flags = (docs.select(
-        "doc_id",
-        (textstats.lang_guess(F.col("text")) == "en").alias("lang_ok"),
-        (textstats.quality_score(F.col("text")) >= 0.5)
-        .alias("quality_ok"),
-        ((textstats.dup_line_frac(F.col("text")) <= 0.3)
-         & (textstats.top_bigram_frac(F.col("text")) <= 0.2))
-        .alias("rep_ok"),
-        (F.col("doc_id") == F.min("doc_id").over(w_dup))
-        .alias("canonical"))
-        .join(contam, "doc_id", "left")
-        .withColumn("clean", F.coalesce("clean", F.lit(True))))
-    stages = [
-        ("total", F.lit(True)),
-        ("lang", F.col("lang_ok")),
-        ("quality", F.col("lang_ok") & F.col("quality_ok")),
-        ("repetition", F.col("lang_ok") & F.col("quality_ok")
-         & F.col("rep_ok")),
-        ("dedup", F.col("lang_ok") & F.col("quality_ok")
-         & F.col("rep_ok") & F.col("canonical")),
-        ("decontaminated", F.col("lang_ok") & F.col("quality_ok")
-         & F.col("rep_ok") & F.col("canonical") & F.col("clean")),
-    ]
+    flags = doc_flags(docs)
+    stages = stage_conditions()
     agg = flags.agg(*[F.sum(cond.cast("long")).alias(name)
                       for name, cond in stages])
     stack = ", ".join(f"'{name}', {name}" for name, _ in stages)
@@ -1602,9 +1582,14 @@ _DRIVER_ORDER = [
     "events_json_extract",
 ]
 
-assert set(_DRIVER_ORDER) == set(REGISTRY) and \
-    len(_DRIVER_ORDER) == len(REGISTRY), (
-        sorted(set(_DRIVER_ORDER) ^ set(REGISTRY)))
+# explicit raise (not assert): must survive `python -O`, where a
+# compiled-out assert would silently drop unlisted queries from the
+# driver surface
+if set(_DRIVER_ORDER) != set(REGISTRY) or \
+        len(_DRIVER_ORDER) != len(REGISTRY):
+    raise RuntimeError(
+        "_DRIVER_ORDER out of sync with REGISTRY: "
+        f"{sorted(set(_DRIVER_ORDER) ^ set(REGISTRY))}")
 
 
 def queries() -> Dict[str, QueryFn]:

@@ -46,6 +46,19 @@ RAW_EDGES = "raw_edges"
 RAW_COREF = "raw_coref"
 RAW_MENTIONS = "raw_mentions"
 EDGE_KEYS = ("subj", "pred", "obj")
+N_ACC_BUCKETS = 16
+
+
+def _with_bucket(df, col: str):
+    """Deterministic accumulate-bucket column: raw_coref/raw_mentions
+    have no natural low-cardinality partition key (unlike raw_edges's
+    pred), so they hash-bucket on their leading key — included in the
+    merge keys so the key determines the partition and merge_table
+    stays partition-SCOPED (each micro-batch rewrites only touched
+    buckets, never the whole accumulated history)."""
+    return df.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(col), F.lit(N_ACC_BUCKETS)).cast("int"))
 
 
 def merge_accumulate(wh: Warehouse, table: str, batch_df, keys,
@@ -66,6 +79,11 @@ def merge_accumulate(wh: Warehouse, table: str, batch_df, keys,
     keys = list(keys)
     partition_by = tuple(partition_by or ())
     props = {"last_batch_id": int(batch_id)}
+    # materialize the (small, pre-aggregated) batch frame once: the
+    # merge references it several times (semi-join + union) and Spark
+    # does not dedupe common subtrees — without this the upstream
+    # extraction/linking plan would re-run per reference
+    batch_df = batch_df.localCheckpoint()
     if not wh.exists(table):
         wh.write_table(batch_df, table, partition_by=partition_by,
                        properties=props)
@@ -126,15 +144,19 @@ def stream_kg_update(spark: SparkSession, input_dir: str,
         # batches' distinct pairs equals the one-shot batch build's —
         # which is what makes the periodic canonicalization exact.
         links = kg_ops.link_entities(mentions, kg_ops.alias_df(spark))
-        coref = (kg_ops.coreference_edges(links)
-                 .withColumn("n_seen", F.lit(1).cast("long")))
-        merge_accumulate(wh, RAW_COREF, coref, ("src", "dst"), "n_seen",
-                         int(batch_id))
+        coref = _with_bucket(
+            kg_ops.coreference_edges(links)
+            .withColumn("n_seen", F.lit(1).cast("long")), "src")
+        merge_accumulate(wh, RAW_COREF, coref,
+                         ("bucket", "src", "dst"), "n_seen",
+                         int(batch_id), partition_by=("bucket",))
 
         # (3) per-surface-node mention counts — feeds kg_nodes
         merge_accumulate(wh, RAW_MENTIONS,
-                         kg_ops.mention_node_counts(mentions),
-                         ("node_id",), "n_mentions", int(batch_id))
+                         _with_bucket(kg_ops.mention_node_counts(mentions),
+                                      "node_id"),
+                         ("bucket", "node_id"), "n_mentions",
+                         int(batch_id), partition_by=("bucket",))
 
     query = (pages.writeStream
              .foreachBatch(update)
@@ -161,13 +183,20 @@ def canonicalize_accumulated(spark: SparkSession, warehouse_path: str,
     Returns (nodes_df, edges_df); both are also written to the
     warehouse as ``kg_nodes`` / ``kg_edges`` snapshots."""
     wh = Warehouse(spark, warehouse_path)
+    missing = [t for t in (RAW_EDGES, RAW_COREF, RAW_MENTIONS)
+               if not wh.exists(t)]
+    if missing:
+        raise RuntimeError(
+            f"no accumulated ingest in {warehouse_path} yet "
+            f"(missing tables: {missing}) — run the --ingest pass first")
     aliases = aliases if aliases is not None else kg_ops.alias_df(spark)
     coref = wh.read_table(RAW_COREF).select("src", "dst")
     cmap = kg_ops.connected_components(coref)
     edges = kg_ops.build_kg_edges_from_support(
         wh.read_table(RAW_EDGES), cmap)
     nodes = kg_ops.build_kg_nodes_from_counts(
-        cmap, wh.read_table(RAW_MENTIONS), aliases)
+        cmap, wh.read_table(RAW_MENTIONS).select("node_id", "n_mentions"),
+        aliases)
     edges = edges.localCheckpoint()   # materialize before the table
     nodes = nodes.localCheckpoint()   # writes re-read the plans
     wh.write_table(edges, "kg_edges")
