@@ -37,6 +37,11 @@ def main(argv=None) -> None:
                    help="run the periodic batch canonicalization and "
                         "materialize kg_nodes/kg_edges")
     p.add_argument("--exclude-selectors", nargs="*", default=())
+    p.add_argument("--expire-keep", type=int, default=None, metavar="N",
+                   help="after the run, expire accumulated-table "
+                        "snapshots down to the newest N (a standing "
+                        "ingest commits one snapshot per table per "
+                        "micro-batch — unbounded without expiry)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if not (args.ingest or args.canonicalize):
@@ -58,6 +63,16 @@ def main(argv=None) -> None:
         nodes, edges = canonicalize_accumulated(spark, args.warehouse)
         out["n_nodes"] = nodes.count()
         out["n_edges"] = edges.count()
+    if args.expire_keep is not None:
+        from mdscraper_spark.sources.tables import Warehouse
+        from mdscraper_spark.streaming.kg_incremental import (
+            RAW_COREF, RAW_EDGES, RAW_MENTIONS)
+
+        wh = Warehouse(spark, args.warehouse)
+        out["expired"] = {
+            t: wh.expire_snapshots(t, keep_last=args.expire_keep)
+            for t in (RAW_EDGES, RAW_COREF, RAW_MENTIONS)
+            if wh.exists(t)}
     print(json.dumps(out))
 
 

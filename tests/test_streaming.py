@@ -226,6 +226,19 @@ def test_kg_stream_cli(spark, tmp_path, capsys):
     wh = Warehouse(spark, wh_path)
     assert wh.exists("raw_edges") and wh.exists("kg_edges")
 
+    # second increment + snapshot expiry: the accumulated tables keep
+    # only the newest snapshot, and the accumulated contents survive
+    spark.createDataFrame(bulk_pages_df(spark, 25).collect()[15:],
+                          PAGES_SCHEMA).write.mode("append").parquet(inp)
+    before = wh.read_table("raw_edges").count()
+    main(["--input", inp, "--warehouse", wh_path, "--checkpoint", ckpt,
+          "--ingest", "--expire-keep", "1"])
+    out2 = json.loads([l for l in capsys.readouterr().out.splitlines()
+                       if l.startswith("{")][-1])
+    assert "raw_edges" in out2["expired"]
+    assert len(wh.snapshots("raw_edges")) == 1
+    assert wh.read_table("raw_edges").count() >= before
+
 
 def test_kg_incremental_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: replaying a batch id that was
