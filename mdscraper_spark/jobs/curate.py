@@ -53,7 +53,8 @@ def stage_conditions():
     ]
 
 
-def doc_flags(docs, lang: str = "en", min_quality: float = 0.5):
+def doc_flags(docs, lang: str = "en", min_quality: float = 0.5,
+              benchmark=None):
     """Per-doc funnel flags, PROJECTED DOWN TO (doc_id, 5 booleans).
 
     ``text`` is read during flag computation but never carried past
@@ -61,11 +62,18 @@ def doc_flags(docs, lang: str = "en", min_quality: float = 0.5):
     at crawl scale checkpointing the text column would rewrite ~the
     whole corpus to executor disk.  Survivor text is re-joined from
     the source scan instead (one doc_id semi-join vs a corpus-sized
-    materialization)."""
+    materialization).
+
+    ``benchmark``: the held-out eval-suite DataFrame (needs a ``text``
+    column) the decontamination stage screens against.  Default (None)
+    is the deterministic 1-in-97 self-sample — the fixture contract the
+    oracled `curation_funnel` registry row replays; a REAL run passes
+    the actual benchmark suite (CLI: --benchmark)."""
+    if benchmark is None:
+        benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     w_dup = Window.partitionBy(F.md5("text"))
-    contam = (textstats.contamination(
-        docs, docs.filter(F.col("doc_id") % 97 == 0), k=5)
-        .select("doc_id", (~F.col("contaminated")).alias("clean")))
+    contam = (textstats.contamination(docs, benchmark, k=5)
+              .select("doc_id", (~F.col("contaminated")).alias("clean")))
     return (docs.select(
         "doc_id",
         (textstats.lang_guess(F.col("text")) == lang).alias("lang_ok"),
@@ -82,9 +90,10 @@ def doc_flags(docs, lang: str = "en", min_quality: float = 0.5):
 
 def curate(spark: SparkSession, docs, warehouse_path: str,
            budget: int = 2048, lang: str = "en",
-           min_quality: float = 0.5) -> dict:
+           min_quality: float = 0.5, benchmark=None) -> dict:
     """Filter + pack + write; returns the funnel counts dict."""
-    flags = doc_flags(docs, lang=lang, min_quality=min_quality)
+    flags = doc_flags(docs, lang=lang, min_quality=min_quality,
+                      benchmark=benchmark)
     assert set(flags.columns) == set(FLAG_COLUMNS), flags.columns
 
     conds = dict(stage_conditions())
@@ -92,8 +101,11 @@ def curate(spark: SparkSession, docs, warehouse_path: str,
     # pass feeds both the funnel agg and the survivor filter; survivor
     # text comes back from the source scan via a doc_id semi-join
     flags = flags.localCheckpoint()
+    # coalesce: F.sum over ZERO rows is null — an empty (or fully
+    # pre-filtered) corpus must report a zero funnel, not crash
     funnel = flags.agg(
-        *[F.sum(c.cast("long")).alias(s) for s, c in conds.items()]
+        *[F.coalesce(F.sum(c.cast("long")), F.lit(0)).alias(s)
+          for s, c in conds.items()]
     ).first().asDict()
 
     surviving_ids = flags.filter(conds["decontaminated"]).select("doc_id")
@@ -117,6 +129,11 @@ def main(argv=None) -> None:
     p.add_argument("--budget", type=int, default=2048)
     p.add_argument("--lang", default="en")
     p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--benchmark", default=None, metavar="PARQUET",
+                   help="held-out benchmark suite parquet (text column) "
+                        "for the decontamination stage; default is the "
+                        "deterministic 1-in-97 self-sample fixture "
+                        "contract")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -124,8 +141,11 @@ def main(argv=None) -> None:
 
     spark = get_spark("mdscraper-spark-curate", master=args.master)
     docs = spark.read.parquet(args.input)
+    bench = (spark.read.parquet(args.benchmark)
+             if args.benchmark else None)
     funnel = curate(spark, docs, args.warehouse, budget=args.budget,
-                    lang=args.lang, min_quality=args.min_quality)
+                    lang=args.lang, min_quality=args.min_quality,
+                    benchmark=bench)
     print(json.dumps({"funnel": funnel}))
 
 

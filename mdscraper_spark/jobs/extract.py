@@ -236,8 +236,13 @@ def _site_worklist(spark, pages, seed_url: str, config):
     from mdscraper_spark.operators.extract_udfs import extract_markdown
     from mdscraper_spark.operators.links import site_seed_urls
 
-    seed_docs = extract_markdown(pages.filter(F.col("url") == seed_url),
-                                 config)
+    seed_page = pages.filter(F.col("url") == seed_url)
+    if seed_page.limit(1).count() == 0:
+        raise SystemExit(
+            f"--site {seed_url}: seed url not found in the pages table "
+            "— nothing to harvest (check for a typo; the match is "
+            "exact)")
+    seed_docs = extract_markdown(seed_page, config)
     parsed = urlparse(seed_url)
     site_root = f"{parsed.scheme}://{parsed.hostname}"
     work = site_seed_urls(seed_docs, site_root, config.exclude_pages)

@@ -389,7 +389,14 @@ class Warehouse:
     def expire_snapshots(self, name: str, keep_last: int = 1) -> dict:
         """Retain the newest ``keep_last`` snapshots; delete snapshot
         metadata AND data directories no retained snapshot references
-        (expire + orphan-file cleanup)."""
+        (expire + orphan-file cleanup).  ``keep_last`` must be >= 1:
+        keeping zero snapshots would delete every data directory while
+        the manifest survives — a silently emptied table, not an
+        expiry."""
+        if keep_last < 1:
+            raise ValueError(
+                f"expire_snapshots keep_last must be >= 1, got "
+                f"{keep_last} (the current snapshot is always retained)")
         chain = self.snapshots(name)
         kept, dropped = chain[:keep_last], chain[keep_last:]
         referenced = {sid for m in kept

@@ -31,8 +31,17 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     is one incremental ingest; the checkpoint makes repeats exactly-once.
     """
     pages = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir))
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates: with a plain
+    # dropDuplicates(["url"]) the watermark never evicts state (the
+    # event-time column isn't in the dedup subset), so state grows one
+    # entry per distinct url forever — O(corpus) at crawl scale — and a
+    # legitimate re-crawl AFTER the watermark would still be dropped.
+    # The WithinWatermark variant gives exactly the documented
+    # semantics: re-crawls within the watermark are dropped, state is
+    # evicted as the watermark advances, and a later re-crawl refreshes
+    # the document.
     deduped = (pages.withWatermark("warc_ts", watermark)
-               .dropDuplicates(["url"]))
+               .dropDuplicatesWithinWatermark(["url"]))
     docs = extract_markdown(deduped, config)
     query = (docs.writeStream
              .format("parquet")

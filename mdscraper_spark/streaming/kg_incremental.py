@@ -63,7 +63,7 @@ def _with_bucket(df, col: str):
 
 def merge_accumulate(wh: Warehouse, table: str, batch_df, keys,
                      value_col: str, batch_id: int,
-                     partition_by=None) -> None:
+                     partition_by=None, stream_id: str | None = None) -> None:
     """Sum a batch's per-key ``value_col`` into an accumulated table:
     touched keys are read back, summed with the batch, and upserted —
     a partitioned merge rewrites only the touched partitions while the
@@ -75,23 +75,42 @@ def merge_accumulate(wh: Warehouse, table: str, batch_df, keys,
     skipped, so a crash between a table commit and the streaming epoch
     log cannot double-count — each accumulated table tracks its own
     applied id, so a crash mid-batch (some tables committed, some not)
-    replays into exactly the tables that missed it."""
+    replays into exactly the tables that missed it.
+
+    ``stream_id`` names the streaming query whose batch ids these are
+    (the checkpoint location — the Delta txnAppId pattern): batch ids
+    only mean something within one checkpoint's numbering, so a
+    warehouse accumulated under one checkpoint REFUSES batches from a
+    different one (a fresh checkpoint restarts ids at 0 and availableNow
+    re-reads every input file — silently skipping OR blindly applying
+    would both corrupt the accumulation; the operator must either reuse
+    the original checkpoint or start a fresh warehouse)."""
     keys = list(keys)
     partition_by = tuple(partition_by or ())
     props = {"last_batch_id": int(batch_id)}
-    # materialize the (small, pre-aggregated) batch frame once: the
-    # merge references it several times (semi-join + union) and Spark
-    # does not dedupe common subtrees — without this the upstream
-    # extraction/linking plan would re-run per reference
-    batch_df = batch_df.localCheckpoint()
+    if stream_id is not None:
+        props["stream_id"] = stream_id
     if not wh.exists(table):
+        # single consumer in this branch: no checkpoint needed
         wh.write_table(batch_df, table, partition_by=partition_by,
                        properties=props)
         return
-    applied = (wh.manifest(table).get("properties", {})
-               .get("last_batch_id", -1))
-    if batch_id <= applied:
+    mprops = wh.manifest(table).get("properties", {})
+    prev_stream = mprops.get("stream_id")
+    if (stream_id is not None and prev_stream is not None
+            and prev_stream != stream_id):
+        raise RuntimeError(
+            f"{table} was accumulated under checkpoint "
+            f"{prev_stream!r}; refusing batches numbered by "
+            f"{stream_id!r} — reuse the original checkpoint or start "
+            "a fresh warehouse")
+    if batch_id <= mprops.get("last_batch_id", -1):
         return                      # replayed micro-batch: already in
+    # materialize the (small, pre-aggregated) batch frame once, AFTER
+    # the metadata-only replay checks: the merge references it several
+    # times (semi-join + union) and Spark does not dedupe common
+    # subtrees — but a skipped replay must not pay a cluster job
+    batch_df = batch_df.localCheckpoint()
     existing = (wh.read_table(table)
                 .join(batch_df.select(*keys).distinct(), keys,
                       "left_semi"))
@@ -103,12 +122,14 @@ def merge_accumulate(wh: Warehouse, table: str, batch_df, keys,
 
 
 def merge_edge_support(wh: Warehouse, batch_edges,
-                       batch_id: int) -> None:
+                       batch_id: int,
+                       stream_id: str | None = None) -> None:
     """Triple-support specialization of merge_accumulate (kept as the
     named surface the tests and docs pin): pred-partitioned so a batch
     rewrites only the predicates it touches."""
     merge_accumulate(wh, RAW_EDGES, batch_edges, EDGE_KEYS, "n_support",
-                     batch_id, partition_by=("pred",))
+                     batch_id, partition_by=("pred",),
+                     stream_id=stream_id)
 
 
 def stream_kg_update(spark: SparkSession, input_dir: str,
@@ -117,7 +138,12 @@ def stream_kg_update(spark: SparkSession, input_dir: str,
     """Drain currently-available page files into the accumulated
     raw_edges table (availableNow + checkpoint = one exactly-once
     incremental ingest per invocation)."""
+    import os
+
     config = config or ExtractConfig()
+    # the checkpoint location IS the stream identity: batch ids are
+    # only meaningful within one checkpoint's numbering
+    stream_id = os.path.abspath(checkpoint_dir)
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
 
     def update(batch_df, batch_id) -> None:
@@ -136,7 +162,8 @@ def stream_kg_update(spark: SparkSession, input_dir: str,
         # (1) per-triple support — the edge side of the lambda split
         batch_edges = (triples.groupBy(*EDGE_KEYS)
                        .agg(F.count(F.lit(1)).alias("n_support")))
-        merge_edge_support(wh, batch_edges, int(batch_id))
+        merge_edge_support(wh, batch_edges, int(batch_id),
+                           stream_id=stream_id)
 
         # (2) co-reference VOCABULARY edges (distinct surface<->entity
         # winning links).  Per-mention link winners depend only on the
@@ -149,14 +176,16 @@ def stream_kg_update(spark: SparkSession, input_dir: str,
             .withColumn("n_seen", F.lit(1).cast("long")), "src")
         merge_accumulate(wh, RAW_COREF, coref,
                          ("bucket", "src", "dst"), "n_seen",
-                         int(batch_id), partition_by=("bucket",))
+                         int(batch_id), partition_by=("bucket",),
+                         stream_id=stream_id)
 
         # (3) per-surface-node mention counts — feeds kg_nodes
         merge_accumulate(wh, RAW_MENTIONS,
                          _with_bucket(kg_ops.mention_node_counts(mentions),
                                       "node_id"),
                          ("bucket", "node_id"), "n_mentions",
-                         int(batch_id), partition_by=("bucket",))
+                         int(batch_id), partition_by=("bucket",),
+                         stream_id=stream_id)
 
     query = (pages.writeStream
              .foreachBatch(update)

@@ -138,6 +138,19 @@ def test_site_mode_end_to_end(spark, tmp_path):
                                           "https://site.test/p2.html"}
 
 
+def test_site_mode_missing_seed_fails_loudly(spark, tmp_path):
+    """A typo'd seed url must not complete as a silent empty run."""
+    import pytest
+
+    from mdscraper_spark.jobs.extract import main
+
+    pq = _pages_parquet(spark, tmp_path)
+    with pytest.raises(SystemExit, match="seed url not found"):
+        main(["--input", pq, "--warehouse", str(tmp_path / "wh_miss"),
+              "--site", "https://no-such-host.test/index.html",
+              "--extract-only", "--n-buckets", "4"])
+
+
 def test_url_and_url_file_modes(spark, tmp_path):
     from mdscraper_spark.jobs.extract import main
 

@@ -36,6 +36,33 @@ def test_curate_materializes_survivors_with_audit(spark, tmp_path):
     assert props["funnel"] == funnel and props["budget"] == 512
 
 
+def test_curate_empty_corpus_reports_zero_funnel(spark, tmp_path):
+    """An empty input must produce a zero funnel + empty curated_docs,
+    not a TypeError from int(None) (F.sum over zero rows is null)."""
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter("doc_id < 0"))
+    funnel = curate(spark, docs, str(tmp_path / "wh_empty"), budget=512)
+    assert funnel["total"] == 0 and funnel["decontaminated"] == 0
+    wh = Warehouse(spark, str(tmp_path / "wh_empty"))
+    assert wh.read_table("curated_docs").count() == 0
+
+
+def test_curate_custom_benchmark(spark, tmp_path):
+    """--benchmark replaces the 1-in-97 self-sample: decontaminating
+    against an unrelated suite drops nothing, against the corpus itself
+    drops everything that reaches the stage."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    unrelated = spark.createDataFrame(
+        [(10**9, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff")],
+        "doc_id long, text string")
+    f_clean = curate(spark, docs, str(tmp_path / "wh_b1"), budget=512,
+                     benchmark=unrelated)
+    assert f_clean["decontaminated"] == f_clean["dedup"]  # nothing hit
+    f_self = curate(spark, docs, str(tmp_path / "wh_b2"), budget=512,
+                    benchmark=docs)
+    assert f_self["decontaminated"] == 0                  # everything hit
+
+
 def test_checkpointed_flags_carry_no_text(spark):
     """The frame the curate job localCheckpoints is (doc_id, flags)
     only — at crawl scale checkpointing the text column would rewrite

@@ -240,6 +240,44 @@ def test_kg_stream_cli(spark, tmp_path, capsys):
     assert wh.read_table("raw_edges").count() >= before
 
 
+def test_merge_accumulate_refuses_foreign_stream_ids(spark, tmp_path):
+    """Batch ids are only meaningful within one checkpoint's numbering:
+    a warehouse accumulated under one checkpoint must refuse batches
+    from a different one (a fresh checkpoint restarts ids at 0 and
+    re-reads all input — skip OR apply would both corrupt)."""
+    import pytest
+
+    from mdscraper_spark.sources.tables import Warehouse
+    from mdscraper_spark.streaming.kg_incremental import merge_edge_support
+
+    wh = Warehouse(spark, str(tmp_path / "sid_wh"))
+    edges = spark.createDataFrame(
+        [("a", "works for", "X", 1)],
+        "subj string, pred string, obj string, n_support long")
+    merge_edge_support(wh, edges, batch_id=0, stream_id="/ckpt/one")
+    merge_edge_support(wh, edges, batch_id=1, stream_id="/ckpt/one")
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        merge_edge_support(wh, edges, batch_id=0, stream_id="/ckpt/two")
+    # legacy caller without identity is still accepted (no claim made)
+    merge_edge_support(wh, edges, batch_id=1)  # replay: skipped silently
+    got = {r.n_support for r in wh.read_table("raw_edges").collect()}
+    assert got == {2}
+
+
+def test_expire_snapshots_rejects_keep_zero(spark, tmp_path):
+    """keep_last=0 would delete every data dir while the manifest
+    survives — refused loudly instead of silently emptying the table."""
+    import pytest
+
+    from mdscraper_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "exp_wh"))
+    wh.write_table(spark.range(3).toDF("id"), "t")
+    with pytest.raises(ValueError, match="keep_last"):
+        wh.expire_snapshots("t", keep_last=0)
+    assert wh.read_table("t").count() == 3
+
+
 def test_kg_incremental_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: replaying a batch id that was
     already committed (crash between table commit and epoch log) must
