@@ -37,15 +37,17 @@ class MdScraperSpark:
     """Reference-shaped library facade over the extraction pipeline."""
 
     def __init__(self, **options):
+        from mdscraper_spark.config import resolve_config
+
         unknown = set(options) - _CONFIG_FIELDS - _INERT_OPTIONS
         if unknown:
             raise TypeError(f"unknown options: {sorted(unknown)}")
         cfg_kwargs = {k: v for k, v in options.items()
                       if k in _CONFIG_FIELDS}
-        # reference CLI quirk G4: debug promotes silent verbose to 9
-        if cfg_kwargs.get("debug") and not cfg_kwargs.get("verbose"):
-            cfg_kwargs["verbose"] = 9
-        self.config = ExtractConfig(**cfg_kwargs)
+        # resolve_config is the ONE home of option layering: the G4
+        # debug->verbose-9 quirk and the sequence->tuple coercion that
+        # keeps the frozen dataclass hashable / equal to CLI-built ones
+        self.config = resolve_config(cli_options=cfg_kwargs)
 
     # -- single-call surface (driver-side, no Spark needed) --------------
 
@@ -59,10 +61,17 @@ class MdScraperSpark:
 
     def fetch_result(self, url: str, html: Optional[str | bytes] = None):
         """Like fetch_content but returns the full typed ExtractResult
-        (status / markdown / title / links / error)."""
+        (status / markdown / title / links / error).  With no ``html``,
+        ``url`` must be a local path or file:// URL — an http(s) URL
+        raises a clear error (this engine has no network; the crawl
+        arrives as a pages table)."""
         from mdscraper_spark.extract.pipeline import extract_page
 
         if html is None:
+            if url.startswith(("http://", "https://")):
+                raise ValueError(
+                    f"no network in this engine: pass the page HTML via "
+                    f"html=... (or a local path / file:// URL) for {url}")
             path = url[7:] if url.startswith("file://") else url
             html = pathlib.Path(path).read_bytes()
         if isinstance(html, bytes):

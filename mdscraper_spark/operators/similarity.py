@@ -66,14 +66,15 @@ def axis_sign_bucket(vec_col: Column, dims=LSH_DIMS) -> Column:
 
 
 def lsh_bucket_counts(embeddings: DataFrame,
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
     """(bucket, n_vecs, min_vec_id): the bucket histogram — the shape
     that decides ANN candidate-list sizes at scale."""
     return (embeddings
             .withColumn("bucket", axis_sign_bucket(F.col(vec_col)))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
-                 F.min("vec_id").alias("min_vec_id")))
+                 F.min(id_col).alias("min_vec_id")))
 
 
 def lsh_topk(embeddings: DataFrame, query_vec_id: int, k: int = 5,
@@ -138,10 +139,16 @@ def ivf_cells(embeddings: DataFrame, n_cells: int = IVF_K,
                      F.col(vec_col).alias("cvec")))
     scored = (embeddings.crossJoin(F.broadcast(cents))
               .withColumn("csim", cosine(F.col(vec_col), F.col("cvec"))))
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, vec_col, "cid"))
+    # min-struct argmax (sim desc, cid asc as a total order) — a
+    # partial-aggregating hash agg, not a row_number window sort; same
+    # pattern as ivf_assign/kmeans_centroids below
+    return (scored.groupBy(id_col)
+            .agg(F.min(F.struct(F.negate("csim").alias("neg"),
+                                F.col("cid"),
+                                F.col(vec_col).alias("v"))).alias("best"))
+            .select(F.col(id_col),
+                    F.col("best.v").alias(vec_col),
+                    F.col("best.cid").alias("cid")))
 
 
 def ivf_cell_sizes(embeddings: DataFrame, n_cells: int = IVF_K) -> DataFrame:
@@ -158,9 +165,23 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
              vec_col: str = "embedding") -> DataFrame:
     """ANN: exact cosine top-k restricted to the query's IVF cell."""
     cells = ivf_cells(embeddings, n_cells, id_col, vec_col)
-    query = (cells.filter(F.col(id_col) == query_vec_id)
-             .select(F.col(vec_col).alias("qvec"),
-                     F.col("cid").alias("qcid")))
+    # the query's cell from a 1-row x K scoring of the query vector
+    # alone — NOT by filtering `cells`, which would execute the full
+    # corpus-wide assignment pipeline a second time just to look up
+    # one row (the candidate side below is the only corpus-wide pass)
+    cents = (embeddings.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).alias("cid"),
+                     F.col(vec_col).alias("cvec")))
+    qside = (embeddings.filter(F.col(id_col) == query_vec_id)
+             .select(F.col(vec_col).alias("qvec")))
+    query = (qside.crossJoin(F.broadcast(cents))
+             .withColumn("csim", cosine(F.col("qvec"), F.col("cvec")))
+             .groupBy()
+             .agg(F.min(F.struct(F.negate("csim").alias("neg"),
+                                 F.col("cid"),
+                                 F.col("qvec").alias("q"))).alias("best"))
+             .select(F.col("best.q").alias("qvec"),
+                     F.col("best.cid").alias("qcid")))
     cands = (cells.join(F.broadcast(query), F.col("cid") == F.col("qcid"))
              .filter(F.col(id_col) != query_vec_id))
     scored = cands.select(
@@ -207,8 +228,15 @@ def kmeans_centroids(embeddings: DataFrame, n_cells: int = IVF_K,
                          .alias("best"))
                     .select(F.col("best.cid").alias("cid"),
                             F.col("best.v").alias("v")))
+        # decimal-exact mean: a double F.avg's partial-aggregation
+        # order varies with task scheduling, which would break the
+        # documented bit-determinism of the centroids (and downstream
+        # assignments) run-to-run.  Decimal addition is associative-
+        # exact, so the sum — and hence the mean — is order-independent.
         means = (assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-                 .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("cid", "pos")
+                 .agg((F.sum(F.col("x").cast("decimal(38,18)"))
+                       / F.count(F.lit(1))).cast("double").alias("m"))
                  .groupBy("cid")
                  .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
                       .alias("pm"))
@@ -258,6 +286,14 @@ def ivf_kmeans_recall(embeddings: DataFrame, n_queries: int = 20,
     scanned, hence the high default nprobe here.  On real embedding
     corpora (which cluster), recall >> scan fraction at small nprobe;
     the recall/nprobe curve is the tuning artifact either way."""
+    # guard the denominator: with fewer than n_queries vectors (or a
+    # corpus of <= k) the fixed n_queries*k denominator would silently
+    # deflate recall and the output row would misstate the query count
+    n_avail = embeddings.count()
+    if n_avail < n_queries or n_avail <= k:
+        raise ValueError(
+            f"ivf_kmeans_recall needs > {k} vectors and >= {n_queries} "
+            f"queries; corpus has {n_avail}")
     cents = kmeans_centroids(embeddings, n_cells, iters, id_col, vec_col)
     assigned = ivf_assign(embeddings, cents, id_col, vec_col)
     # query set = the n_queries SMALLEST ids (id-space-agnostic)

@@ -102,10 +102,16 @@ def top_bigram_frac(col: Column) -> Column:
     stripped = ws_strip(col)
     toks = F.split(stripped, r"\s+")
     n = F.when(F.length(stripped) == 0, F.lit(0)).otherwise(F.size(toks))
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(2), F.lit(0)))
+    # bigrams as zip-of-slices, NOT element_at(toks, i) inside the
+    # lambda: higher-order functions are interpreted (no codegen
+    # subexpression elimination — dedup.tokenize docstring), so an
+    # indexed lambda re-evaluates the full split() per element = O(n²)
+    # regexp work per doc.  The two slices evaluate toks a constant
+    # number of times however long the doc is.
+    m = F.greatest(n - F.lit(1), F.lit(0))
+    pairs = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
     bigrams = F.when(n >= 2, F.array_sort(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
-                                   F.element_at(toks, i + 2))))) \
+        pairs, lambda p: F.concat_ws(" ", p["0"], p["1"])))) \
                .otherwise(F.array())
     run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1) \
                           .otherwise(F.lit(1))
@@ -154,13 +160,16 @@ def contamination(docs: DataFrame, benchmark: DataFrame, k: int = 5,
                             shingles_from_tokens(F.col("toks"), k), F.md5))
                         .alias("h")))
 
-    bench_set = sh(benchmark).select("h").distinct()
-    corpus = sh(docs)
-    hit = corpus.join(F.broadcast(bench_set), "h", "left_semi") \
-                .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hit"))
-    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    out = (totals.join(hit, "doc_id", "left")
-           .withColumn("n_hit", F.coalesce("n_hit", F.lit(0))))
+    # ONE pass over the corpus: mark hits with a broadcast left join
+    # (bench_set is distinct, so no row duplication) and count grams +
+    # hits in the same aggregate — the previous semi-join + separate
+    # totals pass shingled and exploded the entire corpus twice
+    bench_set = (sh(benchmark).select("h").distinct()
+                 .withColumn("bhit", F.lit(1)))
+    out = (sh(docs).join(F.broadcast(bench_set), "h", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_grams"),
+                F.count("bhit").alias("n_hit")))
     frac = F.col("n_hit") / F.col("n_grams").cast("double")
     return out.select("doc_id", "n_grams", "n_hit",
                       (frac >= 0.5).alias("contaminated"))

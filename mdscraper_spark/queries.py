@@ -935,8 +935,10 @@ def curation_funnel(spark, sf_dir):
     docs = load(spark, sf_dir, "documents", fan_out=True)
     flags = doc_flags(docs)
     stages = stage_conditions()
-    agg = flags.agg(*[F.sum(cond.cast("long")).alias(name)
-                      for name, cond in stages])
+    # coalesce: F.sum over ZERO rows is null, but the oracle's COUNT
+    # semantics report 0 — an empty corpus must match, not hash-diverge
+    agg = flags.agg(*[F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+                      .alias(name) for name, cond in stages])
     stack = ", ".join(f"'{name}', {name}" for name, _ in stages)
     return agg.selectExpr(
         f"stack({len(stages)}, {stack}) AS (stage, n_docs)")
@@ -1327,9 +1329,15 @@ def _kg_pipeline_parts(spark, sf_dir):
     mining + linking + CC from scratch.  Keyed by applicationId so a
     fresh session (whose checkpoints are gone) rebuilds instead of
     replaying dead references."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key in _KG_PARTS_CACHE:
         return _KG_PARTS_CACHE[key]
+    # evict entries from dead sessions: their checkpointed frames pin
+    # unusable JVM references, and a long-lived driver process cycling
+    # SparkSessions would otherwise grow the cache without bound
+    for stale in [k for k in _KG_PARTS_CACHE if k[0] != app_id]:
+        del _KG_PARTS_CACHE[stale]
     pages = docs_to_kg_pages(load(spark, sf_dir, "documents",
                                   fan_out=True))
     docs = extract_markdown(pages, ExtractConfig()).localCheckpoint()
