@@ -112,6 +112,12 @@ def _rot_hex(h: Column, band: int) -> Column:
     """Rotate a 32-hex-digit string left by 8*band chars — a bijection
     on hash values, so ``min`` over each rotation is an independent
     min-hash band derived from ONE md5 per shingle."""
+    if not 0 <= band < 4:
+        # rotation by 32 chars is the identity: band 4 would silently
+        # duplicate band 0's signature, making b-band LSH behave as
+        # (b mod 4) bands while the caller tunes recall for b
+        raise ValueError(f"md5 supports at most 4 rotation bands, got "
+                         f"band index {band}")
     if band == 0:
         return h
     cut = 8 * band
@@ -162,9 +168,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Bit b of a token = hex digit b of md5(token) >= '8' (top bit of the
     nibble) — portable to SQL via substr comparison on the hex string.
     """
+    if not 1 <= bits <= 32:
+        # md5 has 32 hex digits; substring past the end returns '' and
+        # always votes -1 — bits 32+ would be constant zero, silently
+        # halving the effective signature width
+        raise ValueError(f"simhash bits must be in 1..32, got {bits}")
     toks = df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(F.split(ws_strip(F.col(text_col)), r"\s+"))
-                     .alias("tok"))
+                     F.explode(tokenize(F.col(text_col))).alias("tok"))
     toks = toks.withColumn("h", F.md5("tok"))
     votes = [
         F.sum(F.when(F.substring("h", b + 1, 1) >= "8", 1).otherwise(-1))
@@ -245,8 +255,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 stop_stats,
                 F.count(F.lit(1)).alias("n_stop_shingles"),
                 F.coalesce(F.sum("k"), F.lit(0)).alias("n_postings_dropped"))
-        stops = key_counts.select("lang", "lbucket", "h")
-        kept = ex.join(F.broadcast(stops), ["lang", "lbucket", "h"],
+        stops = key_counts.select(F.col("lang").alias("s_lang"),
+                                  F.col("lbucket").alias("s_lbucket"),
+                                  F.col("h").alias("s_h"))
+        # null-SAFE anti-join: the pairing groupBy downstream treats
+        # null keys as equal (null-lang docs form a real candidate
+        # group), but a plain equi-anti-join never matches null keys —
+        # the cap would be computed for those groups yet silently not
+        # enforced, re-opening the k(k-1)/2 blow-up for them
+        kept = ex.join(F.broadcast(stops),
+                       ex["lang"].eqNullSafe(F.col("s_lang"))
+                       & ex["lbucket"].eqNullSafe(F.col("s_lbucket"))
+                       & ex["h"].eqNullSafe(F.col("s_h")),
                        "left_anti")
     posts = (kept.groupBy("lang", "lbucket", "h")
              .agg(F.collect_list("d").alias("ds"))

@@ -389,13 +389,22 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
                     StructField("node_id", StringType(), False),
                     StructField("canon_id", StringType(), False),
                 ])
-                return spark.createDataFrame(rows, schema)
+                out = spark.createDataFrame(rows, schema)
+                out._mdscraper_local = True   # driver-sized by the gate
+                return out
+            # distributed path: build the undirected set FROM the
+            # still-persisted distinct edges (recomputing distinct from
+            # the raw stream would repeat the most expensive shuffle at
+            # exactly the scale where it hurts), then release the cache
+            und = (dedup.union(dedup.select(F.col("dst").alias("src"),
+                                            F.col("src").alias("dst")))
+                   .distinct().localCheckpoint())
         finally:
             dedup.unpersist()
-
-    und = edges.union(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst"))).distinct()
-    und = und.localCheckpoint()
+    else:
+        und = edges.union(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst"))).distinct()
+        und = und.localCheckpoint()
     labels = (und.select(F.col("src").alias("node_id"))
               .distinct()
               .withColumn("label", F.col("node_id")))
@@ -407,6 +416,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         return int(row[0] or 0)
 
     prev = checksum(labels)
+    converged = False
     for i in range(max_iter):
         msgs = (und.join(labels, und.src == labels.node_id)
                 .select(F.col("dst").alias("node_id"), F.col("label")))
@@ -416,8 +426,19 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
             labels = labels.localCheckpoint()
         cur = checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # min-label propagation needs O(component diameter) rounds;
+        # stopping early would SILENTLY split one component into
+        # several canon ids — corrupt canonicalization, no symptom.
+        # Fail loudly; callers with genuinely deep graphs raise
+        # max_iter (cost is per-round, convergence is data-dependent).
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations (a component's diameter exceeds the round "
+            "budget); raise max_iter")
     # materialize the fixpoint so downstream consumers don't replay the
     # remaining iterations' lineage
     return (labels.select(F.col("node_id"), F.col("label").alias("canon_id"))
@@ -428,6 +449,19 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
 # I6 — graph materialization
 # ---------------------------------------------------------------------------
 
+def _maybe_broadcast(canonical_map: DataFrame):
+    """Broadcast-hint the canonical map ONLY when the size gate proved
+    it driver-sized (the local union-find path tags its output).  The
+    distributed-CC output exists precisely because the vocabulary was
+    too big to collect — force-broadcasting it would OOM the driver in
+    the regime the size-gated path was built for; an untagged map goes
+    through a regular join and Catalyst/AQE still broadcasts it when
+    stats say it fits."""
+    if getattr(canonical_map, "_mdscraper_local", False):
+        return F.broadcast(canonical_map)
+    return canonical_map
+
+
 def _label_nodes(counted: DataFrame, aliases: DataFrame) -> DataFrame:
     """(canon_id, n_mentions) -> kg_nodes(canon_id, label, n_mentions):
     canonical entity name when the component root is an entity node,
@@ -435,7 +469,12 @@ def _label_nodes(counted: DataFrame, aliases: DataFrame) -> DataFrame:
     ent_labels = (aliases.select(
         F.concat(F.lit("e:"), F.col("entity_id").cast("string")).alias("canon_id"),
         F.col("canonical")).distinct())
-    return (counted.join(F.broadcast(ent_labels), "canon_id", "left")
+    # the broadcast hint follows the same measurement the link join
+    # uses: decide_salt already knows (and caches) whether this alias
+    # dictionary fits the broadcast threshold
+    if decide_salt(aliases) is None:
+        ent_labels = F.broadcast(ent_labels)
+    return (counted.join(ent_labels, "canon_id", "left")
             .withColumn(
                 "label",
                 F.coalesce("canonical", F.substring(F.col("canon_id"), 3, 10000)))
@@ -479,9 +518,9 @@ def build_kg_nodes_from_counts(canonical_map: DataFrame,
 
 def build_kg_edges(triples: DataFrame, canonical_map: DataFrame) -> DataFrame:
     """kg_edges(src, pred, dst, n_support): triples mapped onto canonical
-    ids (two broadcast-able joins on the small canonical_map), deduped
-    by support count."""
-    cmap = F.broadcast(canonical_map)
+    ids (two joins on the canonical_map — broadcast-hinted only when
+    the size gate proved it driver-sized), deduped by support count."""
+    cmap = _maybe_broadcast(canonical_map)
     subj_node = F.concat(F.lit("s:"), _norm_col(F.col("subj")))
     obj_node = F.concat(F.lit("s:"), _norm_col(F.col("obj")))
     t = (triples
@@ -508,7 +547,7 @@ def build_kg_edges_from_support(support: DataFrame,
     accumulated support instead of re-counting rows.  Identical output
     to build_kg_edges over the union of the batches' triples (support
     counting is associative)."""
-    cmap = F.broadcast(canonical_map)
+    cmap = _maybe_broadcast(canonical_map)
     subj_node = F.concat(F.lit("s:"), _norm_col(F.col("subj")))
     obj_node = F.concat(F.lit("s:"), _norm_col(F.col("obj")))
     t = (support

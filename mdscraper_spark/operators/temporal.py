@@ -114,6 +114,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
                 .withColumn("__r", null_struct))
     r_tagged = (right.withColumn(
                     "__t", F.unix_micros(F.col(right_ts).cast("timestamp")))
+                # a null/uncastable right_ts can never satisfy
+                # right_ts <= left_ts — but null __t sorts FIRST under
+                # asc, so without this filter such a row would become
+                # the carried "match" for every left row that has no
+                # genuine prior right row (SQL comparison with null is
+                # false; the engines must agree)
+                .filter(F.col("__t").isNotNull())
                 .withColumn("__side", F.lit(0))
                 .withColumn("__r", F.struct(*[F.col(c) for c in right_cols])))
     l_cols = [c for c in left.columns]

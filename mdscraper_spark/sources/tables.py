@@ -87,6 +87,12 @@ class Warehouse:
         lets a writer make application metadata (e.g. a streaming
         batch id) atomic with the data commit.
         """
+        if mode not in ("overwrite", "append"):
+            # anything else would silently take the overwrite ownership
+            # branch below — a typo like 'Append' must not replace the
+            # table
+            raise ValueError(f"write_table mode must be 'overwrite' or "
+                             f"'append', got {mode!r}")
         snapshot_id = uuid.uuid4().hex
         data_dir = self._snap_data_dir(name, snapshot_id)
         writer = df.write.mode("overwrite")
@@ -354,9 +360,17 @@ class Warehouse:
             df = df.repartition(*part_by)
         else:
             df = df.repartition(max(1, -(-total // target_file_bytes)))
+        # carry the current snapshot's properties forward: writers use
+        # them for commit metadata that must survive maintenance (the
+        # streaming ingest's last_batch_id/stream_id exactly-once guard
+        # reads the CURRENT manifest — a compaction that dropped them
+        # would re-admit replayed batches)
+        carried = dict(m.get("properties", {}))
         sid = self.write_table(df, name, partition_by=tuple(part_by),
-                               mode="overwrite") if not part_by else \
-            self._full_overwrite(df, name, tuple(part_by))
+                               mode="overwrite", properties=carried) \
+            if not part_by else \
+            self._full_overwrite(df, name, tuple(part_by),
+                                 properties=carried)
         if lost_entries:
             m2 = self.manifest(name)
             for key, sids in lost_entries.items():

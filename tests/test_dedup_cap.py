@@ -72,6 +72,31 @@ def test_stop_shingle_cap_drops_boilerplate_pairs(spark):
     assert obs.get["n_postings_dropped"] >= 5 * obs.get["n_stop_shingles"]
 
 
+def test_cap_enforced_for_null_lang_groups(spark):
+    """groupBy treats null langs as one candidate group, so the
+    anti-join must be null-safe — otherwise the cap is computed for
+    null-lang groups but silently never applied to them."""
+    rows = [(i, f"{BOILER} filler{i} only{i} words{i}", None)
+            for i in range(8)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, lang string")
+    got = ngram_jaccard_pairs(df, max_posting=4).collect()
+    assert got == []                 # hot shingles capped away
+
+
+def test_minhash_and_simhash_width_guards(spark):
+    import pytest
+
+    from mdscraper_spark.operators.dedup import minhash_signatures, simhash
+
+    df = spark.createDataFrame([(0, "a b c d e f", "en")],
+                               "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="band"):
+        minhash_signatures(df, n_bands=5).collect()
+    with pytest.raises(ValueError, match="bits"):
+        simhash(df, bits=33).collect()
+
+
 def test_uncapped_boilerplate_would_blow_up(spark):
     df = corpus(spark)
     # max_posting=None takes the single-pass path (no count pass);

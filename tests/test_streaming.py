@@ -240,6 +240,43 @@ def test_kg_stream_cli(spark, tmp_path, capsys):
     assert wh.read_table("raw_edges").count() >= before
 
 
+def test_exactly_once_survives_compaction(spark, tmp_path):
+    """compact() must carry snapshot properties forward: the replay
+    guard reads last_batch_id/stream_id from the CURRENT manifest, and
+    a maintenance compaction between micro-batches must not re-admit a
+    replayed batch."""
+    from mdscraper_spark.sources.tables import Warehouse
+    from mdscraper_spark.streaming.kg_incremental import merge_edge_support
+
+    wh = Warehouse(spark, str(tmp_path / "compact_wh"))
+    edges = spark.createDataFrame(
+        [("a", "works for", "X", 2)],
+        "subj string, pred string, obj string, n_support long")
+    merge_edge_support(wh, edges, batch_id=0, stream_id="/ckpt/c")
+    wh.compact("raw_edges")
+    props = wh.manifest("raw_edges")["properties"]
+    assert props["last_batch_id"] == 0 and props["stream_id"] == "/ckpt/c"
+    merge_edge_support(wh, edges, batch_id=0, stream_id="/ckpt/c")  # replay
+    got = [r.n_support for r in wh.read_table("raw_edges").collect()]
+    assert got == [2]                    # not double-counted
+
+
+def test_cc_raises_when_rounds_exhausted(spark):
+    """The distributed CC must fail loudly, not return silently split
+    components, when a component's diameter exceeds the round budget."""
+    import pytest
+
+    from mdscraper_spark.operators.kg import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(8)], "src string, dst string")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=1, local_solve_threshold=0)
+    # same graph with budget: one component, min label wins
+    cmap = connected_components(chain, max_iter=25, local_solve_threshold=0)
+    assert {r.canon_id for r in cmap.collect()} == {"n0"}
+
+
 def test_merge_accumulate_refuses_foreign_stream_ids(spark, tmp_path):
     """Batch ids are only meaningful within one checkpoint's numbering:
     a warehouse accumulated under one checkpoint must refuse batches

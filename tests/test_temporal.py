@@ -83,6 +83,24 @@ def test_asof_join_inner_drops_unmatched(spark):
     assert [r["event_id"] for r in out.collect()] == [100]
 
 
+def test_asof_join_ignores_null_right_ts(spark):
+    """A null right_ts can never satisfy right_ts <= left_ts: it must
+    not become the carried match for left rows with no genuine prior
+    right row (null __t sorts first under asc — engines must agree
+    with SQL's null-comparison-is-false)."""
+    left = spark.createDataFrame(
+        [Row(event_id=100, user_id=1, ts=T0)])
+    right = spark.createDataFrame(
+        [Row(user_id=1, click_event_id=1, click_ts=None),
+         Row(user_id=1, click_event_id=2,
+             click_ts=T0 + dt.timedelta(minutes=1))],
+        "user_id long, click_event_id long, click_ts timestamp")
+    out = temporal.asof_join(left, right, key="user_id",
+                             left_ts="ts", right_ts="click_ts",
+                             right_cols=("click_event_id", "click_ts"))
+    assert out.collect() == []          # no prior real click -> dropped
+
+
 def test_range_join_bucket_boundaries_and_plan(spark):
     """Bucketed range join: pairs straddling a bucket boundary must
     still match (left explodes to bucket ±1), no pair duplicates, and
