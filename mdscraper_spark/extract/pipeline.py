@@ -323,6 +323,14 @@ def extract_page(url: str, html_text: str, config: ExtractConfig) -> ExtractResu
             return ExtractResult(None, None, None, STAGE_NONE, None,
                                  "no_content", None, [])
 
+        # harvest from the RAW detected container, BEFORE any strip
+        # pass: the reference's site mode reads extract_page_content
+        # output directly (scraper.py:779-784) — exclude_selectors /
+        # no_links / make_urls_relative never touch its work-list, so
+        # anchors inside excluded regions still harvest and --no-links
+        # does not silently empty a --site run
+        links = harvest_links(content)
+
         process_exclude_selectors(content, config.exclude_selectors)
         if config.no_images:
             remove_images(content)
@@ -332,7 +340,6 @@ def extract_page(url: str, html_text: str, config: ExtractConfig) -> ExtractResu
             make_urls_relative(content, config.root_url)
 
         title = extract_page_title(root)
-        links = harvest_links(content) if not config.no_links else []
 
         rendered = render_markdown(content)
         markdown = finish_markdown(

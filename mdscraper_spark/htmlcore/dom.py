@@ -50,10 +50,26 @@ def _escape_attr(s: str) -> str:
 class Node:
     """Base node: has a parent and can remove itself from the tree."""
 
-    __slots__ = ("parent",)
+    __slots__ = ("parent", "_pidx")
 
     def __init__(self) -> None:
         self.parent: Optional[Element] = None
+        self._pidx: int = 0        # sibling-index hint (see _sib_index)
+
+    def _sib_index(self) -> int:
+        """O(1)-amortized index of self in parent.children: verify the
+        cached hint, and on a miss (tree surgery moved siblings)
+        refresh EVERY sibling's hint in one pass.  Without this, each
+        next_sibling/previous_sibling is an O(n) list scan — and the
+        renderer consults siblings per child, turning one flat element
+        with k children into O(k²) comparisons on the hot path."""
+        sibs = self.parent.children
+        i = self._pidx
+        if 0 <= i < len(sibs) and sibs[i] is self:
+            return i
+        for j, c in enumerate(sibs):
+            c._pidx = j
+        return self._pidx
 
     # -- tree surgery -------------------------------------------------
     def extract(self) -> "Node":
@@ -70,10 +86,14 @@ class Node:
     def replace_with(self, node: "Node") -> None:
         if self.parent is None:
             raise ValueError("cannot replace a detached node")
-        idx = self.parent.children.index(self)
+        # extract the incoming node FIRST: if it is an earlier sibling
+        # in the same parent, extracting it shifts this node's index —
+        # computing idx before the extract corrupted the tree
+        parent = self.parent
         node.extract()
-        node.parent = self.parent
-        self.parent.children[idx] = node
+        idx = parent.children.index(self)
+        node.parent = parent
+        parent.children[idx] = node
         self.parent = None
 
     # -- navigation ---------------------------------------------------
@@ -82,7 +102,7 @@ class Node:
         if self.parent is None:
             return None
         sibs = self.parent.children
-        i = sibs.index(self)
+        i = self._sib_index()
         return sibs[i + 1] if i + 1 < len(sibs) else None
 
     @property
@@ -90,7 +110,7 @@ class Node:
         if self.parent is None:
             return None
         sibs = self.parent.children
-        i = sibs.index(self)
+        i = self._sib_index()
         return sibs[i - 1] if i > 0 else None
 
     @property
@@ -163,6 +183,7 @@ class Element(Node):
     # -- traversal ----------------------------------------------------
     def append(self, node: Node) -> None:
         node.parent = self
+        node._pidx = len(self.children)   # exact hint at parse time
         self.children.append(node)
 
     def descendants(self) -> Iterator[Node]:
@@ -232,6 +253,11 @@ class Element(Node):
 
     # -- text ---------------------------------------------------------
     def get_text(self, separator: str = "", strip: bool = False) -> str:
+        """Concatenated descendant text, EXCLUDING <script>/<style>
+        bodies: bs4 >= 4.9 stores those as Script/Stylesheet strings
+        that get_text() skips by default — and the reference's
+        largest-div heuristic runs on get_text, so a boilerplate div
+        stuffed with inline JS must not out-score the real content."""
         parts = []
         stack = list(reversed(self.children))
         while stack:
@@ -241,7 +267,8 @@ class Element(Node):
                 if strip and not s:
                     continue
                 parts.append(s)
-            elif isinstance(node, Element) and node.children:
+            elif isinstance(node, Element) and node.children \
+                    and node.name not in ("script", "style"):
                 stack.extend(reversed(node.children))
         return separator.join(parts)
 
@@ -305,13 +332,14 @@ class _TreeBuilder(HTMLParser):
         self.root = Document()
         self.stack: list[Element] = [self.root]
 
-    # first occurrence of a duplicated attribute wins; valueless -> ""
+    # LAST occurrence of a duplicated attribute wins (bs4's
+    # html.parser builder default, on_duplicate_attribute='replace');
+    # valueless -> ""
     @staticmethod
     def _attr_dict(attrs) -> dict:
         d: dict = {}
         for k, v in attrs:
-            if k not in d:
-                d[k] = v if v is not None else ""
+            d[k] = v if v is not None else ""
         return d
 
     def handle_starttag(self, tag: str, attrs) -> None:

@@ -103,6 +103,17 @@ def _parse_sequence(selector: str) -> list:
     return seq
 
 
+def _is_element(node) -> bool:
+    """True for real elements only: the Document root's name is
+    '[document]' (never None), so a name-is-not-None guard would let
+    the document node participate in combinator matching — soupsieve
+    (the reference's selector engine) never treats the root as an
+    element, so '* > nav' must not match a top-level nav via the
+    document satisfying '*'."""
+    return node is not None and node.name is not None \
+        and not node.name.startswith("[")
+
+
 def _ancestors_match(el, seq: list, idx: int) -> bool:
     """Check seq[:idx+1] matches ending at el (el already matched seq[idx])."""
     if idx == 0:
@@ -112,13 +123,12 @@ def _ancestors_match(el, seq: list, idx: int) -> bool:
     if combinator == ">":
         parent = el.parent
         return (
-            parent is not None
-            and parent.name is not None
+            _is_element(parent)
             and prev_simple.matches(parent)
             and _ancestors_match(parent, seq, idx - 1)
         )
     cur = el.parent
-    while cur is not None and cur.name is not None:
+    while _is_element(cur):
         if prev_simple.matches(cur) and _ancestors_match(cur, seq, idx - 1):
             return True
         cur = cur.parent

@@ -75,10 +75,21 @@ class Gazetteer:
             if surface not in self.types:
                 self.types[surface] = mtype
                 surfaces.append(surface)
-        # longest-first alternation => leftmost-longest match
-        surfaces.sort(key=lambda s: (-len(s), s))
-        pattern = "|".join(re.escape(s) for s in surfaces)
-        self._re = re.compile(rf"\b(?:{pattern})\b") if surfaces else None
+        # longest-first alternation => leftmost-longest match.  A \b is
+        # attached only where the alias EDGE is a word character: \b
+        # needs a word char on its inside, so wrapping 'C++'/'.NET' in
+        # \b...\b could never match anywhere — a silent recall hole.
+        # Non-word edges need no boundary (the edge char itself breaks
+        # any word).
+        def bounded(s: str) -> str:
+            left = r"\b" if re.match(r"\w", s[0]) else ""
+            right = r"\b" if re.match(r"\w", s[-1]) else ""
+            return f"{left}{re.escape(s)}{right}"
+
+        pattern = "|".join(
+            bounded(s)
+            for s in sorted(surfaces, key=lambda s: (-len(s), s)))
+        self._re = re.compile(f"(?:{pattern})") if surfaces else None
 
     def find(self, sentence: str) -> List[Tuple[int, int, str, str]]:
         """Non-overlapping mentions: (start, end, surface, mtype)."""
@@ -91,16 +102,18 @@ class Gazetteer:
         return out
 
 
-_GAZETTEER_CACHE: Dict[int, Gazetteer] = {}
+_GAZETTEER_CACHE: Dict[tuple, Gazetteer] = {}
 
 
 def cached_gazetteer(entries_key: tuple) -> Gazetteer:
-    """Per-process gazetteer cache; key is the (hashable) entry tuple."""
-    h = hash(entries_key)
-    gaz = _GAZETTEER_CACHE.get(h)
+    """Per-process gazetteer cache; keyed by the entry tuple ITSELF
+    (not its hash — dict lookup gets equality checking for free, where
+    a raw-hash key would silently hand a colliding caller the wrong
+    compiled gazetteer)."""
+    gaz = _GAZETTEER_CACHE.get(entries_key)
     if gaz is None:
         gaz = Gazetteer(entries_key)
-        _GAZETTEER_CACHE[h] = gaz
+        _GAZETTEER_CACHE[entries_key] = gaz
     return gaz
 
 

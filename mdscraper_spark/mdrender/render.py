@@ -167,6 +167,16 @@ class MarkdownRenderer:
             merged = [""]
             for piece in pieces:
                 lead, content, trail = _EDGE_NL_RE.match(piece).groups()
+                if not content:
+                    # ALL-newline piece (e.g. an empty blockquote's
+                    # '\n'): fold it into the pending boundary run —
+                    # emitting it as content would end the merge chain
+                    # and let a 3-4 newline run through the cap
+                    prev_trail = merged.pop()
+                    merged.append("\n" * min(2, max(len(prev_trail),
+                                                    len(lead),
+                                                    len(trail))))
+                    continue
                 if merged[-1] and lead:
                     prev_trail = merged.pop()
                     lead = "\n" * min(2, max(len(prev_trail), len(lead)))
@@ -257,7 +267,7 @@ class MarkdownRenderer:
             start_attr = parent.attrs.get("start", "")
             start = int(start_attr) if start_attr.isdigit() else 1
             n_prev = sum(
-                1 for sib in parent.children[: parent.children.index(el)]
+                1 for sib in parent.children[: el._sib_index()]
                 if isinstance(sib, Element) and sib.name == "li"
             )
             bullet = "%d." % (start + n_prev)
@@ -365,9 +375,25 @@ class MarkdownRenderer:
             colspan_attr = c.attrs.get("colspan", "")
             n_cols += int(colspan_attr) if colspan_attr.isdigit() else 1
         overline = underline = ""
+        # the empty-header overline belongs only to a headerless
+        # table's FIRST row-container: parent is the table itself, or a
+        # tbody with no preceding element (markdownify 0.11.6
+        # convert_tr gates on el.parent being 'table' or a first
+        # tbody).  A tbody preceded by a thead must NOT re-emit a
+        # phantom blank header + second separator mid-table.
+        parent = el.parent
+        first_container = False
+        if parent is not None:
+            if parent.name == "table":
+                first_container = True
+            elif parent.name in ("tbody", "thead"):
+                pprev = parent.previous_sibling
+                while pprev is not None and not isinstance(pprev, Element):
+                    pprev = pprev.previous_sibling
+                first_container = pprev is None
         if is_first_row and is_headrow:
             underline = "| " + " | ".join(["---"] * n_cols) + " |\n"
-        elif is_first_row:
+        elif is_first_row and first_container:
             overline = (
                 "|" + " |" * n_cols + "\n"
                 + "| " + " | ".join(["---"] * n_cols) + " |\n"

@@ -481,3 +481,26 @@ def test_unknown_config_key_raises():
         resolve_config(config_file_options={"nope": 1})
     with pytest.raises(KeyError):
         resolve_config(cli_options={"bad_key": 1})
+
+
+def test_harvest_runs_on_raw_container_before_strip_passes():
+    """Reference parity (scraper.py:779-784): site-mode harvest reads
+    the detected container BEFORE exclude/no_links/relativize — anchors
+    inside excluded regions still harvest, and --no-links does not
+    silently empty a --site run."""
+    from mdscraper_spark.config import ExtractConfig
+    from mdscraper_spark.extract.pipeline import extract_page
+
+    html = """
+    <div class="content">
+      <p><a href="/keep.html">keep</a></p>
+      <div class="ads"><a href="/from-ads.html">ad link</a></div>
+    </div>
+    """
+    res = extract_page("https://s.test/x", html,
+                       ExtractConfig(exclude_selectors=(".ads",),
+                                     no_links=True))
+    assert res.status == "ok"
+    assert res.links == ["/keep.html", "/from-ads.html"]
+    assert "keep" in res.markdown and "](" not in res.markdown
+    assert "ad link" not in res.markdown      # markdown still excludes

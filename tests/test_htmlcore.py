@@ -107,8 +107,78 @@ def test_document_order_first_match():
     assert root.find("div").attrs["id"] == "a"
 
 
-def test_duplicate_attribute_first_wins_and_valueless_is_empty():
+def test_duplicate_attribute_last_wins_and_valueless_is_empty():
+    # bs4's html.parser builder default is on_duplicate_attribute=
+    # 'replace' — the LAST value wins (round-1 pinned first-wins from
+    # assumption; corrected to the documented bs4 default)
     root = parse_html('<div class="a" class="b" data-flag>x</div>')
     div = root.find("div")
-    assert div.get("class") == ["a"]
+    assert div.get("class") == ["b"]
     assert div.attrs["data-flag"] == ""
+
+
+def test_get_text_excludes_script_and_style():
+    # bs4 >= 4.9 parity: Script/Stylesheet strings are not text — the
+    # largest-div heuristic must not let inline JS out-score content
+    root = parse_html('<div><script>var x = "lots of js";</script>'
+                      '<style>.a{}</style><p>real</p></div>')
+    assert root.find("div").get_text(strip=True) == "real"
+
+
+def test_replace_with_earlier_sibling_in_same_parent():
+    root = parse_html("<div><b>first</b><i>second</i></div>")
+    div = root.find("div")
+    b, i = div.children
+    i.replace_with(b)                      # B replaced by its EARLIER sibling
+    assert [c.name for c in div.children] == ["b"]
+    assert div.get_text() == "first"
+    assert i.parent is None and b.parent is div
+
+
+def test_selector_root_is_not_an_element():
+    # soupsieve parity: the document node never satisfies '*' in a
+    # combinator — a top-level nav in a fragment must not match '* > nav'
+    root = parse_html("<nav>x</nav><div><nav>y</nav></div>")
+    assert [e.get_text() for e in root.select("* > nav")] == ["y"]
+    assert [e.get_text() for e in root.select("* nav")] == ["y"]
+
+
+def test_gazetteer_non_word_edge_aliases_match():
+    from mdscraper_spark.kg.rules import Gazetteer, cached_gazetteer
+
+    gaz = Gazetteer([("C++", "LANG"), (".NET", "LANG"), ("Acme", "ORG")])
+    found = gaz.find("uses C++ and .NET at Acme daily")
+    assert {f[2] for f in found} == {"C++", ".NET", "Acme"}
+    # word-edged aliases keep strict boundaries
+    assert gaz.find("Acmeville") == []
+    # cache keyed by the tuple itself (equality, not raw hash)
+    k = (("C++", "LANG"),)
+    assert cached_gazetteer(k) is cached_gazetteer((("C++", "LANG"),))
+
+
+def test_table_with_thead_renders_single_separator():
+    from mdscraper_spark.mdrender.render import render_markdown
+
+    root = parse_html("<div><table><thead><tr><th>H</th></tr></thead>"
+                      "<tbody><tr><td>a</td></tr></tbody></table></div>")
+    md = render_markdown(root.find("div"))
+    assert md.count("---") == 1            # one separator, under the header
+    assert "| H |" in md and "| a |" in md
+    assert "|  |" not in md                # no phantom blank header row
+    # headerless tbody-only table still gets the empty-header overline
+    root2 = parse_html("<div><table><tbody><tr><td>a</td></tr></tbody>"
+                       "</table></div>")
+    md2 = render_markdown(root2.find("div"))
+    assert md2.count("---") == 1 and md2.index("---") < md2.index("| a |")
+
+
+def test_newline_cap_holds_across_all_newline_pieces():
+    from mdscraper_spark.mdrender.render import render_markdown
+
+    # an empty blockquote between two paragraphs contributes only
+    # newlines; the sibling-boundary cap of two must still hold
+    root = parse_html("<div><p>one</p><blockquote></blockquote>"
+                      "<p>two</p></div>")
+    md = render_markdown(root.find("div"))
+    assert "\n\n\n" not in md
+    assert md == "one\n\ntwo"
