@@ -304,9 +304,14 @@ def derive_output_name(url: str, markdown: str, output: str) -> str:
 
 def output_path(slug: str, output: str, outdir: str) -> str:
     """Full output path: %-modes get '.md' appended; a fixed --output
-    name is joined verbatim (scraper.py:826-831)."""
+    name is joined verbatim (scraper.py:826-831).  os.path.join
+    semantics, matching the Spark column twin with_doc_path
+    (extract_udfs.py): no doubled slash after a trailing-slash outdir,
+    and an ABSOLUTE fixed name discards outdir."""
+    import os.path
+
     name = f"{slug}.md" if output in ("%TITLE", "%URL") else slug
-    return f"{outdir}/{name}" if outdir else name
+    return os.path.join(outdir, name) if outdir else name
 
 
 def extract_page(url: str, html_text: str, config: ExtractConfig) -> ExtractResult:

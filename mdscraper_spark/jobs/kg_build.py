@@ -67,7 +67,18 @@ class KgBuildJob:
         self.config = config or ExtractConfig()
         self.n_buckets = n_buckets
         self.salt = salt
+        self._custom_aliases = aliases is not None
         self.aliases = aliases if aliases is not None else kg_ops.alias_df(spark)
+
+    def _gazetteer_entries(self) -> tuple:
+        """(alias, etype) tuples for mention mining, from the job's own
+        alias dictionary."""
+        if not self._custom_aliases:
+            return tuple((a, t) for a, _e, _c, t, _p in
+                         fixtures.alias_rows())
+        rows = (self.aliases.select("alias", "etype")
+                .orderBy("alias", "etype").collect())
+        return tuple((r.alias, r.etype) for r in rows)
 
     # -- lineage -----------------------------------------------------------
     def _append_lineage(self, rows: list) -> None:
@@ -126,8 +137,15 @@ class KgBuildJob:
 
         docs = self.wh.read_table("markdown_docs")
 
-        # downstream stages, each lineage-recorded with per-bucket counts
-        gaz_entries = tuple((a, t) for a, _e, _c, t, _p in fixtures.alias_rows())
+        # downstream stages, each lineage-recorded with per-bucket counts.
+        # The mining gazetteer comes from the SAME aliases the linking
+        # stage uses — a caller-injected dictionary must drive mention
+        # detection too, or custom aliases silently produce an empty KG.
+        # (alias_rows() order is preserved for the default fixture dict,
+        # keeping the byte-pinned fixture behavior; injected dicts are
+        # collected in a deterministic order — the dictionary is the
+        # bounded broadcast side, so the collect is small by contract.)
+        gaz_entries = self._gazetteer_entries()
 
         def per_part(df: DataFrame) -> list:
             keyed = with_part_id(df, self.n_buckets)

@@ -28,9 +28,15 @@ from pyspark.sql.types import (
 def url_file_source(spark, path: str) -> DataFrame:
     """A2: text file of URLs -> ordered DataFrame[pos, url]; blank lines
     dropped, duplicates and order preserved (scraper.py:753-767)."""
+    from mdscraper_spark.operators.dedup import ws_strip
+
+    # ws_strip, NOT F.trim: the reference's line.strip() removes ALL
+    # whitespace while trim is space-only — a tab-padded url would
+    # silently miss the pages semi-join (same pitfall documented at
+    # dedup.ws_strip)
     lines = spark.read.text(path).select(
         F.monotonically_increasing_id().alias("pos"),
-        F.trim(F.col("value")).alias("url"))
+        ws_strip(F.col("value")).alias("url"))
     return lines.filter(F.length("url") > 0)
 
 
@@ -85,11 +91,27 @@ def site_seed_urls(markdown_docs: DataFrame, site_root: str,
     """
     exploded = markdown_docs.select(
         "url", F.posexplode("links").alias("pos", "href"))
-    path = F.parse_url(
-        F.when(F.col("href").startswith("http"), F.col("href"))
-        .otherwise(F.concat(F.lit("http://placeholder.invalid"),
-                            F.col("href"))),
-        F.lit("PATH"))
+    # urlparse(href).path emulation (the reference uses it verbatim,
+    # scraper.py:687-688 — including its quirks: a slash-less relative
+    # href concatenates onto site_root with no separator, and a
+    # mailto:/tel: href contributes its scheme-less remainder):
+    #  * absolute/scheme-relative urls -> parse_url PATH (query and
+    #    fragment dropped by the parser);
+    #  * anything else (no netloc) -> href minus any scheme prefix,
+    #    minus ?query/#fragment.
+    # The old placeholder-host concat absorbed slash-less paths into
+    # the fake host (PATH='') and NULLed on non-http schemes, crashing
+    # the site work-list.
+    href = F.col("href")
+    netloc_full = href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    path = (F.when(netloc_full | href.startswith("//"),
+                   F.coalesce(F.parse_url(
+                       F.when(href.startswith("//"),
+                              F.concat(F.lit("http:"), href))
+                       .otherwise(href), F.lit("PATH")), F.lit("")))
+            .otherwise(F.regexp_replace(
+                F.regexp_replace(href, r"^[a-zA-Z][a-zA-Z0-9+.-]*:", ""),
+                r"[?#].*", "")))
     page_name = F.element_at(F.split(path, "/"), -1)
     out = exploded.withColumn("url_path", path) \
                   .withColumn("page_name", page_name)
@@ -137,6 +159,10 @@ def div_attr_census(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     per_page = pages.select("url", "html").mapInPandas(run, DIV_ATTR_SCHEMA)
+    # countDistinct, matching the column's name: a page repeating a
+    # class token (or holding two matching divs) is still ONE page —
+    # occurrence counting would overweight repeated-container pages in
+    # the heuristic-tuning statistic
     return (per_page.groupBy("kind", "value")
-            .agg(F.count(F.lit(1)).alias("n_pages"))
+            .agg(F.countDistinct("url").alias("n_pages"))
             .orderBy(F.desc("n_pages"), "kind", "value"))

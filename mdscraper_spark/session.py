@@ -4,7 +4,9 @@ Tuned for the extraction workload: AQE on (runtime coalesce + skew-join
 splitting is the first line of defense for hub domains), Arrow enabled
 with a small record batch (HTML rows are large — a 10 KB mean page at
 the default 10k records/batch would put ~100 MB per Arrow batch in the
-Python worker; 512 keeps batches ~5 MB), UTC session time, and shuffle
+Python worker; 2048 keeps batches ~20 MB, the measured sweet spot
+between worker memory and per-batch Python overhead), UTC session
+time, and shuffle
 partitions sized to the local core count (on a real cluster this is
 2-3x total executor cores).
 """

@@ -117,3 +117,29 @@ def test_empty_corpus_flows_through_all_stages(spark, tmp_path):
     assert tables["kg_edges"].count() == 0
     # schema preserved for the empty tables
     assert set(tables["mentions"].columns) >= {"url", "sent_id", "surface"}
+
+
+def test_custom_alias_dictionary_drives_mining_too(spark, tmp_path):
+    """An injected alias dictionary must reach BOTH linking and mention
+    mining — hard-coding the fixture gazetteer made custom dictionaries
+    silently produce an empty KG."""
+    custom = spark.createDataFrame(
+        [("Zorblax Corp", 900, "Zorblax Corporation", "ORG", 1.0),
+         ("Quuxana Vel", 901, "Quuxana Vel", "PERSON", 1.0)],
+        "alias string, entity_id long, canonical string, "
+        "etype string, prior double")
+    html = ("<div class='content'><p>Quuxana Vel works for Zorblax Corp."
+            "</p></div>")
+    import datetime
+    pages = spark.createDataFrame(
+        [(f"https://z.test/p{i}", datetime.datetime(2025, 6, 14),
+          html.encode(), None, "en") for i in range(4)],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    job = KgBuildJob(spark, str(tmp_path / "wh_custom"), CFG,
+                     n_buckets=4, aliases=custom)
+    tables = job.run(pages)
+    edges = tables["kg_edges"].collect()
+    assert len(edges) > 0                      # custom surfaces mined
+    nodes = {r.label for r in tables["kg_nodes"].collect()}
+    assert "Zorblax Corporation" in nodes      # linked + canonicalized

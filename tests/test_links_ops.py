@@ -82,3 +82,41 @@ def test_with_contiguous_pos_across_splits(spark):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert [r.url for r in rows] == urls
     assert [r.pos for r in rows] == list(range(len(urls)))
+
+
+def test_site_seed_urls_urlparse_path_quirks(spark):
+    """The reference uses urlparse(href).path verbatim (scraper.py:687):
+    a slash-less relative href concatenates with NO separator, ?/#
+    are dropped, and non-http schemes contribute their scheme-less
+    remainder — the Spark twin must replicate each case (the old
+    placeholder-host concat absorbed slash-less paths into the fake
+    host and NULLed on mailto:)."""
+    from urllib.parse import urlparse
+
+    hrefs = ["guide.html", "/a.html?q=1#f", "sub/x.html",
+             "https://other.test/abs.html?z=2", "mailto:x@y.test",
+             "//cdn.test/c.html", "page:1.html"]
+    docs = spark.createDataFrame(
+        [("https://s.test/seed", hrefs)], "url string, links array<string>")
+    got = [r.harvested_url for r in
+           site_seed_urls(docs, "https://s.test").orderBy("pos").collect()]
+    want = ["https://s.test" + urlparse(h).path for h in hrefs]
+    assert got == want
+
+
+def test_url_file_source_strips_all_whitespace(spark, tmp_path):
+    """Reference line.strip() removes tabs too (F.trim is space-only)."""
+    f = tmp_path / "urls_tabs.txt"
+    f.write_text("\thttps://a.test/1\t\n\t \t\nhttps://a.test/2\n")
+    rows = url_file_source(spark, str(f)).orderBy("pos").collect()
+    assert [r.url for r in rows] == ["https://a.test/1", "https://a.test/2"]
+
+
+def test_div_attr_census_counts_pages_not_occurrences(spark):
+    html = ('<div class="content content"><p>x</p></div>'
+            '<div class="content"><p>y</p></div>').encode()
+    pages = spark.createDataFrame([("https://c.test/p", html)],
+                                  "url string, html binary")
+    rows = div_attr_census(pages).collect()
+    assert {(r.kind, r.value): r.n_pages for r in rows} == {
+        ("class", "content"): 1}      # one PAGE, however many repeats
