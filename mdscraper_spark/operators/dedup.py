@@ -294,3 +294,56 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return (inter.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup group resolution (LSH pairs -> components -> survivors)
+# ---------------------------------------------------------------------------
+
+_PAD_W = 20  # covers every non-negative int64 (19 digits) + safety digit
+
+
+def near_dedup_groups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, canonical_id, group_size, keep): resolve MinHash-LSH
+    candidate pairs into connected near-duplicate groups and elect one
+    survivor per group (the minimum doc_id) — the decision artifact a
+    dedup pass actually applies downstream, not just the pair list.
+
+    Scale shape: pairs come from the banded LSH self-join (never
+    all-pairs); their connected components run on the PAIR graph —
+    #near-dup docs rows, orders of magnitude smaller than the corpus —
+    through the size-gated union-find / min-label propagation in
+    ``operators.kg.connected_components``.  Doc ids travel through CC
+    as zero-padded fixed-width strings so the component min under UTF8
+    binary order IS the numeric min (ids are non-negative by the
+    documents contract).  The corpus side then pays exactly one left
+    join against the small canonical map (broadcast when the size gate
+    proved it driver-sized; Catalyst/AQE otherwise) — no corpus-keyed
+    groupBy anywhere: group sizes are counted on the map, and
+    singletons never leave the narrow scan.
+    """
+    from mdscraper_spark.operators.kg import (_maybe_broadcast,
+                                              connected_components)
+
+    sigs = minhash_signatures(df, text_col, id_col, n_bands)
+    pairs = lsh_candidate_pairs(sigs)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), _PAD_W, "0")
+    cmap = connected_components(
+        pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst")))
+    assigned = cmap.select(
+        F.col("node_id").cast("bigint").alias("doc_id"),
+        F.col("canon_id").cast("bigint").alias("canonical_id"))
+    sizes = (assigned.groupBy("canonical_id")
+             .agg(F.count(F.lit(1)).alias("group_size")))
+    enriched = assigned.join(sizes, "canonical_id")
+    enriched._mdscraper_local = getattr(cmap, "_mdscraper_local", False)
+    out = (df.select(F.col(id_col).alias("doc_id"))
+           .join(_maybe_broadcast(enriched), "doc_id", "left"))
+    canon = F.coalesce("canonical_id", F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        canon.alias("canonical_id"),
+        F.coalesce("group_size", F.lit(1).cast("bigint")).alias("group_size"),
+        (canon == F.col("doc_id")).alias("keep"))

@@ -973,6 +973,27 @@ def _sql_rot_hex(h: str, band: int) -> str:
     return f"(substr({h}, {cut + 1}, {32 - cut}) || substr({h}, 1, {cut}))"
 
 
+# sig + candidate-pair CTEs shared by lsh_pairs and near_dedup_groups:
+# ONE definition of the banded self-join so the group-resolution oracle
+# can never drift from the pair oracle it builds on
+_LSH_PAIRS_CTE = (_SHINGLES_CTE + """
+, sig AS (
+  SELECT doc_id, band,
+         MIN(CASE band """
+    + " ".join(f"WHEN {b} THEN {_sql_rot_hex('h', b)}" for b in range(4))
+    + """ END) AS sig
+  FROM (SELECT doc_id, md5(shingle) AS h
+        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM t)),
+       (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS band)
+  GROUP BY doc_id, band
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+""")
+
+
 @register("minhash_signatures", _SHINGLES_CTE + """
 SELECT doc_id, band,
        MIN(CASE band """
@@ -1168,20 +1189,8 @@ def extract_markdown_docs(spark, sf_dir):
     return docs.select("url", "markdown", "title", "status")
 
 
-@register("lsh_pairs", _SHINGLES_CTE + """
-, sig AS (
-  SELECT doc_id, band,
-         MIN(CASE band """
-    + " ".join(f"WHEN {b} THEN {_sql_rot_hex('h', b)}" for b in range(4))
-    + """ END) AS sig
-  FROM (SELECT doc_id, md5(shingle) AS h
-        FROM (SELECT doc_id, unnest(shingles) AS shingle FROM t)),
-       (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS band)
-  GROUP BY doc_id, band
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sig a JOIN sig b
-  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+@register("lsh_pairs", _LSH_PAIRS_CTE + """
+SELECT doc_a, doc_b FROM pairs
 """)
 def lsh_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs — fully deterministic under the
@@ -1189,6 +1198,41 @@ def lsh_pairs(spark, sf_dir):
     banding in SQL."""
     sigs = dedup.minhash_signatures(load(spark, sf_dir, "documents", fan_out=True))
     return dedup.lsh_candidate_pairs(sigs)
+
+
+@register("near_dedup_groups", _LSH_PAIRS_CTE.replace(
+    "WITH t AS", "WITH RECURSIVE t AS", 1) + """
+, e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+), canon AS (
+  SELECT a AS doc_id, least(a, MIN(b)) AS canonical_id
+  FROM reach GROUP BY a
+), sizes AS (
+  SELECT canonical_id, COUNT(*) AS group_size FROM canon GROUP BY canonical_id
+)
+SELECT d.doc_id,
+       COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+       COALESCE(s.group_size, 1) AS group_size,
+       COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS keep
+FROM documents d
+LEFT JOIN canon c ON d.doc_id = c.doc_id
+LEFT JOIN sizes s ON c.canonical_id = s.canonical_id
+""")
+def near_dedup_groups(spark, sf_dir):
+    """Near-dup GROUP resolution — the pair list is not yet a dedup
+    decision: LSH pairs are closed into connected components (the
+    size-gated union-find / min-label CC behind the KG canonicalizer)
+    and each group elects its minimum doc_id as survivor.  The oracle
+    replays the closure with a recursive CTE over the same pair CTE
+    lsh_pairs is checked against, so pair semantics and group
+    semantics can never drift apart."""
+    return dedup.near_dedup_groups(load(spark, sf_dir, "documents", fan_out=True))
 
 
 @register("doc_size_kb", """
@@ -1588,6 +1632,8 @@ _DRIVER_ORDER = [
     "hourly_event_stats", "cube_event_stats", "event_value_percentiles",
     "distinct_users_per_type", "pivot_user_event_matrix",
     "events_json_extract",
+    # round-3 session additions (below the cap; check_oracle-verified)
+    "near_dedup_groups",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a

@@ -1,0 +1,97 @@
+"""near_dedup_groups: LSH candidate pairs closed into components, one
+survivor (min doc_id) per group — transitivity, singleton identity, and
+the keep flag pinned against a pure-Python union-find replay."""
+
+from pyspark.sql import functions as F
+
+from mdscraper_spark.operators.dedup import (lsh_candidate_pairs,
+                                             minhash_signatures,
+                                             near_dedup_groups)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the band "
+        "plays on and the crowd cheers loudly in the warm evening air "
+        "near the old stone bridge by the river")
+
+
+def corpus(spark):
+    rows = [
+        # A/B near-identical, C near B but further from A: transitivity
+        # must still place all three in one group
+        (7, BASE + " alpha", "en"),
+        (3, BASE + " beta", "en"),
+        (12, BASE + " beta gamma", "en"),
+        # exact pair in a different group (no shingles shared with BASE)
+        (20, "annual maintenance window scheduled for the storage "
+             "cluster requires draining every cache node before the "
+             "firmware rollout begins tonight at midnight sharp", "en"),
+        (21, "annual maintenance window scheduled for the storage "
+             "cluster requires draining every cache node before the "
+             "firmware rollout begins tonight at midnight sharp", "en"),
+        # singleton with unrelated text
+        (30, "completely different content about spark physical plans "
+             "and adaptive query execution with no shared shingles "
+             "whatsoever in this entire standalone paragraph", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def py_union_find(pairs, all_ids):
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress, then canon = component min (roots ARE minima here
+    # because unions always point the larger root at the smaller)
+    return {i: find(i) for i in all_ids}
+
+
+def test_groups_match_union_find_replay(spark):
+    df = corpus(spark)
+    pairs = [(r.doc_a, r.doc_b) for r in
+             lsh_candidate_pairs(minhash_signatures(df)).collect()]
+    ids = [r.doc_id for r in df.select("doc_id").collect()]
+    expect = py_union_find(pairs, ids)
+
+    got = {r.doc_id: r for r in near_dedup_groups(df).collect()}
+    assert set(got) == set(ids)
+    for i in ids:
+        assert got[i].canonical_id == expect[i], (i, got[i], expect[i])
+        assert got[i].keep == (expect[i] == i)
+    sizes = {}
+    for i in ids:
+        sizes[expect[i]] = sizes.get(expect[i], 0) + 1
+    for i in ids:
+        assert got[i].group_size == sizes[expect[i]]
+
+
+def test_transitive_closure_and_survivors(spark):
+    got = {r.doc_id: r for r in near_dedup_groups(corpus(spark)).collect()}
+    # the A/B/C cluster resolves to min id 3 even if (7,12) never
+    # shared a band directly
+    assert got[7].canonical_id == got[3].canonical_id == got[12].canonical_id == 3
+    assert [got[i].keep for i in (3, 7, 12)] == [True, False, False]
+    assert got[3].group_size == 3
+    # exact pair
+    assert got[21].canonical_id == 20 and got[20].keep and not got[21].keep
+    # singleton maps to itself with size 1
+    assert got[30].canonical_id == 30 and got[30].keep and got[30].group_size == 1
+
+
+def test_every_doc_appears_exactly_once(spark):
+    df = corpus(spark)
+    out = near_dedup_groups(df)
+    assert out.count() == df.count()
+    assert out.select("doc_id").distinct().count() == df.count()
+    # exactly one survivor per group
+    per_group = (out.groupBy("canonical_id")
+                 .agg(F.sum(F.col("keep").cast("int")).alias("n_keep"))
+                 .collect())
+    assert all(r.n_keep == 1 for r in per_group)
