@@ -140,6 +140,58 @@ def hash_split(id_col: Column, salt: str = "split-v1",
             .otherwise(F.lit("test"))
 
 
+# PII patterns shared with the SQL twins: the Java-regex/RE2-common
+# subset only (character classes, bounded repeats, non-capturing
+# groups, ASCII \b) — no lookarounds, no backrefs, so both engines
+# match the identical spans
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}(?:\.\d{1,3}){3}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_emails, n_ips, clean_text): count and redact email
+    addresses and IPv4 literals — the standard pre-training PII pass.
+
+    Counts are over the ORIGINAL text (each pattern independently);
+    redaction applies emails first, then IPs on the result — both
+    engines scan left-to-right non-overlapping, so spans agree.  Pure
+    per-row column expressions: whole-stage codegen, no shuffle, scales
+    as a narrow map at any corpus size."""
+    col = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>"),
+        IPV4_PATTERN, "<IP>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(col, F.lit(EMAIL_PATTERN)).cast("bigint").alias("n_emails"),
+        F.regexp_count(col, F.lit(IPV4_PATTERN)).cast("bigint").alias("n_ips"),
+        clean.alias("clean_text"))
+
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, clean_text, n_dup_lines): remove every line that is an
+    exact duplicate of an EARLIER line in the same document (first
+    occurrence kept, order preserved) — the removal counterpart of the
+    dup_line_frac Gopher filter.
+
+    Scale shape: entirely per-document array work (split once in its
+    own projection — higher-order functions are interpreted, so the
+    lambda must only reference the bound array, never re-derive it);
+    the first-occurrence test is array_position == own index, O(lines²)
+    string compares per doc with small constants and NO shuffle — at
+    crawl scale this stays a narrow map stage."""
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  F.split(F.col(text_col), "\n").alias("lines"))
+    kept = F.filter(F.col("lines"),
+                    lambda x, i: F.array_position(F.col("lines"), x) == i + 1)
+    return d.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("clean_text"),
+        (F.size("lines") - F.size(kept)).cast("int").alias("n_dup_lines"))
+
+
 def contamination(docs: DataFrame, benchmark: DataFrame, k: int = 5,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Benchmark decontamination: per doc, the fraction of its k-gram
@@ -328,3 +380,16 @@ def sql_hash_split(id_col: str, salt: str = "split-v1",
          f"AS BIGINT) % 100)")
     return (f"(CASE WHEN {b} < {train} THEN 'train' "
             f"WHEN {b} < {train + val} THEN 'val' ELSE 'test' END)")
+
+
+def sql_pii_counts(col: str) -> str:
+    """n_emails, n_ips as two SELECT-list items (DuckDB regexp_extract_all
+    returns full-match lists; len == Java's regexp_count of
+    non-overlapping matches)."""
+    return (f"len(regexp_extract_all({col}, '{EMAIL_PATTERN}')) AS n_emails, "
+            f"len(regexp_extract_all({col}, '{IPV4_PATTERN}')) AS n_ips")
+
+
+def sql_pii_clean(col: str) -> str:
+    return (f"regexp_replace(regexp_replace({col}, '{EMAIL_PATTERN}', "
+            f"'<EMAIL>', 'g'), '{IPV4_PATTERN}', '<IP>', 'g')")

@@ -810,6 +810,90 @@ def doc_split_assignment(spark, sf_dir):
                     textstats.hash_split(F.col("doc_id")).alias("split")))
 
 
+@register("pii_scrub", f"""
+WITH p AS (
+  SELECT doc_id,
+         text ||
+         (CASE WHEN doc_id % 5 <> 0
+               THEN ' Contact user' || doc_id || '@example.com'
+               ELSE '' END) ||
+         (CASE WHEN doc_id % 7 = 0
+               THEN ' cc backup.' || doc_id || '@mail.example.net'
+               ELSE '' END) ||
+         (CASE WHEN doc_id % 4 = 0
+               THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+               ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id, {textstats.sql_pii_counts('text')},
+       {textstats.sql_pii_clean('text')} AS clean_text
+FROM p
+""")
+def pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails + IPv4 literals) over documents with
+    deterministic injected PII (the corpus itself is synthetic and
+    PII-free, so the census-page pattern applies: derive the planted
+    addresses from doc_id in BOTH engines and verify count + redacted
+    text byte-for-byte).  Patterns live in the RE2/Java-common subset
+    so span semantics agree."""
+    did = F.col("doc_id")
+    email1 = F.when(did % 5 != 0,
+                    F.concat(F.lit(" Contact user"), did.cast("string"),
+                             F.lit("@example.com"))).otherwise(F.lit(""))
+    email2 = F.when(did % 7 == 0,
+                    F.concat(F.lit(" cc backup."), did.cast("string"),
+                             F.lit("@mail.example.net"))).otherwise(F.lit(""))
+    ip = F.when(did % 4 == 0,
+                F.concat(F.lit(" from 10."), (did % 256).cast("string"),
+                         F.lit(".0."), (did % 100).cast("string"))) \
+         .otherwise(F.lit(""))
+    injected = (load(spark, sf_dir, "documents", fan_out=True)
+                .select("doc_id",
+                        F.concat(F.col("text"), email1, email2, ip)
+                        .alias("text")))
+    return textstats.pii_scrub(injected)
+
+
+@register("dedup_lines", """
+WITH p AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || chr(10) ||
+         'nav home about contact ' || coalesce(lang, 'und') || chr(10) ||
+         text || chr(10) ||
+         'nav home about contact ' || coalesce(lang, 'und') || chr(10) ||
+         'copyright 2025 example org' AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, str_split(text, chr(10)) AS lines FROM p
+), u AS (
+  SELECT doc_id, lines, unnest(lines) AS line,
+         unnest(range(1, len(lines) + 1)) AS i
+  FROM l
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY i) AS clean_text,
+       CAST(any_value(len(lines)) - count(*) AS INT) AS n_dup_lines
+FROM u
+WHERE list_position(lines, line) = i
+GROUP BY doc_id
+""")
+def dedup_lines(spark, sf_dir):
+    """Intra-document duplicate-line removal (first occurrence kept,
+    order preserved) over a deterministic multi-line wrapping of each
+    doc: prefix line, repeated boilerplate nav line, body, footer —
+    the classic crawl-boilerplate shape the Gopher dup_line_frac
+    filter flags; this is the removal counterpart.  The oracle replays
+    keep-first via list_position == ordinal."""
+    boiler = F.concat(F.lit("nav home about contact "),
+                      F.coalesce(F.col("lang"), F.lit("und")))
+    multi = F.concat_ws(
+        "\n", F.substring("text", 1, 40), boiler, F.col("text"), boiler,
+        F.lit("copyright 2025 example org"))
+    injected = (load(spark, sf_dir, "documents", fan_out=True)
+                .select("doc_id", multi.alias("text")))
+    return textstats.dedup_lines(injected)
+
+
 @register("benchmark_contamination", f"""
 WITH t AS (
   SELECT doc_id, {dedup.sql_tokens('text')} AS toks
@@ -1633,7 +1717,7 @@ _DRIVER_ORDER = [
     "distinct_users_per_type", "pivot_user_event_matrix",
     "events_json_extract",
     # round-3 session additions (below the cap; check_oracle-verified)
-    "near_dedup_groups",
+    "near_dedup_groups", "pii_scrub", "dedup_lines",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a

@@ -122,3 +122,52 @@ def test_repetition_stats_differential_fuzz(spark):
     for i, t in texts:
         assert got[i] == (_py_dup_line_frac(t), _py_top_bigram_frac(t)), \
             (i, repr(t), got[i])
+
+
+def test_pii_scrub_hand_cases(spark):
+    rows = [
+        (0, "reach me at jane.doe+spam@sub.example.co.uk or 192.168.1.250 ok"),
+        (1, "no pii here at all"),
+        (2, "two mails a@b.io c.d@e-f.org one ip 8.8.8.8"),
+        (3, ""),
+        (4, "not an ip 1234.5.6.7 and not an email foo@bar"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.pii_scrub(df).collect()}
+    assert (got[0].n_emails, got[0].n_ips) == (1, 1)
+    assert got[0].clean_text == "reach me at <EMAIL> or <IP> ok"
+    assert (got[1].n_emails, got[1].n_ips) == (0, 0)
+    assert got[1].clean_text == "no pii here at all"
+    assert (got[2].n_emails, got[2].n_ips) == (2, 1)
+    assert got[2].clean_text == "two mails <EMAIL> <EMAIL> one ip <IP>"
+    assert got[3].clean_text == "" and got[3].n_emails == 0
+    # 1234.5.6.7: \b\d{1,3} can't start inside the digit run from its
+    # left edge, so no IP match; foo@bar has no dotted TLD, no email
+    assert (got[4].n_emails, got[4].n_ips) == (0, 0)
+
+
+def test_dedup_lines_hand_cases(spark):
+    rows = [
+        (0, "a\nb\na\nc\nb\na"),
+        (1, "single"),
+        (2, ""),
+        (3, "x\n\ny\n\nx"),       # duplicate empty lines removed too
+        (4, "same\nsame\nsame"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.dedup_lines(df).collect()}
+    assert got[0].clean_text == "a\nb\nc" and got[0].n_dup_lines == 3
+    assert got[1].clean_text == "single" and got[1].n_dup_lines == 0
+    assert got[2].clean_text == "" and got[2].n_dup_lines == 0
+    assert got[3].clean_text == "x\n\ny" and got[3].n_dup_lines == 2
+    assert got[4].clean_text == "same" and got[4].n_dup_lines == 2
+
+
+def test_dedup_lines_partition_invariant(spark):
+    rows = [(i, "\n".join(["head", f"body {i % 7}", "head", f"tail {i}"]))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = sorted(map(tuple, textstats.dedup_lines(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, textstats.dedup_lines(df.repartition(13)).collect()))
+    assert one == many
+    assert all(r[2] == 1 for r in one)  # exactly the repeated "head"
