@@ -140,6 +140,44 @@ def hash_split(id_col: Column, salt: str = "split-v1",
             .otherwise(F.lit("test"))
 
 
+def domain_quota_sample(df: DataFrame, cap: int,
+                        domain_col: str = "source",
+                        id_col: str = "doc_id",
+                        salt: str = "quota-v1") -> DataFrame:
+    """(doc_id, domain, keep): cap documents per domain, electing
+    survivors by a deterministic md5 priority — the per-domain quota
+    pass crawl curation applies to hub sites (never random(): the same
+    corpus always elects the same survivors, across engines, reruns,
+    and partitionings; priorities are unique because doc ids are).
+
+    Scale shape: one map-side-combined count pass finds the over-cap
+    domains (a tiny, Zipf-headed set — broadcast); the long tail of
+    under-cap domains bypasses ranking entirely and never shuffles into
+    a sort, while only over-cap domains pay the per-domain window (a
+    local sort with spill; rank is required — the cap-th element is an
+    order statistic, not an aggregate).  Routing joins are null-safe
+    because the count's groupBy treats null domains as one real group,
+    so the split must agree.  Pathological single-domain skew inside
+    the window is bounded by executor spill, not memory."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    prio = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  F.col(domain_col).alias("domain"), prio.alias("prio"))
+    over = (d.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > cap)
+            .select(F.col("domain").alias("o_domain")))
+    cond = d["domain"].eqNullSafe(F.col("o_domain"))
+    under = d.join(F.broadcast(over), cond, "left_anti") \
+             .withColumn("keep", F.lit(True))
+    w = Window.partitionBy("domain").orderBy("prio")
+    ranked = (d.join(F.broadcast(over), cond, "left_semi")
+              .withColumn("keep", F.row_number().over(w) <= cap))
+    return under.unionByName(ranked).select("doc_id", "domain", "keep")
+
+
 # PII patterns shared with the SQL twins: the Java-regex/RE2-common
 # subset only (character classes, bounded repeats, non-capturing
 # groups, ASCII \b) — no lookarounds, no backrefs, so both engines

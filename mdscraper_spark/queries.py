@@ -810,6 +810,30 @@ def doc_split_assignment(spark, sf_dir):
                     textstats.hash_split(F.col("doc_id")).alias("split")))
 
 
+@register("domain_quota_sample", """
+WITH f AS (
+  SELECT doc_id, source FROM documents WHERE n_chars >= 200
+)
+SELECT doc_id, source AS domain,
+       row_number() OVER (
+         PARTITION BY source
+         ORDER BY md5(doc_id || ':quota-v1')) <= 15 AS keep
+FROM f
+""")
+def domain_quota_sample(spark, sf_dir):
+    """Per-domain document quota (source stands in for the crawl
+    host): at most 15 docs per source among the long docs, elected by
+    the deterministic md5 priority.  The length pre-filter makes
+    per-source counts straddle the cap at sf0.01 so BOTH physical
+    paths run — the under-cap bypass and the over-cap window — while
+    the oracle replays the single-path semantics (plain row_number over
+    every domain: under-cap domains rank entirely <= cap, so bypassing
+    their sort is invisible in the output)."""
+    docs = (load(spark, sf_dir, "documents", fan_out=True)
+            .filter(F.col("n_chars") >= 200))
+    return textstats.domain_quota_sample(docs, cap=15)
+
+
 @register("pii_scrub", f"""
 WITH p AS (
   SELECT doc_id,
@@ -1717,7 +1741,7 @@ _DRIVER_ORDER = [
     "distinct_users_per_type", "pivot_user_event_matrix",
     "events_json_extract",
     # round-3 session additions (below the cap; check_oracle-verified)
-    "near_dedup_groups", "pii_scrub", "dedup_lines",
+    "near_dedup_groups", "pii_scrub", "dedup_lines", "domain_quota_sample",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a

@@ -171,3 +171,42 @@ def test_dedup_lines_partition_invariant(spark):
     many = sorted(map(tuple, textstats.dedup_lines(df.repartition(13)).collect()))
     assert one == many
     assert all(r[2] == 1 for r in one)  # exactly the repeated "head"
+
+
+def test_domain_quota_sample_paths_and_cap(spark):
+    import hashlib
+    rows = ([(i, "big") for i in range(40)]          # over cap
+            + [(100 + i, "small") for i in range(3)]  # under cap
+            + [(200 + i, None) for i in range(7)])    # null domain, over cap
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = textstats.domain_quota_sample(df, cap=5).collect()
+    assert len(got) == len(rows)
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert sum(r.keep for r in by_dom["big"]) == 5
+    assert all(r.keep for r in by_dom["small"]) and len(by_dom["small"]) == 3
+    # null domains form ONE group to the count, so the cap applies
+    assert sum(r.keep for r in by_dom[None]) == 5
+    # survivors are exactly the 5 smallest md5 priorities
+    expect = sorted((hashlib.md5(f"{i}:quota-v1".encode()).hexdigest(), i)
+                    for i in range(40))[:5]
+    assert {r.doc_id for r in by_dom["big"] if r.keep} == {i for _, i in expect}
+
+
+def test_domain_quota_sample_partition_invariant(spark):
+    rows = [(i, f"d{i % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    one = sorted(map(tuple, textstats.domain_quota_sample(
+        df.coalesce(1), cap=10).collect()))
+    many = sorted(map(tuple, textstats.domain_quota_sample(
+        df.repartition(17), cap=10).collect()))
+    assert one == many
+    assert sum(r[2] for r in one) == 40  # 4 domains x cap 10
+
+
+def test_domain_quota_sample_rejects_bad_cap(spark):
+    import pytest
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        textstats.domain_quota_sample(df, cap=0)
