@@ -38,6 +38,7 @@ HEADLINE = (
     "minhash_signatures",
     "simhash16",
     "ngram_jaccard_pairs",
+    "near_dedup_groups",
     "cosine_topk",
     "lsh_topk",
     "ivf_topk",
