@@ -166,3 +166,126 @@ def div_attr_census(pages: DataFrame) -> DataFrame:
     return (per_page.groupBy("kind", "value")
             .agg(F.countDistinct("url").alias("n_pages"))
             .orderBy(F.desc("n_pages"), "kind", "value"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (SURVEY J30)
+# ---------------------------------------------------------------------------
+
+# tracking params dropped by normalize_url: the standard crawl-dedup
+# blocklist (utm_* campaign family plus the big click-id params).  Kept
+# in the RE2/Java-common regex subset so the DuckDB twin matches the
+# identical params.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid)="
+
+_ABS_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def normalize_url(col: F.Column) -> F.Column:
+    """Column expression: canonicalize an absolute http(s)-style URL for
+    crawl-level dedup — the URL-identity pass a Common-Crawl-shaped
+    pipeline runs BEFORE content dedup (two fetches of one page should
+    never reach MinHash).
+
+    Rules (each deterministic, replayed verbatim by
+    :func:`sql_normalize_url`):
+
+    1. scheme and host lowercased;
+    2. default ports dropped (``:80`` for http, ``:443`` for https),
+       any other explicit port kept;
+    3. fragment dropped;
+    4. tracking query params dropped (``utm_*``, ``gclid``, ``fbclid``,
+       ``msclkid`` — :data:`TRACKING_PARAM_RE`);
+    5. surviving query params sorted bytewise (full ``k=v`` string), so
+       reordered params collide;
+    6. trailing slashes stripped from the path; an empty path becomes
+       ``/``;
+    7. an emptied query drops its ``?``.
+
+    Returns NULL for anything that is not an absolute ``scheme://`` URL
+    (relative hrefs, mailto:, garbage) — the caller decides what
+    unidentifiable means (url_dedup keeps them all).  Contract: no
+    userinfo, no IPv6 bracket literals (a colon inside the authority is
+    read as the port separator).
+
+    Pure built-in expressions — regexp extracts plus one tiny
+    filter/sort over the split param array — so the whole thing stays
+    inside codegen/narrow projection: no shuffle, no Python, scales as
+    a map at any corpus size.
+    """
+    url = col
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    path = F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"^[^#]*\?([^#]*)", 1)
+
+    default_port = (((scheme == "http") & (port == "80")) |
+                    ((scheme == "https") & (port == "443")))
+    portpart = F.when((port == "") | default_port, F.lit("")) \
+                .otherwise(F.concat(F.lit(":"), port))
+    stripped = F.regexp_replace(path, r"/+$", "")
+    pathpart = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    qs = F.array_join(F.array_sort(params), "&")
+    qpart = F.when(qs == "", F.lit("")) \
+             .otherwise(F.concat(F.lit("?"), qs))
+    return F.when(
+        url.rlike(_ABS_URL_RE),
+        F.concat(scheme, F.lit("://"), host, portpart, pathpart, qpart))
+
+
+def sql_normalize_url(col: str) -> str:
+    """DuckDB twin of :func:`normalize_url` — same extracts, same
+    param filter/sort, same assembly, so both engines emit the
+    identical canonical string."""
+    scheme = f"lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    auth = f"regexp_extract({col}, '^[^:/?#]+://([^/?#]*)', 1)"
+    host = f"lower(regexp_extract({auth}, '^([^:]*)', 1))"
+    port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
+    path = f"regexp_extract({col}, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)"
+    query = f"regexp_extract({col}, '^[^#]*\\?([^#]*)', 1)"
+    portpart = (
+        f"(CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443') THEN '' "
+        f"ELSE ':' || {port} END)")
+    stripped = f"regexp_replace({path}, '/+$', '')"
+    pathpart = f"(CASE WHEN {stripped} = '' THEN '/' ELSE {stripped} END)"
+    # coalesce: DuckDB array_to_string([]) is NULL where Spark
+    # array_join([]) is '' — without it every URL whose params all get
+    # filtered (or that has no query at all) NULLs the whole concat
+    qs = (f"coalesce(array_to_string(list_sort(list_filter(str_split({query}, '&'), "
+          f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&'), '')")
+    qpart = f"(CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END)"
+    return (f"(CASE WHEN regexp_matches({col}, '{_ABS_URL_RE}') THEN "
+            f"{scheme} || '://' || {host} || {portpart} || {pathpart} || {qpart} "
+            f"END)")
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url_norm, keep): URL-level dedup — canonicalize every
+    URL with :func:`normalize_url` and elect the minimum doc_id per
+    canonical URL as survivor.  Unparseable URLs (url_norm NULL) are
+    all kept: identity unknown means no dedup decision, never a silent
+    drop (and never one shared NULL group electing a single survivor).
+
+    Scale shape: one narrow normalization map, then a single hash
+    shuffle on url_norm for the unordered per-group MIN window — no
+    sort (unbounded-frame min), no corpus groupBy-and-join-back, no
+    driver state.  Skewed canonical URLs (one URL crawled 10^6 times)
+    bound the window partition, which spills; AQE's skew handling does
+    not apply inside a window, but a min over one hot key is a scan,
+    not a blow-up."""
+    from pyspark.sql import Window
+
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  normalize_url(F.col(url_col)).alias("url_norm"))
+    w = Window.partitionBy("url_norm")
+    return d.select(
+        "doc_id", "url_norm",
+        (F.col("url_norm").isNull() |
+         (F.col("doc_id") == F.min("doc_id").over(w))).alias("keep"))

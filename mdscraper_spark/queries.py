@@ -25,8 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mdscraper_spark.config import ExtractConfig
-from mdscraper_spark.operators import (dedup, kg as kg_ops, multimodal,
-                                       similarity, temporal, textstats)
+from mdscraper_spark.operators import (dedup, kg as kg_ops, links,
+                                       multimodal, similarity, temporal,
+                                       textstats)
 from mdscraper_spark.operators.extract_udfs import extract_markdown
 from mdscraper_spark.operators.multimodal import decode_binary_docs
 from mdscraper_spark.sources.fixtures import alias_rows
@@ -808,6 +809,97 @@ def doc_split_assignment(spark, sf_dir):
     return (load(spark, sf_dir, "documents", fan_out=True)
             .select("doc_id",
                     textstats.hash_split(F.col("doc_id")).alias("split")))
+
+
+@register("url_normalize_dedup", f"""
+WITH m AS (
+  SELECT doc_id, (doc_id % 300) AS k FROM documents
+), parts AS (
+  SELECT doc_id, k,
+         (CASE WHEN k % 2 = 0 THEN 'https' ELSE 'http' END) AS s,
+         (CASE WHEN k % 5 = 0 THEN 'www.' ELSE '' END)
+           || 'site' || (k % 7) || '.example.com' AS h,
+         (CASE WHEN k % 13 <> 0 THEN 'id=' || k END) AS p1,
+         (CASE WHEN k % 13 <> 0 AND k % 3 = 0 THEN 'page=2' END) AS p2
+  FROM m
+), q AS (
+  SELECT doc_id, k, s, h,
+         concat_ws('&',
+           CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed' END,
+           CASE WHEN doc_id % 2 = 1 AND p2 IS NOT NULL THEN p2 ELSE p1 END,
+           CASE WHEN doc_id % 2 = 1 AND p2 IS NOT NULL THEN p1 ELSE p2 END,
+           CASE WHEN doc_id % 3 = 1 THEN 'gclid=g' || doc_id END) AS qstr
+  FROM parts
+), u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0
+              THEN 'mailto:user' || doc_id || '@example.com'
+              ELSE (CASE WHEN doc_id % 3 = 0 THEN upper(s) ELSE s END)
+                || '://'
+                || (CASE WHEN doc_id % 2 = 0 THEN upper(h) ELSE h END)
+                || (CASE WHEN k % 11 = 0 THEN ':8080'
+                         WHEN doc_id % 4 = 0 THEN
+                           (CASE WHEN k % 2 = 0 THEN ':443' ELSE ':80' END)
+                         ELSE '' END)
+                || '/p/' || k
+                || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                || (CASE WHEN qstr = '' THEN '' ELSE '?' || qstr END)
+                || (CASE WHEN doc_id % 3 = 2 THEN '#top' ELSE '' END)
+         END AS url
+  FROM q
+), n AS (
+  SELECT doc_id, {links.sql_normalize_url('url')} AS url_norm FROM u
+)
+SELECT doc_id, url_norm,
+       (url_norm IS NULL
+        OR doc_id = MIN(doc_id) OVER (PARTITION BY url_norm)) AS keep
+FROM n
+""")
+def url_normalize_dedup(spark, sf_dir):
+    """URL-level dedup over canonicalized URLs (J30): the crawl-side
+    identity pass that runs BEFORE content dedup.  The corpus has no
+    URL column, so (census-page pattern) each doc derives a messy URL
+    deterministically in BOTH engines from ``k = doc_id % 300`` — the
+    page identity — with doc_id-driven noise layered on top: scheme and
+    host case, inserted default ports, tracking params (utm_*/gclid),
+    param order, trailing slash, fragment.  At sf0.01 doc_ids 300-499
+    collide with 0-199 on k, so ~200 groups of two exercise the
+    survivor election while the mailto rows (doc_id % 97 = 0) exercise
+    the unparseable-NULL keep-all path.  Normalization must strip
+    exactly the noise and nothing else or hashes diverge."""
+    did = F.col("doc_id")
+    k = did % 300
+    s = F.when(k % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    h = F.concat(F.when(k % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+                 F.lit("site"), (k % 7).cast("string"),
+                 F.lit(".example.com"))
+    p1 = F.when(k % 13 != 0, F.concat(F.lit("id="), k.cast("string")))
+    p2 = F.when((k % 13 != 0) & (k % 3 == 0), F.lit("page=2"))
+    swap = (did % 2 == 1) & p2.isNotNull()
+    qstr = F.concat_ws(
+        "&",
+        F.when(did % 2 == 0, F.lit("utm_source=feed")),
+        F.when(swap, p2).otherwise(p1),
+        F.when(swap, p1).otherwise(p2),
+        F.when(did % 3 == 1, F.concat(F.lit("gclid=g"), did.cast("string"))))
+    url = F.concat(
+        F.when(did % 3 == 0, F.upper(s)).otherwise(s), F.lit("://"),
+        F.when(did % 2 == 0, F.upper(h)).otherwise(h),
+        F.when(k % 11 == 0, F.lit(":8080"))
+         .when(did % 4 == 0,
+               F.when(k % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+         .otherwise(F.lit("")),
+        F.lit("/p/"), k.cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(qstr == "", F.lit(""))
+         .otherwise(F.concat(F.lit("?"), qstr)),
+        F.when(did % 3 == 2, F.lit("#top")).otherwise(F.lit("")))
+    url = F.when(did % 97 == 0,
+                 F.concat(F.lit("mailto:user"), did.cast("string"),
+                          F.lit("@example.com"))).otherwise(url)
+    docs = (load(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id", url.alias("url")))
+    return links.url_dedup(docs)
 
 
 @register("domain_quota_sample", """
@@ -1742,6 +1834,7 @@ _DRIVER_ORDER = [
     "events_json_extract",
     # round-3 session additions (below the cap; check_oracle-verified)
     "near_dedup_groups", "pii_scrub", "dedup_lines", "domain_quota_sample",
+    "url_normalize_dedup",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a
