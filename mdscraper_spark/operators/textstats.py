@@ -431,3 +431,85 @@ def sql_pii_counts(col: str) -> str:
 def sql_pii_clean(col: str) -> str:
     return (f"regexp_replace(regexp_replace({col}, '{EMAIL_PATTERN}', "
             f"'<EMAIL>', 'g'), '{IPV4_PATTERN}', '<IP>', 'g')")
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
+                    overlap: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text): sliding token-window
+    chunking — the pre-training/RAG pass that turns documents into
+    fixed-budget training sequences with ``overlap`` tokens of context
+    carried across the boundary.
+
+    Window semantics (replayed exactly by the SQL twin in the registry
+    row): tokens are the canonical whitespace tokenization
+    (``dedup.tokenize``); chunk ``i`` covers tokens ``[i*stride,
+    i*stride + chunk_tokens)`` with ``stride = chunk_tokens - overlap``;
+    the chunk count is ``max(1, ceil((n - overlap) / stride))`` so the
+    final chunk is never an overlap-only stub; chunk text is the
+    single-space join of its tokens (token-level reconstruction — at
+    training time the tokenizer output is the artifact, not the raw
+    spans).  Whitespace-only documents yield ZERO chunks (gate on the
+    stripped text, replayed in SQL).
+
+    Scale shape: two narrow projections and one explode — no shuffle at
+    all; output size is input tokens x (1 + overlap/stride), the
+    explicit duplication budget of overlap chunking.  The slice runs
+    OUTSIDE any lambda on the bound token array (interpreted-HOF
+    rule)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}")
+    from mdscraper_spark.operators.dedup import tokenize, ws_strip
+
+    stride = chunk_tokens - overlap
+    d = (df.filter(F.length(ws_strip(F.col(text_col))) > 0)
+         .select(F.col(id_col).alias("doc_id"),
+                 tokenize(F.col(text_col)).alias("toks")))
+    n = F.size("toks")
+    n_chunks = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)))
+    c = d.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             n_chunks - 1)).alias("chunk_id"))
+    ctoks = F.slice(c["toks"],
+                    (c["chunk_id"] * stride + 1).cast("int"), chunk_tokens)
+    return c.select(
+        "doc_id", "chunk_id",
+        F.size(ctoks).cast("bigint").alias("n_tokens"),
+        F.array_join(ctoks, " ").alias("chunk_text"))
+
+
+def sql_chunk_documents(table: str, chunk_tokens: int, overlap: int,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB twin of chunk_documents over ``table`` — same gate, same
+    chunk-count arithmetic, same 1-based clamped slice."""
+    from mdscraper_spark.operators.dedup import sql_tokens, sql_ws_strip
+
+    stride = chunk_tokens - overlap
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc_id, {sql_tokens(text_col)} AS toks
+  FROM {table}
+  WHERE length({sql_ws_strip(text_col)}) > 0
+), ex AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(greatest(1,
+           ceil((len(toks) - {overlap})::DOUBLE / {stride})) AS BIGINT)))
+           AS chunk_id
+  FROM tok
+)
+SELECT doc_id, chunk_id,
+       CAST(len(toks[chunk_id * {stride} + 1 :
+                     chunk_id * {stride} + {chunk_tokens}]) AS BIGINT)
+         AS n_tokens,
+       array_to_string(toks[chunk_id * {stride} + 1 :
+                            chunk_id * {stride} + {chunk_tokens}], ' ')
+         AS chunk_text
+FROM ex
+"""

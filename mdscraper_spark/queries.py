@@ -811,6 +811,20 @@ def doc_split_assignment(spark, sf_dir):
                     textstats.hash_split(F.col("doc_id")).alias("split")))
 
 
+@register("doc_chunks",
+          textstats.sql_chunk_documents("documents", 16, 4))
+def doc_chunks(spark, sf_dir):
+    """Sliding token-window chunking (J31): documents -> fixed-budget
+    training sequences, 16-token chunks with 4 tokens of overlap (small
+    budget so sf0.01's ~30-token docs still produce multi-chunk output
+    and the final-chunk stub rule is exercised).  Chunk boundaries,
+    counts, and the single-space reconstruction are all replayed
+    exactly by the DuckDB twin."""
+    return textstats.chunk_documents(
+        load(spark, sf_dir, "documents", fan_out=True),
+        chunk_tokens=16, overlap=4)
+
+
 @register("url_normalize_dedup", f"""
 WITH m AS (
   SELECT doc_id, (doc_id % 300) AS k FROM documents
@@ -1834,7 +1848,7 @@ _DRIVER_ORDER = [
     "events_json_extract",
     # round-3 session additions (below the cap; check_oracle-verified)
     "near_dedup_groups", "pii_scrub", "dedup_lines", "domain_quota_sample",
-    "url_normalize_dedup",
+    "url_normalize_dedup", "doc_chunks",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a
