@@ -347,3 +347,56 @@ def near_dedup_groups(df: DataFrame, text_col: str = "text",
         canon.alias("canonical_id"),
         F.coalesce("group_size", F.lit(1).cast("bigint")).alias("group_size"),
         (canon == F.col("doc_id")).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide paragraph dedup (CCNet-style; SURVEY J32)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, clean_text, n_removed): remove every paragraph (newline-
+    separated line) that already occurred EARLIER IN THE CORPUS — the
+    CCNet-style sharded-paragraph dedup that strips boilerplate
+    (nav bars, footers, cookie banners) repeated across pages, where
+    intra-doc ``dedup_lines`` cannot see across documents.
+
+    Semantics (replayed by the registry row's SQL twin): the global
+    first occurrence of a paragraph — minimum ``(doc_id, position)``
+    lexicographically — survives; later occurrences anywhere in the
+    corpus are dropped.  Whitespace-only paragraphs never participate:
+    they are structure, not content, and deduping the empty string
+    would glue every document to the corpus's first blank line.  Every
+    input doc appears in the output, even if all its content was
+    removed (``clean_text``='').
+
+    Scale shape: posexplode is narrow; the winner election is ONE
+    map-side-combinable min-struct groupBy on the paragraph key, and
+    the keep test joins winners back on the same key (AQE skew-join
+    splits the hot-boilerplate keys — the exact skew this operator
+    exists to remove); reassembly is one groupBy on doc_id.  Nothing
+    is corpus-quadratic and no driver state exists at any size."""
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  F.split(F.col(text_col), "\n").alias("paras"))
+    e = d.select("doc_id", F.posexplode("paras").alias("pos", "para"))
+    dedupable = ws_strip(F.col("para")) != ""
+    winners = (e.filter(dedupable)
+               .groupBy("para")
+               .agg(F.min(F.struct("doc_id", "pos")).alias("w")))
+    kept = (e.join(winners, "para", "left")
+            .filter(~dedupable |
+                    (F.struct("doc_id", "pos") == F.col("w"))))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "para"))),
+                            lambda s: s["para"]),
+                        "\n").alias("clean_text"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    totals = d.select("doc_id", F.size("paras").cast("bigint").alias("n_paras"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("bigint").alias("n_removed")))

@@ -811,6 +811,58 @@ def doc_split_assignment(spark, sf_dir):
                     textstats.hash_split(F.col("doc_id")).alias("split")))
 
 
+@register("paragraph_dedup", """
+WITH p AS (
+  SELECT doc_id,
+         'nav home about contact ' || coalesce(lang, 'und') || chr(10) ||
+         text || chr(10) ||
+         'promo follow us on social' || chr(10) ||
+         'copyright 2025 ' || coalesce(source, 'unk') AS text
+  FROM documents
+), d AS (
+  SELECT doc_id, str_split(text, chr(10)) AS paras FROM p
+), e AS (
+  SELECT doc_id, unnest(paras) AS para,
+         CAST(unnest(range(0, len(paras))) AS BIGINT) AS pos
+  FROM d
+), r AS (
+  SELECT doc_id, pos, para,
+         (regexp_replace(para, '^\\s+|\\s+$', '', 'g') = '') AS wsonly,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM e
+), k AS (
+  SELECT doc_id, pos, para FROM r WHERE wsonly OR rn = 1
+), g AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS sa,
+         count(*) AS nk
+  FROM k GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(g.sa, '') AS clean_text,
+       CAST(t.n_paras - coalesce(g.nk, 0) AS BIGINT) AS n_removed
+FROM (SELECT doc_id, len(paras) AS n_paras FROM d) t
+LEFT JOIN g ON t.doc_id = g.doc_id
+""")
+def paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (J32, CCNet-style): the global
+    first occurrence of each non-whitespace paragraph survives, later
+    occurrences anywhere in the corpus are removed.  The synthetic
+    corpus is single-line, so (dedup_lines pattern) each doc is
+    wrapped in deterministic crawl boilerplate in BOTH engines: a
+    per-lang nav line (one survivor per lang), a corpus-constant promo
+    line (one survivor total), and a per-source copyright line (one
+    survivor per source) around the body."""
+    boiler = F.concat(F.lit("nav home about contact "),
+                      F.coalesce(F.col("lang"), F.lit("und")))
+    footer = F.concat(F.lit("copyright 2025 "),
+                      F.coalesce(F.col("source"), F.lit("unk")))
+    multi = F.concat_ws("\n", boiler, F.col("text"),
+                        F.lit("promo follow us on social"), footer)
+    injected = (load(spark, sf_dir, "documents", fan_out=True)
+                .select("doc_id", multi.alias("text")))
+    return dedup.paragraph_dedup(injected)
+
+
 @register("doc_chunks",
           textstats.sql_chunk_documents("documents", 16, 4))
 def doc_chunks(spark, sf_dir):
@@ -1848,7 +1900,7 @@ _DRIVER_ORDER = [
     "events_json_extract",
     # round-3 session additions (below the cap; check_oracle-verified)
     "near_dedup_groups", "pii_scrub", "dedup_lines", "domain_quota_sample",
-    "url_normalize_dedup", "doc_chunks",
+    "url_normalize_dedup", "doc_chunks", "paragraph_dedup",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a
