@@ -513,3 +513,73 @@ SELECT doc_id, chunk_id,
          AS chunk_text
 FROM ex
 """
+
+
+_PPM = 1_000_000
+
+
+def balanced_sample(df: DataFrame, quota: int,
+                    stratum_col: str = "lang",
+                    id_col: str = "doc_id",
+                    salt: str = "balance-v1") -> DataFrame:
+    """(doc_id, stratum, rate_ppm, keep): quota-based stratum-balanced
+    Bernoulli sampling — downsample each stratum (language, source...)
+    toward ``quota`` EXPECTED survivors by a deterministic salted-md5
+    coin, the way a 100 TB corpus rebalances languages.
+
+    This is the shuffle-free counterpart of ``domain_quota_sample``:
+    exact-K election needs a per-group sort; a hash-Bernoulli rate
+    needs none — the right trade at crawl scale when ±sqrt(n) variance
+    around the quota is acceptable.  Rates are integers in parts-per-
+    million computed with exact arithmetic (``(q·PPM − q·PPM mod n)/n``
+    — an exact-multiple IEEE division, bit-identical in both engines;
+    never a bare float divide whose rounding could flip a boundary
+    doc), so the same corpus elects the same survivors across engines,
+    partitionings, and reruns.  Under-quota strata rate at 1.0 and
+    keep everything.
+
+    Scale shape: one map-side-combined count pass over strata (a tiny
+    table — broadcast back with a null-safe equi-join: groupBy treats
+    NULL strata as one real group, so the join must agree), then a
+    narrow per-row hash compare.  No window, no sort, no driver state.
+    """
+    if quota < 0:
+        raise ValueError(f"quota must be >= 0, got {quota}")
+    qppm = quota * _PPM
+    counts = (df.groupBy(F.col(stratum_col).alias("s_stratum"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    rate = F.least(F.lit(_PPM).cast("bigint"),
+                   ((F.lit(qppm) - F.lit(qppm) % F.col("n")) / F.col("n"))
+                   .cast("bigint"))
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _PPM
+    cond = F.col(stratum_col).eqNullSafe(F.col("s_stratum"))
+    return (df.join(F.broadcast(counts.withColumn("rate_ppm", rate)
+                                .select("s_stratum", "rate_ppm")), cond)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(stratum_col).alias("stratum"),
+                    "rate_ppm",
+                    (bucket < F.col("rate_ppm")).alias("keep")))
+
+
+def sql_balanced_sample(table: str, quota: int,
+                        stratum_col: str = "lang",
+                        id_col: str = "doc_id",
+                        salt: str = "balance-v1") -> str:
+    """DuckDB twin of balanced_sample over ``table`` — identical
+    exact-multiple rate arithmetic and md5-prefix coin."""
+    qppm = quota * _PPM
+    return f"""
+WITH c AS (
+  SELECT {stratum_col} AS s_stratum, count(*) AS n
+  FROM {table} GROUP BY {stratum_col}
+), r AS (
+  SELECT s_stratum,
+         CAST(least({_PPM}, ({qppm} - {qppm} % n) / n) AS BIGINT) AS rate_ppm
+  FROM c
+)
+SELECT d.{id_col} AS doc_id, d.{stratum_col} AS stratum, r.rate_ppm,
+       ((CAST('0x' || substr(md5(d.{id_col} || ':{salt}'), 1, 8) AS BIGINT)
+         % {_PPM}) < r.rate_ppm) AS keep
+FROM {table} d JOIN r ON d.{stratum_col} IS NOT DISTINCT FROM r.s_stratum
+"""

@@ -811,6 +811,18 @@ def doc_split_assignment(spark, sf_dir):
                     textstats.hash_split(F.col("doc_id")).alias("split")))
 
 
+@register("lang_balanced_sample",
+          textstats.sql_balanced_sample("documents", 100))
+def lang_balanced_sample(spark, sf_dir):
+    """Quota-based language rebalancing (J33): Bernoulli-downsample
+    each language toward 100 expected survivors with the deterministic
+    salted-md5 coin.  At sf0.01 'en' (218 docs) is over-quota and the
+    other languages (~64-75) are under-quota, so both the fractional
+    rate and the rate=1.0 keep-all path execute."""
+    return textstats.balanced_sample(
+        load(spark, sf_dir, "documents", fan_out=True), quota=100)
+
+
 @register("paragraph_dedup", """
 WITH p AS (
   SELECT doc_id,
@@ -1901,6 +1913,7 @@ _DRIVER_ORDER = [
     # round-3 session additions (below the cap; check_oracle-verified)
     "near_dedup_groups", "pii_scrub", "dedup_lines", "domain_quota_sample",
     "url_normalize_dedup", "doc_chunks", "paragraph_dedup",
+    "lang_balanced_sample",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a
