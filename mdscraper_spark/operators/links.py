@@ -219,7 +219,7 @@ def normalize_url(col: F.Column) -> F.Column:
     host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
     port = F.regexp_extract(auth, r":([0-9]+)$", 1)
     path = F.regexp_extract(url, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(url, r"^[^#]*\?([^#]*)", 1)
+    query = F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
 
     default_port = (((scheme == "http") & (port == "80")) |
                     ((scheme == "https") & (port == "443")))
@@ -247,7 +247,7 @@ def sql_normalize_url(col: str) -> str:
     host = f"lower(regexp_extract({auth}, '^([^:]*)', 1))"
     port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
     path = f"regexp_extract({col}, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)"
-    query = f"regexp_extract({col}, '^[^#]*\\?([^#]*)', 1)"
+    query = f"regexp_extract({col}, '^[^#?]*\\?([^#]*)', 1)"
     portpart = (
         f"(CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
         f"OR ({scheme} = 'https' AND {port} = '443') THEN '' "

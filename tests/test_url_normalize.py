@@ -32,6 +32,10 @@ CASES = [
     ("https://h.io/p#only-frag", "https://h.io/p"),
     # '?' inside the fragment must not resurrect a query
     ("http://h.io/p?a=1#f?b=2", "http://h.io/p?a=1"),
+    # query starts at the FIRST '?' (RFC): a later '?' is query DATA,
+    # not a new query — nothing before it may be silently dropped
+    ("http://h.io/p?a=1?b=2", "http://h.io/p?a=1?b=2"),
+    ("http://h.io/p?x=2&a=1?z", "http://h.io/p?a=1?z&x=2"),
     # msclkid dropped; empty params (&&) dropped
     ("http://h.io/p?msclkid=m&&z=9", "http://h.io/p?z=9"),
     # non-default port on the OTHER scheme is kept
@@ -98,7 +102,8 @@ def test_normalize_url_fuzz_twin_parity(spark):
     schemes = ["http://", "HTTPS://", "", "x+y-z.1://"]
     hosts = ["Host.IO", "h.io:80", "h.io:443", "h.io:81", ""]
     paths = ["", "/", "/a//", "/a/b"]
-    queries = ["", "?", "?utm_source=s", "?b=2&a=1&utm_x=0", "?a", "?=v&a=1"]
+    queries = ["", "?", "?utm_source=s", "?b=2&a=1&utm_x=0", "?a", "?=v&a=1",
+               "?a=1?b=2"]
     frags = ["", "#f", "#f?q=1"]
     cases = ["".join(p) for p in itertools.product(
         schemes, hosts, paths, queries, frags)]
