@@ -370,33 +370,38 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     input doc appears in the output, even if all its content was
     removed (``clean_text``='').
 
-    Scale shape: posexplode is narrow; the winner election is ONE
-    map-side-combinable min-struct groupBy on the paragraph key, and
-    the keep test joins winners back on the same key (AQE skew-join
+    Scale shape: posexplode is narrow; the winner election is one
+    map-side-combinable min-struct groupBy on the paragraph key,
+    joined back on the same key (the winners branch re-reads the
+    source with pruned columns rather than persisting the exploded
+    corpus — at crawl scale a second pruned scan is cheaper than
+    materializing #paragraphs rows) (AQE skew-join
     splits the hot-boilerplate keys — the exact skew this operator
-    exists to remove); reassembly is one groupBy on doc_id.  Nothing
-    is corpus-quadratic and no driver state exists at any size."""
-    d = df.select(F.col(id_col).alias("doc_id"),
-                  F.split(F.col(text_col), "\n").alias("paras"))
-    e = d.select("doc_id", F.posexplode("paras").alias("pos", "para"))
+    exists to remove); reassembly is one conditional aggregation on
+    doc_id over ALL rows (kept flag folded into the agg, so
+    every doc — split() never returns an empty array — survives
+    without a totals branch re-scanning the source).  Nothing is
+    corpus-quadratic and no driver state exists at any size."""
+    e = df.select(F.col(id_col).alias("doc_id"),
+                  F.posexplode(F.split(F.col(text_col), "\n"))
+                  .alias("pos", "para"))
     dedupable = ws_strip(F.col("para")) != ""
     winners = (e.filter(dedupable)
                .groupBy("para")
                .agg(F.min(F.struct("doc_id", "pos")).alias("w")))
-    kept = (e.join(winners, "para", "left")
-            .filter(~dedupable |
-                    (F.struct("doc_id", "pos") == F.col("w"))))
-    rebuilt = (kept.groupBy("doc_id")
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct("pos", "para"))),
-                            lambda s: s["para"]),
-                        "\n").alias("clean_text"),
-                    F.count(F.lit(1)).alias("n_kept")))
-    totals = d.select("doc_id", F.size("paras").cast("bigint").alias("n_paras"))
-    return (totals.join(rebuilt, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
-                    .cast("bigint").alias("n_removed")))
+    keep = (~dedupable) | (F.struct("doc_id", "pos") == F.col("w"))
+    flagged = e.join(winners, "para", "left").select(
+        "doc_id", "pos", "para", keep.alias("keep"))
+    # collect_list skips the NULLs the when() leaves behind, so the
+    # sorted rebuild sees only kept paragraphs while the groupBy still
+    # covers every doc (each doc has >= 1 exploded row)
+    return (flagged.groupBy("doc_id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("keep"),
+                                    F.struct("pos", "para")))),
+                         lambda s: s["para"]),
+                     "\n").alias("clean_text"),
+                 F.sum(F.when(F.col("keep"), F.lit(0)).otherwise(F.lit(1)))
+                 .cast("bigint").alias("n_removed")))

@@ -274,12 +274,16 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     drop (and never one shared NULL group electing a single survivor).
 
     Scale shape: one narrow normalization map, then a single hash
-    shuffle on url_norm for the unordered per-group MIN window — no
-    sort (unbounded-frame min), no corpus groupBy-and-join-back, no
-    driver state.  Skewed canonical URLs (one URL crawled 10^6 times)
-    bound the window partition, which spills; AQE's skew handling does
-    not apply inside a window, but a min over one hot key is a scan,
-    not a blow-up."""
+    shuffle on url_norm for the unbounded-frame per-group MIN window.
+    WindowExec still sorts each partition by the partition key (Spark
+    groups window partitions by sorting even with no ORDER BY), but
+    that is one partition-local string sort with spill — cheaper than
+    the groupBy-min + corpus join-back alternative, which pays a
+    second full-corpus exchange for its join.  No driver state.
+    Skewed canonical URLs (one URL crawled 10^6 times) bound the
+    window partition, which spills; AQE's skew handling does not apply
+    inside a window, but a min over one hot key is a scan, not a
+    blow-up."""
     from pyspark.sql import Window
 
     d = df.select(F.col(id_col).alias("doc_id"),
