@@ -405,3 +405,37 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                      "\n").alias("clean_text"),
                  F.sum(F.when(F.col("keep"), F.lit(0)).otherwise(F.lit(1)))
                  .cast("bigint").alias("n_removed")))
+
+
+# ---------------------------------------------------------------------------
+# dedup-grade text canonicalization (SURVEY J34)
+# ---------------------------------------------------------------------------
+
+def canonical_text(col: Column) -> Column:
+    """Dedup-grade canonical form of a text column — the normalization
+    SlimPajama/CCNet-style pipelines apply BEFORE hashing, so that
+    case, punctuation, and whitespace noise (the typical mirror-site /
+    re-render delta) cannot hide an exact duplicate:
+
+    1. lowercase (ASCII + Unicode simple mapping — both engines);
+    2. every non-alphanumeric, non-whitespace char becomes a space
+       (``[^a-z0-9\\s]`` AFTER lowercasing, so the class is closed
+       under the case fold in both engines);
+    3. whitespace runs collapse to one space;
+    4. leading/trailing whitespace stripped.
+
+    Composable: ``exact_dedup_groups(df.withColumn('text',
+    canonical_text(col)))`` is normalized exact dedup; feeding it to
+    ``minhash_signatures`` makes near-dup detection punctuation-blind.
+    Pure codegen expressions, no shuffle of its own."""
+    lowered = F.lower(col)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    return ws_strip(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def sql_canonical_text(col: str) -> str:
+    """DuckDB twin of canonical_text — identical regex classes applied
+    in the identical order."""
+    lowered = f"lower({col})"
+    stripped = f"regexp_replace({lowered}, '[^a-z0-9\\s]', ' ', 'g')"
+    return sql_ws_strip(f"regexp_replace({stripped}, '\\s+', ' ', 'g')")

@@ -811,6 +811,45 @@ def doc_split_assignment(spark, sf_dir):
                     textstats.hash_split(F.col("doc_id")).alias("split")))
 
 
+@register("normalized_exact_dedup", f"""
+WITH c AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         '  ' || replace(upper(text), ' ',
+                         CASE WHEN doc_id % 3 = 0 THEN ' , ' ELSE '  ' END)
+            || ' !!!'
+  FROM documents
+)
+SELECT md5({dedup.sql_canonical_text('text')}) AS content_hash,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM c GROUP BY 1
+""")
+def normalized_exact_dedup(spark, sf_dir):
+    """Normalized exact dedup (J34): exact dedup over the
+    canonical_text form, so case, punctuation, and whitespace noise —
+    the typical mirror-site / re-render delta — cannot hide an exact
+    duplicate.  The registry row doubles the corpus with a noisy twin
+    of every doc (uppercased, comma- or double-space-riddled, bang
+    suffix, doc_id + 100000) built identically in both engines; every
+    canonical group must therefore have n_docs >= 2 with the original
+    doc as min_doc_id."""
+    base = load(spark, sf_dir, "documents", fan_out=True) \
+        .select("doc_id", "text")
+    did = F.col("doc_id")
+    noisy = base.select(
+        (did + 100000).alias("doc_id"),
+        F.concat(F.lit("  "),
+                 F.regexp_replace(
+                     F.upper("text"), F.lit(" "),
+                     F.when(did % 3 == 0, F.lit(" , "))
+                     .otherwise(F.lit("  "))),
+                 F.lit(" !!!")).alias("text"))
+    corpus = base.unionByName(noisy) \
+        .select("doc_id", dedup.canonical_text(F.col("text")).alias("text"))
+    return dedup.exact_dedup_groups(corpus)
+
+
 @register("lang_balanced_sample",
           textstats.sql_balanced_sample("documents", 100))
 def lang_balanced_sample(spark, sf_dir):
@@ -1913,7 +1952,7 @@ _DRIVER_ORDER = [
     # round-3 session additions (below the cap; check_oracle-verified)
     "near_dedup_groups", "pii_scrub", "dedup_lines", "domain_quota_sample",
     "url_normalize_dedup", "doc_chunks", "paragraph_dedup",
-    "lang_balanced_sample",
+    "lang_balanced_sample", "normalized_exact_dedup",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a
