@@ -583,3 +583,51 @@ SELECT d.{id_col} AS doc_id, d.{stratum_col} AS stratum, r.rate_ppm,
          % {_PPM}) < r.rate_ppm) AS keep
 FROM {table} d JOIN r ON d.{stratum_col} IS NOT DISTINCT FROM r.s_stratum
 """
+
+
+def corpus_shuffle(df: DataFrame, n_shards: int,
+                   id_col: str = "doc_id",
+                   salt: str = "shuffle-v1") -> DataFrame:
+    """(doc_id, shard, pos): deterministic global corpus shuffle — the
+    training-order materialization step: every doc gets a shard and a
+    dense 0-based position inside it, both derived from a salted md5 so
+    the same corpus always yields the same training order (changing
+    ``salt`` is the epoch reshuffle; never ``rand()``, which breaks
+    resume and engine parity).
+
+    Scale shape: the shard assignment is a narrow hash map; ordering
+    happens INSIDE each shard (one hash shuffle + P independent
+    partition-local sorts over ~N/P rows each) — there is no global
+    sort and no single-partition bottleneck, which is why training
+    pipelines shard first and order second.  Tie-break on doc_id makes
+    the order total even under md5-prefix collisions."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+    d = df.select(F.col(id_col).alias("doc_id"), h.alias("prio"))
+    shard = (F.conv(F.substring("prio", 1, 8), 16, 10).cast("bigint")
+             % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("prio", "doc_id")
+    return (d.withColumn("shard", shard)
+            .select("doc_id", "shard",
+                    (F.row_number().over(w) - 1).cast("bigint").alias("pos")))
+
+
+def sql_corpus_shuffle(table: str, n_shards: int,
+                       id_col: str = "doc_id",
+                       salt: str = "shuffle-v1") -> str:
+    """DuckDB twin of corpus_shuffle over ``table``."""
+    h = f"md5({id_col} || ':{salt}')"
+    shard = (f"CAST(CAST('0x' || substr({h}, 1, 8) AS BIGINT) "
+             f"% {n_shards} AS INT)")
+    return f"""
+WITH s AS (
+  SELECT {id_col} AS doc_id, {h} AS prio, {shard} AS shard FROM {table}
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY prio, doc_id) - 1
+            AS BIGINT) AS pos
+FROM s
+"""

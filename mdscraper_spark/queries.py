@@ -811,6 +811,17 @@ def doc_split_assignment(spark, sf_dir):
                     textstats.hash_split(F.col("doc_id")).alias("split")))
 
 
+@register("corpus_shuffle",
+          textstats.sql_corpus_shuffle("documents", 8))
+def corpus_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle (J35): shard + dense
+    within-shard training order from a salted md5 — no global sort,
+    P independent shard-local sorts, reshuffles by changing the salt,
+    identical order across engines/partitionings/reruns."""
+    return textstats.corpus_shuffle(
+        load(spark, sf_dir, "documents", fan_out=True), n_shards=8)
+
+
 @register("normalized_exact_dedup", f"""
 WITH c AS (
   SELECT doc_id, text FROM documents
@@ -1952,7 +1963,7 @@ _DRIVER_ORDER = [
     # round-3 session additions (below the cap; check_oracle-verified)
     "near_dedup_groups", "pii_scrub", "dedup_lines", "domain_quota_sample",
     "url_normalize_dedup", "doc_chunks", "paragraph_dedup",
-    "lang_balanced_sample", "normalized_exact_dedup",
+    "lang_balanced_sample", "normalized_exact_dedup", "corpus_shuffle",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a
