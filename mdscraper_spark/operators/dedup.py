@@ -383,7 +383,11 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     without a totals branch re-scanning the source).  Nothing is
     corpus-quadratic and no driver state exists at any size."""
     e = df.select(F.col(id_col).alias("doc_id"),
-                  F.posexplode(F.split(F.col(text_col), "\n"))
+                  # coalesce: posexplode of a NULL array emits no rows,
+                  # so a null-text doc would silently vanish from the
+                  # output instead of surviving as clean_text=''
+                  F.posexplode(F.split(F.coalesce(F.col(text_col),
+                                                  F.lit("")), "\n"))
                   .alias("pos", "para"))
     dedupable = ws_strip(F.col("para")) != ""
     winners = (e.filter(dedupable)

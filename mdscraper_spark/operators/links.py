@@ -293,3 +293,54 @@ def url_dedup(df: DataFrame, url_col: str = "url",
         "doc_id", "url_norm",
         (F.col("url_norm").isNull() |
          (F.col("doc_id") == F.min("doc_id").over(w))).alias("keep"))
+
+
+_NORM_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/:]+)"
+
+
+def inlink_counts(df: DataFrame, src_col: str = "src_url",
+                  href_col: str = "href") -> DataFrame:
+    """(target_url, n_inlinks, n_src_hosts): webgraph in-link
+    aggregation over CANONICAL URLs — the link-popularity statistic
+    crawl prioritizers and quality filters consume.  Both endpoints go
+    through :func:`normalize_url` first, so tracking-param/case/port
+    noise cannot split a target's in-link mass across spellings.
+
+    Unparseable hrefs produce no edge (no canonical identity, nothing
+    to count).  Unparseable SOURCE urls still count as an in-link but
+    contribute no host to ``n_src_hosts`` (countDistinct skips NULL in
+    both engines) — link evidence is real even when the referrer is
+    malformed.
+
+    Scale shape: narrow normalize map, one map-side-combinable groupBy
+    on the canonical target.  Hub targets (the homepage every page
+    links to) are exactly the skew AQE's skewed-agg handling exists
+    for; n_src_hosts is exact here — swap to approx_count_distinct at
+    10^12 edges if a 2-5% error contract is acceptable."""
+    target = normalize_url(F.col(href_col))
+    src_host = F.regexp_extract(normalize_url(F.col(src_col)),
+                                _NORM_HOST_RE, 1)
+    d = (df.select(target.alias("target_url"), src_host.alias("src_host"))
+         .filter(F.col("target_url").isNotNull()))
+    return (d.groupBy("target_url")
+            .agg(F.count(F.lit(1)).alias("n_inlinks"),
+                 F.countDistinct("src_host").alias("n_src_hosts")))
+
+
+def sql_inlink_counts(table: str, src_col: str = "src_url",
+                      href_col: str = "href") -> str:
+    """DuckDB twin of inlink_counts over ``table`` (rows of one href
+    each).  NULLIF: DuckDB regexp_extract yields '' on no match where
+    the distinct-host count must skip the row like Spark's NULL."""
+    target = sql_normalize_url(href_col)
+    src_host = (f"nullif(regexp_extract({sql_normalize_url(src_col)}, "
+                f"'{_NORM_HOST_RE}', 1), '')")
+    return f"""
+WITH e AS (
+  SELECT {target} AS target_url, {src_host} AS src_host FROM {table}
+)
+SELECT target_url, COUNT(*) AS n_inlinks,
+       COUNT(DISTINCT src_host) AS n_src_hosts
+FROM e WHERE target_url IS NOT NULL
+GROUP BY target_url
+"""

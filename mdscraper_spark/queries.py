@@ -811,6 +811,61 @@ def doc_split_assignment(spark, sf_dir):
                     textstats.hash_split(F.col("doc_id")).alias("split")))
 
 
+@register("inlink_stats", links.sql_inlink_counts("""(
+  SELECT CASE WHEN doc_id % 13 = 0 THEN 'page-' || doc_id
+              ELSE 'HTTPS://Site' || (doc_id % 7) || '.Example.com/p/'
+                   || doc_id
+                   || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x'
+                            ELSE '' END)
+         END AS src_url,
+         unnest(['https://site' || ((doc_id + 1) % 5)
+                   || '.example.com/page/' || (doc_id % 50) || '/',
+                 'HTTP://site' || (doc_id % 5)
+                   || '.example.com:80/page/' || ((doc_id * 3) % 50)
+                   || '#frag',
+                 CASE WHEN doc_id % 11 = 0
+                      THEN 'mailto:x' || doc_id || '@e.com'
+                      ELSE 'https://site' || (doc_id % 5)
+                           || '.example.com/page/' || ((doc_id + 17) % 50)
+                           || '?b=2&a=1&utm_c=z' END]) AS href
+  FROM documents)"""))
+def inlink_stats(spark, sf_dir):
+    """Webgraph in-link aggregation over canonical URLs (J36): per
+    canonical target, total in-links and distinct referring hosts —
+    the popularity signal crawl prioritizers and quality filters read.
+    The synthetic link table derives three hrefs per doc from doc_id
+    identically in both engines, with case/port/fragment/tracking
+    noise that normalization must fold together, mailto rows (no
+    canonical identity -> no edge) and unparseable sources (count as
+    in-link, contribute no host)."""
+    did = F.col("doc_id")
+
+    def cstr(c):
+        return c.cast("string")
+
+    full_src = F.concat(
+        F.lit("HTTPS://Site"), cstr(did % 7), F.lit(".Example.com/p/"),
+        cstr(did),
+        F.when(did % 3 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")))
+    src = F.when(did % 13 == 0,
+                 F.concat(F.lit("page-"), cstr(did))).otherwise(full_src)
+    t1 = F.concat(F.lit("https://site"), cstr((did + 1) % 5),
+                  F.lit(".example.com/page/"), cstr(did % 50), F.lit("/"))
+    t2 = F.concat(F.lit("HTTP://site"), cstr(did % 5),
+                  F.lit(".example.com:80/page/"), cstr((did * 3) % 50),
+                  F.lit("#frag"))
+    t3 = F.when(did % 11 == 0,
+                F.concat(F.lit("mailto:x"), cstr(did), F.lit("@e.com"))) \
+          .otherwise(F.concat(F.lit("https://site"), cstr(did % 5),
+                              F.lit(".example.com/page/"),
+                              cstr((did + 17) % 50),
+                              F.lit("?b=2&a=1&utm_c=z")))
+    edges = (load(spark, sf_dir, "documents", fan_out=True)
+             .select(src.alias("src_url"),
+                     F.explode(F.array(t1, t2, t3)).alias("href")))
+    return links.inlink_counts(edges)
+
+
 @register("corpus_shuffle",
           textstats.sql_corpus_shuffle("documents", 8))
 def corpus_shuffle(spark, sf_dir):
@@ -1964,6 +2019,7 @@ _DRIVER_ORDER = [
     "near_dedup_groups", "pii_scrub", "dedup_lines", "domain_quota_sample",
     "url_normalize_dedup", "doc_chunks", "paragraph_dedup",
     "lang_balanced_sample", "normalized_exact_dedup", "corpus_shuffle",
+    "inlink_stats",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a

@@ -75,3 +75,8 @@ def test_differential_python_replay_and_partition_invariance(spark):
         got = {r.doc_id: (r.clean_text, r.n_removed)
                for r in dedup.paragraph_dedup(d).collect()}
         assert got == expect
+
+
+def test_null_text_doc_survives(spark):
+    got = _run(spark, [(0, "x"), (1, None)])
+    assert got[1] == ("", 0)

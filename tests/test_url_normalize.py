@@ -118,3 +118,34 @@ def test_normalize_url_fuzz_twin_parity(spark):
     for i, d in con.execute(
             f"SELECT i, {links.sql_normalize_url('u')} FROM t").fetchall():
         assert d == got[i], (cases[i], d, got[i])
+
+
+def test_inlink_counts_hand_case(spark):
+    rows = [
+        # three spellings of one target, three different source hosts
+        ("https://a.io/p", "https://T.io/x?utm_source=1"),
+        ("https://b.io/p", "HTTPS://t.io/x/"),
+        ("https://c.io/p", "https://t.io:443/x#f"),
+        # same source host twice -> n_src_hosts stays 1 for this target
+        ("https://a.io/q1", "https://u.io/y"),
+        ("https://a.io/q2", "https://u.io/y"),
+        # unparseable source: the in-link counts, the host does not
+        ("not a url", "https://u.io/y"),
+        # unparseable href: no edge at all
+        ("https://a.io/p", "mailto:z@e.com"),
+    ]
+    df = spark.createDataFrame(rows, "src_url string, href string")
+    got = {r.target_url: (r.n_inlinks, r.n_src_hosts)
+           for r in links.inlink_counts(df).collect()}
+    assert got == {"https://t.io/x": (3, 3), "https://u.io/y": (3, 1)}
+
+
+def test_inlink_counts_partition_invariant(spark):
+    rows = [(f"https://s{i % 4}.io/p{i}",
+             f"https://t{i % 3}.io/page/{i % 10}?utm_x={i}")
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "src_url string, href string")
+    one = sorted(map(tuple, links.inlink_counts(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, links.inlink_counts(df.repartition(11)).collect()))
+    assert one == many
+    assert len(one) == 30 and all(r[1] == 4 for r in one)
