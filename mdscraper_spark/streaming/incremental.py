@@ -23,14 +23,33 @@ from mdscraper_spark.sources.pages import PAGES_SCHEMA
 
 def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
                    checkpoint_dir: str, config: ExtractConfig,
-                   watermark: str = "1 hour") -> None:
+                   watermark: str = "1 hour",
+                   canonical_urls: bool = False) -> None:
     """Drain all currently-available page files into markdown_docs
     parquet, deduplicating re-crawled urls within the watermark.
 
     ``availableNow`` processes the backlog and stops — each invocation
     is one incremental ingest; the checkpoint makes repeats exactly-once.
+
+    ``canonical_urls=True`` dedups on ``normalize_url(url)`` instead of
+    the raw url (J30 composed into the frontier): two fetches of one
+    page under different tracking-param/case/port spellings extract
+    once.  Unparseable urls fall back to their raw string — identity
+    unknown must never collapse every malformed url into one NULL key.
+    The flag is part of the checkpoint's state identity: flipping it on
+    an existing checkpoint changes the dedup key column, so use a fresh
+    checkpoint per setting (documented, not detected — the state store
+    schema is the same either way).
     """
     pages = (spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir))
+    if canonical_urls:
+        from pyspark.sql import functions as F
+
+        from mdscraper_spark.operators.links import normalize_url
+
+        pages = pages.withColumn(
+            "url_key", F.coalesce(normalize_url(F.col("url")),
+                                  F.col("url")))
     # dropDuplicatesWithinWatermark, NOT dropDuplicates: with a plain
     # dropDuplicates(["url"]) the watermark never evicts state (the
     # event-time column isn't in the dedup subset), so state grows one
@@ -41,7 +60,10 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     # evicted as the watermark advances, and a later re-crawl refreshes
     # the document.
     deduped = (pages.withWatermark("warc_ts", watermark)
-               .dropDuplicatesWithinWatermark(["url"]))
+               .dropDuplicatesWithinWatermark(
+                   ["url_key" if canonical_urls else "url"]))
+    if canonical_urls:
+        deduped = deduped.drop("url_key")
     docs = extract_markdown(deduped, config)
     query = (docs.writeStream
              .format("parquet")

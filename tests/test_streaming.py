@@ -341,3 +341,28 @@ def test_kg_incremental_batch_replay_is_idempotent(spark, tmp_path):
     assert got == {("a", "X"): 4, ("b", "Y"): 2}
     # pred-partitioned: the merge is partition-scoped, not full-table
     assert wh.manifest("raw_edges")["partition_by"] == ["pred"]
+
+
+def test_stream_extract_canonical_url_dedup(spark, tmp_path):
+    inp = str(tmp_path / "canon_in")
+    out = str(tmp_path / "canon_out")
+    ckpt = str(tmp_path / "canon_ckpt")
+
+    base = bulk_pages_df(spark, 3).collect()
+    # re-spell page 0's url with tracking noise + case/slash changes:
+    # same canonical identity, same content
+    r0 = base[0]
+    spellings = [
+        r0.url + "?utm_source=feed",
+        r0.url.replace("https://", "HTTPS://") + "/",
+    ]
+    rows = list(base) + [
+        (s, r0.warc_ts, r0.html, r0.text, r0.lang) for s in spellings]
+    spark.createDataFrame(rows, PAGES_SCHEMA) \
+         .write.mode("append").parquet(inp)
+    stream_extract(spark, inp, out, ckpt, CFG, canonical_urls=True)
+    docs = spark.read.parquet(out).collect()
+    # 3 distinct pages, not 5: both re-spellings collapsed onto page 0
+    assert len(docs) == 3
+    assert len({r.url for r in docs}) == 3
+    assert all(r.status == "ok" for r in docs)
