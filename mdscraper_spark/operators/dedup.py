@@ -443,3 +443,92 @@ def sql_canonical_text(col: str) -> str:
     lowered = f"lower({col})"
     stripped = f"regexp_replace({lowered}, '[^a-z0-9\\s]', ' ', 'g')"
     return sql_ws_strip(f"regexp_replace({stripped}, '\\s+', ' ', 'g')")
+
+
+# ---------------------------------------------------------------------------
+# duplicated token-window (substring-level) statistics (SURVEY J37)
+# ---------------------------------------------------------------------------
+
+def dup_span_stats(df: DataFrame, window: int = 50, stride: int = 50,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_windows, dup_windows, dup_frac): per-doc fraction of
+    strided token windows that occur 2+ times ANYWHERE in the corpus —
+    the tractable strided approximation of suffix-array substring
+    dedup: doc-level dedup (J1) misses partial copies, paragraph-level
+    (J32) misses copies that straddle line breaks; this flags them at
+    token-window granularity.  Stride==window (non-overlapping) is the
+    production setting; smaller strides raise alignment recall at
+    linear cost.  Alignment caveat (inherent to striding, documented,
+    not a bug): a copy is only caught where the two occurrences
+    tokenize into at least one identical window, so unaligned partial
+    copies need stride < window.
+
+    Window arithmetic (replayed by the SQL twin): docs with n >=
+    window tokens get floor((n-window)/stride)+1 FULL windows (the
+    sub-window tail is uncovered); shorter docs get one whole-doc
+    window, so short exact duplicates still collide.
+
+    Scale shape: same as paragraph dedup — narrow explode, one
+    map-side-combinable count groupBy on the window hash, hash
+    join-back (AQE skew splits the hot boilerplate windows), one
+    doc_id reassembly groupBy.  dup_frac is a single IEEE division of
+    two exact integers — deterministic in both engines."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  tokenize(F.coalesce(F.col(text_col), F.lit("")))
+                  .alias("toks"))
+    n = F.size("toks")
+    n_win = F.greatest(
+        F.lit(1).cast("bigint"),
+        (F.floor((n - F.lit(window)).cast("double") / F.lit(stride))
+         + F.lit(1)).cast("bigint"))
+    w = d.select("doc_id", "toks",
+                 F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                      n_win - 1)).alias("i"))
+    h = F.md5(F.array_join(
+        F.slice(w["toks"], (w["i"] * stride + 1).cast("int"), window), " "))
+    spans = w.select("doc_id", h.alias("h"))
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    return (spans.join(counts, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum((F.col("cnt") > 1).cast("long"))
+                 .alias("dup_windows"))
+            .select("doc_id", "n_windows", "dup_windows",
+                    (F.col("dup_windows") / F.col("n_windows"))
+                    .alias("dup_frac")))
+
+
+def sql_dup_span_stats(table: str, window: int, stride: int,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin of dup_span_stats over ``table``."""
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id,
+         {sql_tokens(f"coalesce({text_col}, '')")} AS toks
+  FROM {table}
+), w AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(1,
+           CAST(floor((len(toks) - {window})::DOUBLE / {stride})
+                AS BIGINT) + 1))) AS i
+  FROM t
+), spans AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           toks[i * {stride} + 1 : i * {stride} + {window}], ' ')) AS h
+  FROM w
+), c AS (
+  SELECT h, count(*) AS cnt FROM spans GROUP BY h
+)
+SELECT doc_id, count(*) AS n_windows,
+       sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_windows,
+       sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) / count(*) AS dup_frac
+FROM spans JOIN c USING (h)
+GROUP BY doc_id
+"""

@@ -811,6 +811,41 @@ def doc_split_assignment(spark, sf_dir):
                     textstats.hash_split(F.col("doc_id")).alias("split")))
 
 
+_SPAN_BOILER = ("promo sale click here now join our newsletter today free "
+                "shipping on all orders over fifty dollars act fast limited")
+
+
+@register("dup_span_stats", dedup.sql_dup_span_stats(f"""(
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '{_SPAN_BOILER} ' || text
+              ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         CASE WHEN doc_id % 4 = 0 THEN '{_SPAN_BOILER} ' || text
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 5 = 0)""", window=20, stride=20))
+def dup_span_stats(spark, sf_dir):
+    """Substring-level duplication stats (J37): fraction of 20-token
+    non-overlapping windows occurring 2+ times in the corpus — the
+    strided approximation of suffix-array dedup, between doc-level
+    (J1) and paragraph-level (J32) granularity.  The corpus gains
+    exact twins of every fifth doc (all windows dup) and a 20-token
+    boilerplate PREFIX on every fourth doc (prefix length == window,
+    so window 0 collides across those docs regardless of the body) —
+    both constructed identically in both engines."""
+    did = F.col("doc_id")
+    boosted = F.when(did % 4 == 0,
+                     F.concat(F.lit(_SPAN_BOILER + " "), F.col("text"))) \
+               .otherwise(F.col("text"))
+    base = (load(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id", boosted.alias("text")))
+    twins = (base.filter(did % 5 == 0)
+             .select((did + 100000).alias("doc_id"), "text"))
+    return dedup.dup_span_stats(base.unionByName(twins),
+                                window=20, stride=20)
+
+
 @register("inlink_stats", links.sql_inlink_counts("""(
   SELECT CASE WHEN doc_id % 13 = 0 THEN 'page-' || doc_id
               ELSE 'HTTPS://Site' || (doc_id % 7) || '.Example.com/p/'
@@ -2019,7 +2054,7 @@ _DRIVER_ORDER = [
     "near_dedup_groups", "pii_scrub", "dedup_lines", "domain_quota_sample",
     "url_normalize_dedup", "doc_chunks", "paragraph_dedup",
     "lang_balanced_sample", "normalized_exact_dedup", "corpus_shuffle",
-    "inlink_stats",
+    "inlink_stats", "dup_span_stats",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a
