@@ -1,0 +1,121 @@
+"""Corpus dedup job: documents -> dedup decision table (+ optional
+paragraph scrub) -> warehouse, with the recipe in snapshot properties.
+
+The registry rows (`dedup_exact`, `normalized_exact_dedup`,
+`near_dedup_groups`, `paragraph_dedup`, `dup_span_stats`) verify the
+operator semantics against DuckDB; this job is the production surface
+that MATERIALIZES a dedup pass a training pipeline actually applies:
+
+* ``dedup_docs`` — one row per doc: ``(doc_id, group_key, keep)``,
+  where the grouping is ``exact`` (md5 of raw text), ``normalized``
+  (md5 of the dedup-grade canonical form — case/punct/ws-blind), or
+  ``near`` (MinHash-LSH candidate pairs closed into connected groups);
+  survivor = min doc_id per group, the convention every registry row
+  pins.
+* ``dedup_paragraphs`` (``--paragraphs``) — corpus-wide
+  paragraph-dedup rewrite of the SURVIVORS ONLY (running it before
+  doc-level dedup would let a doomed duplicate claim global-first on
+  its paragraphs and hollow out the copy that survives).
+
+Counts travel as snapshot properties so every dedup snapshot carries
+its own recipe audit, mirroring jobs/curate.py.
+
+    spark-submit --py-files dist/mdscraper_spark.zip \\
+        mdscraper_spark/jobs/dedup.py \\
+        --input /path/documents_parquet --warehouse /path/wh \\
+        --mode near --paragraphs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from mdscraper_spark.operators import dedup as dedup_ops
+from mdscraper_spark.sources.tables import Warehouse
+
+MODES = ("exact", "normalized", "near")
+
+
+def _hash_decision(docs, key_col) -> "DataFrame":
+    """Per-doc keep decision for a hash-equality grouping: one hash
+    shuffle for the unbounded-frame per-group MIN window (see
+    links.url_dedup for why this beats groupBy-min + corpus join-back)."""
+    d = docs.select("doc_id", key_col.alias("group_key"))
+    w = Window.partitionBy("group_key")
+    return d.select(
+        "doc_id", "group_key",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"))
+
+
+def dedup_corpus(spark: SparkSession, docs, warehouse_path: str,
+                 mode: str = "exact", paragraphs: bool = False) -> dict:
+    """Materialize the dedup decision (+ optional paragraph scrub);
+    returns the audit counts dict."""
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    docs = docs.select("doc_id", "text")
+
+    if mode == "exact":
+        decision = _hash_decision(docs, F.md5(F.col("text")))
+    elif mode == "normalized":
+        decision = _hash_decision(
+            docs, F.md5(dedup_ops.canonical_text(F.col("text"))))
+    else:
+        groups = dedup_ops.near_dedup_groups(docs)
+        decision = groups.select(
+            "doc_id", F.col("canonical_id").cast("string")
+            .alias("group_key"), "keep")
+
+    # one pass for the audit; the decision table is tiny (3 narrow
+    # columns) so the localCheckpoint is cheap and both the counts and
+    # the survivor semi-join reuse it instead of re-running LSH+CC
+    decision = decision.localCheckpoint()
+    counts = decision.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0))
+        .alias("kept")).first()
+    audit = {"mode": mode, "total": int(counts["total"]),
+             "kept": int(counts["kept"]),
+             "removed": int(counts["total"]) - int(counts["kept"])}
+
+    wh = Warehouse(spark, warehouse_path)
+    wh.write_table(decision, "dedup_docs", properties={"dedup": audit})
+
+    if paragraphs:
+        survivors = docs.join(
+            decision.filter("keep").select("doc_id"), "doc_id", "left_semi")
+        scrubbed = dedup_ops.paragraph_dedup(survivors)
+        para_removed = scrubbed.agg(
+            F.coalesce(F.sum("n_removed"), F.lit(0))).first()[0]
+        audit["paragraphs_removed"] = int(para_removed)
+        wh.write_table(scrubbed, "dedup_paragraphs",
+                       properties={"dedup": audit})
+    return audit
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="dedup a document corpus")
+    p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--mode", choices=MODES, default="exact")
+    p.add_argument("--paragraphs", action="store_true",
+                   help="also materialize the corpus-wide paragraph "
+                        "scrub of the survivors")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from mdscraper_spark.session import get_spark
+
+    spark = get_spark("mdscraper-spark-dedup", master=args.master)
+    docs = spark.read.parquet(args.input)
+    audit = dedup_corpus(spark, docs, args.warehouse, mode=args.mode,
+                         paragraphs=args.paragraphs)
+    print(json.dumps({"dedup": audit}))
+
+
+if __name__ == "__main__":
+    main()

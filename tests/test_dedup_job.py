@@ -1,0 +1,75 @@
+"""Dedup job: decision table matches the operator semantics the
+registry rows oracle, survivors-only paragraph scrub, recipe audit in
+snapshot properties."""
+
+import pytest
+
+from mdscraper_spark.jobs.dedup import dedup_corpus
+from mdscraper_spark.sources.tables import Warehouse
+
+
+def _corpus(spark):
+    rows = [
+        (0, "alpha beta gamma\nshared footer"),
+        (1, "alpha beta gamma\nshared footer"),      # exact dup of 0
+        (2, "ALPHA, beta   gamma!\nshared footer"),  # normalized dup of 0
+        (3, "totally different text\nshared footer"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_vs_normalized_modes(spark, tmp_path):
+    docs = _corpus(spark)
+
+    audit = dedup_corpus(spark, docs, str(tmp_path / "wh_e"), mode="exact")
+    assert audit == {"mode": "exact", "total": 4, "kept": 3, "removed": 1}
+    wh = Warehouse(spark, str(tmp_path / "wh_e"))
+    got = {r.doc_id: r.keep for r in wh.read_table("dedup_docs").collect()}
+    assert got == {0: True, 1: False, 2: True, 3: True}
+    assert wh.manifest("dedup_docs")["properties"]["dedup"] == audit
+
+    audit_n = dedup_corpus(spark, docs, str(tmp_path / "wh_n"),
+                           mode="normalized")
+    assert (audit_n["kept"], audit_n["removed"]) == (2, 2)
+    wh_n = Warehouse(spark, str(tmp_path / "wh_n"))
+    got_n = {r.doc_id: r.keep
+             for r in wh_n.read_table("dedup_docs").collect()}
+    assert got_n == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_paragraph_scrub_runs_on_survivors_only(spark, tmp_path):
+    docs = _corpus(spark)
+    audit = dedup_corpus(spark, docs, str(tmp_path / "wh_p"),
+                         mode="normalized", paragraphs=True)
+    wh = Warehouse(spark, str(tmp_path / "wh_p"))
+    paras = {r.doc_id: (r.clean_text, r.n_removed)
+             for r in wh.read_table("dedup_paragraphs").collect()}
+    # only survivors 0 and 3 are scrubbed; doc 3 loses the footer that
+    # doc 0 claimed globally-first — the doomed duplicates 1/2 never
+    # got to claim anything
+    assert set(paras) == {0, 3}
+    assert paras[0] == ("alpha beta gamma\nshared footer", 0)
+    assert paras[3] == ("totally different text", 1)
+    assert audit["paragraphs_removed"] == 1
+    props = wh.manifest("dedup_paragraphs")["properties"]["dedup"]
+    assert props["paragraphs_removed"] == 1 and props["kept"] == 2
+
+
+def test_near_mode_and_validation(spark, tmp_path):
+    # two near-identical long docs (one token changed) + one unrelated
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base.replace("tok7", "tok7x")),
+         (2, " ".join(f"other{i}" for i in range(40)))],
+        "doc_id long, text string")
+    audit = dedup_corpus(spark, docs, str(tmp_path / "wh_near"),
+                         mode="near")
+    assert audit["total"] == 3
+    wh = Warehouse(spark, str(tmp_path / "wh_near"))
+    got = {r.doc_id: r for r in wh.read_table("dedup_docs").collect()}
+    # 0 and 1 share LSH bands -> one group, min doc_id survives
+    assert got[0].keep and not got[1].keep and got[2].keep
+    assert got[0].group_key == got[1].group_key != got[2].group_key
+
+    with pytest.raises(ValueError):
+        dedup_corpus(spark, docs, str(tmp_path / "wh_bad"), mode="fuzzy")
