@@ -11,7 +11,9 @@ that MATERIALIZES a dedup pass a training pipeline actually applies:
   (md5 of the dedup-grade canonical form — case/punct/ws-blind), or
   ``near`` (MinHash-LSH candidate pairs closed into connected groups);
   survivor = min doc_id per group, the convention every registry row
-  pins.
+  pins.  NULL text hashes to one group (J1's GROUP BY semantics): docs
+  with no content are mutually indistinguishable, so their duplicates
+  are dropped like any other group's.
 * ``dedup_paragraphs`` (``--paragraphs``) — corpus-wide
   paragraph-dedup rewrite of the SURVIVORS ONLY (running it before
   doc-level dedup would let a doomed duplicate claim global-first on

@@ -390,12 +390,20 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                                                   F.lit("")), "\n"))
                   .alias("pos", "para"))
     dedupable = ws_strip(F.col("para")) != ""
-    winners = (e.filter(dedupable)
-               .groupBy("para")
+    ded = e.filter(dedupable)
+    winners = (ded.groupBy("para")
                .agg(F.min(F.struct("doc_id", "pos")).alias("w")))
-    keep = (~dedupable) | (F.struct("doc_id", "pos") == F.col("w"))
-    flagged = e.join(winners, "para", "left").select(
-        "doc_id", "pos", "para", keep.alias("keep"))
+    # ws-only rows are routed AROUND the paragraph join: at crawl scale
+    # the empty line is the hottest key in the corpus, and shuffling
+    # billions of them by para just to probe a winners table they are
+    # excluded from would recreate the exact skew this operator removes
+    flagged = (ded.join(winners, "para")
+               .select("doc_id", "pos", "para",
+                       (F.struct("doc_id", "pos") == F.col("w"))
+                       .alias("keep"))
+               .unionByName(e.filter(~dedupable)
+                            .select("doc_id", "pos", "para",
+                                    F.lit(True).alias("keep"))))
     # collect_list skips the NULLs the when() leaves behind, so the
     # sorted rebuild sees only kept paragraphs while the groupBy still
     # covers every doc (each doc has >= 1 exploded row)

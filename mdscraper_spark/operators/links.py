@@ -288,11 +288,18 @@ def url_dedup(df: DataFrame, url_col: str = "url",
 
     d = df.select(F.col(id_col).alias("doc_id"),
                   normalize_url(F.col(url_col)).alias("url_norm"))
-    w = Window.partitionBy("url_norm")
+    # unparseable urls get a per-row synthetic key ('\\0raw:' cannot
+    # collide with any scheme://) instead of sharing the NULL group:
+    # semantically identical (each is its own singleton survivor), but
+    # it keeps a crawl with 10% malformed urls from shuffling them all
+    # into ONE hot window partition
+    gkey = F.coalesce(
+        F.col("url_norm"),
+        F.concat(F.lit("\0raw:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(gkey)
     return d.select(
         "doc_id", "url_norm",
-        (F.col("url_norm").isNull() |
-         (F.col("doc_id") == F.min("doc_id").over(w))).alias("keep"))
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"))
 
 
 _NORM_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/:]+)"
