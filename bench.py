@@ -39,6 +39,10 @@ HEADLINE = (
     "simhash16",
     "ngram_jaccard_pairs",
     "near_dedup_groups",
+    "paragraph_dedup",
+    "dup_span_stats",
+    "url_normalize_dedup",
+    "doc_chunks",
     "cosine_topk",
     "lsh_topk",
     "ivf_topk",
