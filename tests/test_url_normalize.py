@@ -149,3 +149,24 @@ def test_inlink_counts_partition_invariant(spark):
     many = sorted(map(tuple, links.inlink_counts(df.repartition(11)).collect()))
     assert one == many
     assert len(one) == 30 and all(r[1] == 4 for r in one)
+
+
+def test_normalize_url_idempotent(spark):
+    # canonicalization must be a fixed point: re-normalizing an already
+    # canonical url (e.g. a re-crawl of a url we emitted) cannot change
+    # the dedup key
+    import itertools
+    schemes = ["http://", "HTTPS://", "ftp://"]
+    hosts = ["Host.IO", "h.io:80", "h.io:8080"]
+    paths = ["", "/", "/a//", "/a/b"]
+    queries = ["", "?", "?utm_source=s", "?b=2&a=1", "?a=1?b=2", "?=v&a"]
+    frags = ["", "#f"]
+    cases = ["".join(p) for p in itertools.product(
+        schemes, hosts, paths, queries, frags)]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, url string")
+    once = links.normalize_url(F.col("url"))
+    rows = df.select("i", once.alias("n1")).select(
+        "i", "n1", links.normalize_url(F.col("n1")).alias("n2")).collect()
+    for r in rows:
+        assert r.n2 == r.n1, (cases[r.i], r.n1, r.n2)
