@@ -631,3 +631,76 @@ SELECT doc_id, shard,
             AS BIGINT) AS pos
 FROM s
 """
+
+
+def corpus_ngram_counts(df: DataFrame, n: int = 2, min_count: int = 2,
+                        top_k: int | None = None,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(ngram, n_occurrences, n_docs): corpus-wide word n-gram
+    frequency table — the artifact tokenizer training, LM smoothing,
+    and boilerplate mining read.  ``min_count`` prunes the Zipf tail
+    (the overwhelming bulk of distinct n-grams are singletons — at
+    crawl scale the HAVING filter is what makes the result
+    materializable); ``top_k`` additionally keeps only the head under
+    the total order (count DESC, ngram ASC — deterministic at the
+    boundary, no ties possible on the full key).
+
+    Scale shape: n-grams per doc via zip-of-n-slices on the bound
+    token array (the interpreted-HOF rule: never element_at(toks, i)
+    inside the lambda), one narrow explode, ONE map-side-combinable
+    groupBy on the n-gram; the top-k runs on the post-HAVING table as
+    a per-partition heap (TakeOrdered), never a full sort
+    materialization."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from mdscraper_spark.operators.dedup import tokenize, ws_strip
+
+    d = (df.filter(F.length(ws_strip(F.col(text_col))) > 0)
+         .select(F.col(id_col).alias("doc_id"),
+                 tokenize(F.col(text_col)).alias("toks")))
+    m = F.size("toks") - F.lit(n - 1)
+    slices = [F.slice("toks", i + 1, m) for i in range(n)]
+    zipped = F.arrays_zip(*slices) if n > 1 else None
+    grams = (F.transform(zipped,
+                         lambda p: F.concat_ws(
+                             " ", *[p[str(i)] for i in range(n)]))
+             if n > 1 else F.col("toks"))
+    e = (d.filter(m > 0)
+         .select("doc_id", F.explode(grams).alias("ngram")))
+    out = (e.groupBy("ngram")
+           .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                F.countDistinct("doc_id").alias("n_docs"))
+           .filter(F.col("n_occurrences") >= min_count))
+    if top_k is not None:
+        out = out.orderBy(F.desc("n_occurrences"), "ngram").limit(top_k)
+    return out
+
+
+def sql_corpus_ngram_counts(table: str, n: int = 2, min_count: int = 2,
+                            top_k: int | None = None,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB twin of corpus_ngram_counts over ``table``."""
+    from mdscraper_spark.operators.dedup import sql_tokens, sql_ws_strip
+
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    limit = f"LIMIT {top_k}" if top_k is not None else ""
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {sql_tokens(text_col)} AS toks
+  FROM {table}
+  WHERE length({sql_ws_strip(text_col)}) > 0
+), g AS (
+  SELECT doc_id,
+         unnest([{parts} FOR i IN range(1, len(toks) - {n} + 2)]) AS ngram
+  FROM t WHERE len(toks) >= {n}
+)
+SELECT ngram, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM g GROUP BY ngram
+HAVING count(*) >= {min_count}
+ORDER BY n_occurrences DESC, ngram {limit}
+"""

@@ -815,6 +815,20 @@ _SPAN_BOILER = ("promo sale click here now join our newsletter today free "
                 "shipping on all orders over fifty dollars act fast limited")
 
 
+@register("corpus_bigram_counts",
+          textstats.sql_corpus_ngram_counts("documents", n=2,
+                                            min_count=2, top_k=100))
+def corpus_bigram_counts(spark, sf_dir):
+    """Corpus-wide bigram frequency table (J39): top-100 bigrams with
+    occurrence and document counts, singleton tail pruned — the
+    artifact tokenizer training / LM smoothing / boilerplate mining
+    consume.  Boundary determinism: total order (count DESC, ngram
+    ASC), so the LIMIT cut is identical in both engines."""
+    return textstats.corpus_ngram_counts(
+        load(spark, sf_dir, "documents", fan_out=True),
+        n=2, min_count=2, top_k=100)
+
+
 @register("dup_span_stats", dedup.sql_dup_span_stats(f"""(
   SELECT doc_id,
          CASE WHEN doc_id % 4 = 0 THEN '{_SPAN_BOILER} ' || text
@@ -2054,7 +2068,7 @@ _DRIVER_ORDER = [
     "near_dedup_groups", "pii_scrub", "dedup_lines", "domain_quota_sample",
     "url_normalize_dedup", "doc_chunks", "paragraph_dedup",
     "lang_balanced_sample", "normalized_exact_dedup", "corpus_shuffle",
-    "inlink_stats", "dup_span_stats",
+    "inlink_stats", "dup_span_stats", "corpus_bigram_counts",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a
