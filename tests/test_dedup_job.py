@@ -73,3 +73,24 @@ def test_near_mode_and_validation(spark, tmp_path):
 
     with pytest.raises(ValueError):
         dedup_corpus(spark, docs, str(tmp_path / "wh_bad"), mode="fuzzy")
+
+
+def test_dedup_cli(spark, tmp_path, capsys):
+    import json
+
+    from mdscraper_spark.jobs.dedup import main
+
+    main(["--input", "/root/testdata/sf0.001/documents.parquet",
+          "--warehouse", str(tmp_path / "wh_cli"),
+          "--mode", "normalized", "--paragraphs"])
+    out = capsys.readouterr().out
+    payload = json.loads([l for l in out.splitlines()
+                          if l.startswith("{")][-1])
+    audit = payload["dedup"]
+    assert audit["mode"] == "normalized" and audit["total"] == 500
+    assert audit["kept"] + audit["removed"] == 500
+    assert "paragraphs_removed" in audit
+    wh = Warehouse(spark, str(tmp_path / "wh_cli"))
+    assert wh.read_table("dedup_docs").count() == 500
+    assert (wh.read_table("dedup_paragraphs").count()
+            == audit["kept"])
