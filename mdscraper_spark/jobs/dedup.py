@@ -99,6 +99,84 @@ def dedup_corpus(spark: SparkSession, docs, warehouse_path: str,
     return audit
 
 
+def dedup_incremental(spark: SparkSession, new_docs, warehouse_path: str,
+                      batch_id: str, mode: str = "exact") -> dict:
+    """Dedup a NEW ingest batch against every batch already ingested —
+    the production shape batch dedup cannot cover: a crawler never sees
+    the whole corpus at once, and a duplicate of last week's page must
+    be dropped this week.
+
+    Keep rule: a doc survives iff its content key is the first
+    occurrence within the batch (min doc_id) AND was never kept by any
+    earlier batch.  ``exact``/``normalized`` keys only — near-dup
+    groups need a global closure over all pairs ever seen, which is the
+    batch job's territory (re-run ``dedup_corpus`` over the accumulated
+    corpus periodically; the lambda-loop pattern kg_stream uses).
+
+    One state table, one commit: ``incremental_dedup`` accumulates the
+    per-batch decision rows, and the seen-set is derived from its kept
+    rows — deriving instead of maintaining a second table makes the
+    commit atomic (no crash window between a decision write and a
+    seen-keys write that could silently re-admit duplicates).  Replay
+    safety is the kg_incremental pattern: applied batch ids travel in
+    the snapshot properties, and re-running an applied batch returns
+    its recorded audit without touching the table.  At 10^12 keys the
+    history scan wants `compact()` and a bucket partition spec on
+    group_key so the anti-join is exchange-free on the history side —
+    the same maintenance path every accumulated table here documents.
+
+    Kept keys are globally unique by the invariant (one keeper per key
+    per batch, cross-batch keys only kept when unseen), so the derived
+    seen-set needs no distinct."""
+    if mode not in ("exact", "normalized"):
+        raise ValueError(
+            f"incremental mode must be 'exact' or 'normalized', got {mode!r}")
+    wh = Warehouse(spark, warehouse_path)
+    m = wh.manifest("incremental_dedup")
+    props = (m or {}).get("properties", {})
+    applied = list(props.get("batches", []))
+    audits = dict(props.get("audits", {}))
+    if batch_id in applied:
+        return audits[batch_id]
+
+    key = (F.md5(F.col("text")) if mode == "exact"
+           else F.md5(dedup_ops.canonical_text(F.col("text"))))
+    new = new_docs.select("doc_id", key.alias("group_key"))
+    w = Window.partitionBy("group_key")
+    first = (F.col("doc_id") == F.min("doc_id").over(w))
+    if m is not None:
+        seen = (wh.read_table("incremental_dedup")
+                .filter("keep").select("group_key")
+                .withColumn("_seen", F.lit(True)))
+        flagged = (new.withColumn("first_in_batch", first)
+                   .join(seen, "group_key", "left"))
+        keep = F.col("first_in_batch") & F.col("_seen").isNull()
+        dup_hist = F.col("first_in_batch") & F.col("_seen").isNotNull()
+    else:
+        flagged = new.withColumn("first_in_batch", first)
+        keep, dup_hist = F.col("first_in_batch"), F.lit(False)
+
+    decision = flagged.select(
+        "doc_id", "group_key", F.lit(batch_id).alias("batch_id"),
+        keep.alias("keep"), dup_hist.alias("dup_vs_history"))
+    decision = decision.localCheckpoint()
+    c = decision.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0))
+        .alias("kept"),
+        F.coalesce(F.sum(F.col("dup_vs_history").cast("long")), F.lit(0))
+        .alias("dup_hist")).first()
+    audit = {"mode": mode, "batch_id": batch_id,
+             "batch_total": int(c["total"]), "kept": int(c["kept"]),
+             "dup_vs_history": int(c["dup_hist"]),
+             "dup_in_batch": int(c["total"]) - int(c["kept"])
+             - int(c["dup_hist"])}
+    wh.write_table(decision, "incremental_dedup", mode="append",
+                   properties={"batches": applied + [batch_id],
+                               "audits": {**audits, batch_id: audit}})
+    return audit
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="dedup a document corpus")
     p.add_argument("--input", required=True, help="documents parquet")
@@ -106,7 +184,11 @@ def main(argv=None) -> None:
     p.add_argument("--mode", choices=MODES, default="exact")
     p.add_argument("--paragraphs", action="store_true",
                    help="also materialize the corpus-wide paragraph "
-                        "scrub of the survivors")
+                        "scrub of the survivors (batch mode only)")
+    p.add_argument("--incremental", metavar="BATCH_ID", default=None,
+                   help="treat --input as ONE ingest batch and dedup it "
+                        "against all previously applied batches; the id "
+                        "makes re-runs exactly-once")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -114,8 +196,13 @@ def main(argv=None) -> None:
 
     spark = get_spark("mdscraper-spark-dedup", master=args.master)
     docs = spark.read.parquet(args.input)
-    audit = dedup_corpus(spark, docs, args.warehouse, mode=args.mode,
-                         paragraphs=args.paragraphs)
+    if args.incremental is not None:
+        audit = dedup_incremental(spark, docs, args.warehouse,
+                                  batch_id=args.incremental,
+                                  mode=args.mode)
+    else:
+        audit = dedup_corpus(spark, docs, args.warehouse, mode=args.mode,
+                             paragraphs=args.paragraphs)
     print(json.dumps({"dedup": audit}))
 
 

@@ -94,3 +94,76 @@ def test_dedup_cli(spark, tmp_path, capsys):
     assert wh.read_table("dedup_docs").count() == 500
     assert (wh.read_table("dedup_paragraphs").count()
             == audit["kept"])
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    from mdscraper_spark.jobs.dedup import dedup_incremental
+
+    wh_path = str(tmp_path / "wh_inc")
+    b1 = spark.createDataFrame(
+        [(0, "doc alpha"), (1, "doc beta"), (2, "doc alpha")],
+        "doc_id long, text string")
+    a1 = dedup_incremental(spark, b1, wh_path, batch_id="b1")
+    assert a1 == {"mode": "exact", "batch_id": "b1", "batch_total": 3,
+                  "kept": 2, "dup_vs_history": 0, "dup_in_batch": 1}
+
+    # batch 2: one dup of batch 1, one internal dup pair, one fresh
+    b2 = spark.createDataFrame(
+        [(10, "doc beta"), (11, "doc gamma"), (12, "doc gamma"),
+         (13, "doc delta")],
+        "doc_id long, text string")
+    a2 = dedup_incremental(spark, b2, wh_path, batch_id="b2")
+    assert a2 == {"mode": "exact", "batch_id": "b2", "batch_total": 4,
+                  "kept": 2, "dup_vs_history": 1, "dup_in_batch": 1}
+
+    wh = Warehouse(spark, wh_path)
+    rows = {(r.batch_id, r.doc_id): r
+            for r in wh.read_table("incremental_dedup").collect()}
+    assert len(rows) == 7
+    assert rows[("b2", 10)].keep is False and \
+        rows[("b2", 10)].dup_vs_history is True
+    assert rows[("b2", 11)].keep is True and rows[("b2", 13)].keep is True
+
+    # replay of an applied batch: recorded audit back, table untouched
+    a2_replay = dedup_incremental(spark, b2, wh_path, batch_id="b2")
+    assert a2_replay == a2
+    assert wh.read_table("incremental_dedup").count() == 7
+
+    # batch 3 still sees batch-1 keys through the accumulated history
+    b3 = spark.createDataFrame(
+        [(20, "doc alpha"), (21, "doc epsilon")],
+        "doc_id long, text string")
+    a3 = dedup_incremental(spark, b3, wh_path, batch_id="b3")
+    assert (a3["kept"], a3["dup_vs_history"]) == (1, 1)
+
+    with pytest.raises(ValueError):
+        dedup_incremental(spark, b3, wh_path, batch_id="b4", mode="near")
+
+
+def test_incremental_dedup_normalized_and_cli(spark, tmp_path, capsys):
+    import json
+
+    from mdscraper_spark.jobs.dedup import dedup_incremental, main
+
+    wh_path = str(tmp_path / "wh_inc_n")
+    b1 = spark.createDataFrame([(0, "Hello, World!")],
+                               "doc_id long, text string")
+    dedup_incremental(spark, b1, wh_path, batch_id="n1",
+                      mode="normalized")
+    b2 = spark.createDataFrame([(5, "hello   world")],
+                               "doc_id long, text string")
+    a2 = dedup_incremental(spark, b2, wh_path, batch_id="n2",
+                           mode="normalized")
+    assert (a2["kept"], a2["dup_vs_history"]) == (0, 1)
+
+    # CLI surface
+    pq = str(tmp_path / "b3.parquet")
+    spark.createDataFrame([(9, "fresh text")],
+                          "doc_id long, text string").write.parquet(pq)
+    main(["--input", pq, "--warehouse", wh_path,
+          "--mode", "normalized", "--incremental", "n3"])
+    out = capsys.readouterr().out
+    payload = json.loads([l for l in out.splitlines()
+                          if l.startswith("{")][-1])
+    assert payload["dedup"]["batch_id"] == "n3"
+    assert payload["dedup"]["kept"] == 1
