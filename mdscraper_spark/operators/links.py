@@ -351,3 +351,48 @@ SELECT target_url, COUNT(*) AS n_inlinks,
 FROM e WHERE target_url IS NOT NULL
 GROUP BY target_url
 """
+
+
+def crawl_policy_filter(urls: DataFrame, rules: DataFrame,
+                        url_col: str = "url") -> DataFrame:
+    """(url, host, path, allowed): robots-style disallow filtering —
+    the crawl-policy stage that runs between frontier dedup and fetch.
+    ``rules`` is (host, path_prefix): a URL is disallowed iff ANY rule
+    for its (case-normalized) host is a prefix of its raw path;
+    no rules for a host means allowed (robots absent == crawl).
+
+    Simplifications vs full robots.txt (documented contract): prefix
+    rules only (no wildcards/Allow overrides/crawl-delay), matched on
+    the raw path (no normalization — '/a//b' and '/a/b' are distinct,
+    as in real robots matching, which is byte-prefix based).
+    Unparseable URLs are DISALLOWED: a fetcher must never hit a url it
+    cannot attribute to a host policy.
+
+    Scale shape: the rules table is robots-sized (tiny, one row per
+    disallow line) — broadcast; the corpus pays one narrow parse map
+    and a broadcast left join on host with the prefix test as the
+    residual predicate, then a groupBy on (url, host, path) to fold
+    multiple matching rules — no corpus-sized shuffle beyond that
+    fold, and a hot host (many rules) multiplies rows only by ITS rule
+    count, map-side."""
+    host = F.lower(F.regexp_extract(F.col(url_col),
+                                    r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)",
+                                    1))
+    path = F.regexp_extract(F.col(url_col),
+                            r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    parsed = urls.select(
+        F.col(url_col).alias("url"),
+        F.when(host != "", host).alias("host"),
+        F.when(host != "", F.when(path != "", path).otherwise(F.lit("/")))
+        .alias("path"))
+    r = rules.select(F.lower(F.col("host")).alias("r_host"),
+                     F.col("path_prefix").alias("r_prefix"))
+    hit = (parsed.join(F.broadcast(r),
+                       (F.col("host") == F.col("r_host"))
+                       & F.col("path").startswith(F.col("r_prefix")),
+                       "left"))
+    return (hit.groupBy("url", "host", "path")
+            .agg((F.count("r_prefix") == 0).alias("no_rule_hit"))
+            .select("url", "host", "path",
+                    (F.col("host").isNotNull() & F.col("no_rule_hit"))
+                    .alias("allowed")))

@@ -815,6 +815,80 @@ _SPAN_BOILER = ("promo sale click here now join our newsletter today free "
                 "shipping on all orders over fifty dollars act fast limited")
 
 
+_POLICY_RULES = (
+    ("site0.example.com", "/admin"),
+    ("site0.example.com", "/p/1"),
+    ("site2.example.com", "/"),
+    ("site4.example.com", "/private/"),
+)
+
+
+@register("crawl_policy_filter", f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN 'not-a-url-' || doc_id
+              ELSE 'https://Site' || (doc_id % 7) || '.Example.com'
+                || (CASE doc_id % 5
+                      WHEN 0 THEN '/admin/panel'
+                      WHEN 1 THEN '/p/' || (doc_id % 30)
+                      WHEN 2 THEN ''
+                      WHEN 3 THEN '/private/' || doc_id
+                      ELSE '/public/x' END)
+                || (CASE WHEN doc_id % 3 = 0 THEN '?utm=x' ELSE '' END)
+         END AS url
+  FROM documents
+), r AS (
+  SELECT * FROM (VALUES {", ".join(f"('{h}', '{p}')" for h, p in _POLICY_RULES)})
+    AS t(host, path_prefix)
+), p AS (
+  SELECT url,
+         CASE WHEN h <> '' THEN h END AS host,
+         CASE WHEN h <> '' THEN
+           (CASE WHEN pth <> '' THEN pth ELSE '/' END) END AS path
+  FROM (
+    SELECT url,
+           lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS h,
+           regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth
+    FROM u)
+)
+SELECT p.url, p.host, p.path,
+       (p.host IS NOT NULL AND count(r.path_prefix) = 0) AS allowed
+FROM p LEFT JOIN r
+  ON p.host = r.host AND starts_with(p.path, r.path_prefix)
+GROUP BY p.url, p.host, p.path
+""")
+def crawl_policy_filter(spark, sf_dir):
+    """Robots-style crawl-policy filtering (J40): the stage between
+    frontier dedup and fetch.  A fixed disallow table (prefix rules,
+    incl. a disallow-all host and a prefix that catches /p/1, /p/10-19
+    ...) screens doc_id-derived URLs built identically in both engines;
+    mixed-case hosts exercise the case normalization, query strings
+    prove the match is on the path only, and the not-a-url rows pin
+    the unattributable-means-disallowed rule."""
+    did = F.col("doc_id")
+
+    def cstr(c):
+        return c.cast("string")
+
+    path = (F.when(did % 5 == 0, F.lit("/admin/panel"))
+            .when(did % 5 == 1, F.concat(F.lit("/p/"), cstr(did % 30)))
+            .when(did % 5 == 2, F.lit(""))
+            .when(did % 5 == 3, F.concat(F.lit("/private/"), cstr(did)))
+            .otherwise(F.lit("/public/x")))
+    url = F.concat(F.lit("https://Site"), cstr(did % 7),
+                   F.lit(".Example.com"), path,
+                   F.when(did % 3 == 0, F.lit("?utm=x")).otherwise(F.lit("")))
+    url = F.when(did % 97 == 0,
+                 F.concat(F.lit("not-a-url-"), cstr(did))).otherwise(url)
+    urls = (load(spark, sf_dir, "documents", fan_out=True)
+            .select(url.alias("url")))
+    rules = spark.createDataFrame(list(_POLICY_RULES),
+                                  "host string, path_prefix string")
+    return links.crawl_policy_filter(urls, rules)
+
+
 @register("corpus_bigram_counts",
           textstats.sql_corpus_ngram_counts("documents", n=2,
                                             min_count=2, top_k=100))
@@ -2074,6 +2148,7 @@ _DRIVER_ORDER = [
     # remaining round-3 additions (below the cap; check_oracle-verified)
     "pii_scrub", "dedup_lines", "normalized_exact_dedup",
     "corpus_shuffle", "inlink_stats", "corpus_bigram_counts",
+    "crawl_policy_filter",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a

@@ -170,3 +170,47 @@ def test_normalize_url_idempotent(spark):
         "i", "n1", links.normalize_url(F.col("n1")).alias("n2")).collect()
     for r in rows:
         assert r.n2 == r.n1, (cases[r.i], r.n1, r.n2)
+
+
+def test_crawl_policy_filter_hand_cases(spark):
+    rules = spark.createDataFrame(
+        [("h.io", "/admin"), ("h.io", "/p/1"), ("deny.io", "/")],
+        "host string, path_prefix string")
+    urls = spark.createDataFrame([
+        ("https://H.IO/admin/x",),      # prefix hit, case-folded host
+        ("https://h.io/p/10",),         # /p/1 is a byte prefix of /p/10
+        ("https://h.io/p/2",),          # no rule
+        ("https://h.io/Admin",),        # case-sensitive PATH: no hit
+        ("https://deny.io",),           # empty path -> '/', deny-all
+        ("https://other.io/admin",),    # host without rules: allowed
+        ("not a url",),                 # unattributable: disallowed
+    ], "url string")
+    got = {r.url: r.allowed
+           for r in links.crawl_policy_filter(urls, rules).collect()}
+    assert got == {
+        "https://H.IO/admin/x": False,
+        "https://h.io/p/10": False,
+        "https://h.io/p/2": True,
+        "https://h.io/Admin": True,
+        "https://deny.io": False,
+        "https://other.io/admin": True,
+        "not a url": False,
+    }
+
+
+def test_crawl_policy_filter_partition_invariant(spark):
+    rules = spark.createDataFrame(
+        [(f"s{i}.io", "/no") for i in range(3)],
+        "host string, path_prefix string")
+    urls = spark.createDataFrame(
+        [(f"https://s{i % 5}.io/{'no' if i % 2 else 'yes'}/{i}",)
+         for i in range(100)], "url string")
+    one = sorted(map(tuple, links.crawl_policy_filter(
+        urls.coalesce(1), rules).collect()))
+    many = sorted(map(tuple, links.crawl_policy_filter(
+        urls.repartition(13), rules).collect()))
+    assert one == many
+    # /no paths on ruled hosts s0-s2 denied; everything else allowed
+    denied = [u for u, _, _, a in one if not a]
+    assert all("/no/" in u and u[9] in "012" for u in denied)
+    assert len(denied) == 30
