@@ -167,3 +167,29 @@ def test_incremental_dedup_normalized_and_cli(spark, tmp_path, capsys):
                           if l.startswith("{")][-1])
     assert payload["dedup"]["batch_id"] == "n3"
     assert payload["dedup"]["kept"] == 1
+
+
+def test_incremental_dedup_survives_compaction(spark, tmp_path):
+    from mdscraper_spark.jobs.dedup import dedup_incremental
+
+    wh_path = str(tmp_path / "wh_inc_c")
+    b1 = spark.createDataFrame([(0, "one"), (1, "two")],
+                               "doc_id long, text string")
+    a1 = dedup_incremental(spark, b1, wh_path, batch_id="c1")
+    b2 = spark.createDataFrame([(10, "two"), (11, "three")],
+                               "doc_id long, text string")
+    dedup_incremental(spark, b2, wh_path, batch_id="c2")
+
+    wh = Warehouse(spark, wh_path)
+    wh.compact("incremental_dedup")
+
+    # maintenance must not wipe the exactly-once ledger (compact
+    # carries snapshot properties forward) ...
+    assert dedup_incremental(spark, b1, wh_path, batch_id="c1") == a1
+    assert wh.read_table("incremental_dedup").count() == 4
+    # ... nor the derived seen-set: a post-compact batch still sees
+    # the full history
+    b3 = spark.createDataFrame([(20, "one"), (21, "four")],
+                               "doc_id long, text string")
+    a3 = dedup_incremental(spark, b3, wh_path, batch_id="c3")
+    assert (a3["kept"], a3["dup_vs_history"]) == (1, 1)
