@@ -324,29 +324,49 @@ def near_dedup_groups(df: DataFrame, text_col: str = "text",
     groupBy anywhere: group sizes are counted on the map, and
     singletons never leave the narrow scan.
     """
+    sigs = minhash_signatures(df, text_col, id_col, n_bands)
+    pairs = lsh_candidate_pairs(sigs)
+    return resolve_dedup_groups(df.select(F.col(id_col)), pairs,
+                                id_col=id_col, a_col="doc_a", b_col="doc_b")
+
+
+def resolve_dedup_groups(ids: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         a_col: str = "doc_a",
+                         b_col: str = "doc_b") -> DataFrame:
+    """Close ANY candidate-pair list into near-dup groups with one
+    min-id survivor each — the shared back half of near-dup dedup,
+    usable with MinHash-LSH pairs (near_dedup_groups), embedding-cosine
+    pairs (similarity.embedding_near_dup_pairs), or any other pair
+    source.  Output: one row per id in ``ids``:
+    ``(id_col, canonical_id, group_size, keep)``.
+
+    Same scale shape as documented on near_dedup_groups: CC runs on
+    the PAIR graph only through the size-gated union-find / min-label
+    propagation; the corpus pays one left join against the small
+    canonical map; group sizes are counted on the map, never by a
+    corpus-keyed groupBy."""
     from mdscraper_spark.operators.kg import (_maybe_broadcast,
                                               connected_components)
 
-    sigs = minhash_signatures(df, text_col, id_col, n_bands)
-    pairs = lsh_candidate_pairs(sigs)
     pad = lambda c: F.lpad(F.col(c).cast("string"), _PAD_W, "0")
     cmap = connected_components(
-        pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst")))
+        pairs.select(pad(a_col).alias("src"), pad(b_col).alias("dst")))
     assigned = cmap.select(
-        F.col("node_id").cast("bigint").alias("doc_id"),
+        F.col("node_id").cast("bigint").alias(id_col),
         F.col("canon_id").cast("bigint").alias("canonical_id"))
     sizes = (assigned.groupBy("canonical_id")
              .agg(F.count(F.lit(1)).alias("group_size")))
     enriched = assigned.join(sizes, "canonical_id")
     enriched._mdscraper_local = getattr(cmap, "_mdscraper_local", False)
-    out = (df.select(F.col(id_col).alias("doc_id"))
-           .join(_maybe_broadcast(enriched), "doc_id", "left"))
-    canon = F.coalesce("canonical_id", F.col("doc_id"))
+    out = ids.select(F.col(id_col)) \
+             .join(_maybe_broadcast(enriched), id_col, "left")
+    canon = F.coalesce("canonical_id", F.col(id_col))
     return out.select(
-        "doc_id",
+        id_col,
         canon.alias("canonical_id"),
         F.coalesce("group_size", F.lit(1).cast("bigint")).alias("group_size"),
-        (canon == F.col("doc_id")).alias("keep"))
+        (canon == F.col(id_col)).alias("keep"))
 
 
 # ---------------------------------------------------------------------------

@@ -1600,17 +1600,67 @@ def lsh_topk_q(spark, sf_dir):
     return similarity.lsh_topk(load(spark, sf_dir, "embeddings", fan_out=True), 0)
 
 
-@register("dedup_embedding_pairs", f"""
+# bucket + candidate-pair CTEs shared by dedup_embedding_pairs and
+# embedding_dedup_groups — ONE definition of the bucketed cosine join
+# so the group-resolution oracle can never drift from the pair oracle
+# (the _LSH_PAIRS_CTE pattern, applied to the embedding side)
+_EMB_PAIRS_CTE = f"""
 WITH e AS (
   SELECT vec_id, embedding,
          {similarity.sql_axis_sign_bucket('embedding')} AS bucket
   FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({similarity.sql_cosine('a.embedding', 'b.embedding')}, 6)
+           AS sim
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({similarity.sql_cosine('a.embedding', 'b.embedding')}, 6)
+        >= 0.35
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({similarity.sql_cosine('a.embedding', 'b.embedding')}, 6) AS sim
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round({similarity.sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.35
+"""
+
+
+@register("embedding_dedup_groups", _EMB_PAIRS_CTE.replace(
+    "WITH e AS", "WITH RECURSIVE e AS", 1) + """
+, eb AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM eb
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN eb e2 ON r.b = e2.a
+), canon AS (
+  SELECT a AS vec_id, least(a, MIN(b)) AS canonical_id
+  FROM reach GROUP BY a
+), sizes AS (
+  SELECT canonical_id, COUNT(*) AS group_size FROM canon GROUP BY canonical_id
+)
+SELECT d.vec_id,
+       COALESCE(c.canonical_id, d.vec_id) AS canonical_id,
+       COALESCE(s.group_size, 1) AS group_size,
+       COALESCE(c.canonical_id, d.vec_id) = d.vec_id AS keep
+FROM embeddings d
+LEFT JOIN canon c ON d.vec_id = c.vec_id
+LEFT JOIN sizes s ON c.canonical_id = s.canonical_id
 """)
+def embedding_dedup_groups(spark, sf_dir):
+    """Embedding near-dup GROUP resolution (J6 completed into a
+    decision): the bucketed-cosine pair list is closed into connected
+    groups by the SAME resolve_dedup_groups back half the text path
+    uses, electing min vec_id per group — one closure implementation,
+    two modalities.  The oracle replays the closure with a recursive
+    CTE over the same shared pair CTE dedup_embedding_pairs is checked
+    against."""
+    emb = load(spark, sf_dir, "embeddings", fan_out=True)
+    pairs = similarity.embedding_near_dup_pairs(emb)
+    return dedup.resolve_dedup_groups(
+        emb.select("vec_id"), pairs,
+        id_col="vec_id", a_col="vec_a", b_col="vec_b")
+
+
+@register("dedup_embedding_pairs",
+          _EMB_PAIRS_CTE + "SELECT vec_a, vec_b, sim FROM pairs")
 def dedup_embedding_pairs_q(spark, sf_dir):
     """Embedding-cosine near-dup dedup (bucketed candidate pruning)."""
     return similarity.embedding_near_dup_pairs(
@@ -2148,7 +2198,7 @@ _DRIVER_ORDER = [
     # remaining round-3 additions (below the cap; check_oracle-verified)
     "pii_scrub", "dedup_lines", "normalized_exact_dedup",
     "corpus_shuffle", "inlink_stats", "corpus_bigram_counts",
-    "crawl_policy_filter",
+    "crawl_policy_filter", "embedding_dedup_groups",
 ]
 
 # explicit raise (not assert): must survive `python -O`, where a

@@ -95,3 +95,21 @@ def test_every_doc_appears_exactly_once(spark):
                  .agg(F.sum(F.col("keep").cast("int")).alias("n_keep"))
                  .collect())
     assert all(r.n_keep == 1 for r in per_group)
+
+
+def test_resolve_dedup_groups_generic_pairs(spark):
+    # the factored closure works on ANY pair list with custom column
+    # names — here a hand graph with a chain, a pair, and singletons
+    ids = spark.createDataFrame([(i,) for i in range(8)], "vec_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "vec_a long, vec_b long")
+    from mdscraper_spark.operators.dedup import resolve_dedup_groups
+    got = {r.vec_id: (r.canonical_id, r.group_size, r.keep)
+           for r in resolve_dedup_groups(
+               ids, pairs, id_col="vec_id",
+               a_col="vec_a", b_col="vec_b").collect()}
+    assert got[1] == (1, 3, True)
+    assert got[3] == (1, 3, False) and got[5] == (1, 3, False)
+    assert got[2] == (2, 2, True) and got[6] == (2, 2, False)
+    for i in (0, 4, 7):
+        assert got[i] == (i, 1, True)
