@@ -126,20 +126,38 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict = {}
+    rep_times: dict = {}     # name -> every rep's wall sec (not just min)
+    rep_busy: dict = {}      # name -> host-busy fraction around each rep
+
+    def _proc_stat():
+        f = pathlib.Path("/proc/stat").read_text().splitlines()[0].split()
+        vals = [int(x) for x in f[1:]]
+        return vals[3], sum(vals)          # (idle, total) jiffies
 
     # -- KG end-to-end (north-star): pages/sec -------------------------
     n_pages = max(2000, int(100_000 * sf))
     workdir = tempfile.mkdtemp(prefix="bench_pages_")
 
-    def timed_min(fn, reps: int = 2) -> float:
+    def timed_min(name, fn, reps: int = 2) -> float:
         """Min of `reps` timed passes: this sandbox VM's throughput
         swings several-x between identical runs (host contention), and
-        min is the estimator of true capacity under additive noise."""
+        min is the estimator of true capacity under additive noise.
+        Every rep's wall time AND the whole-host busy fraction around
+        it are recorded in the JSON (round-3 verdict item 4: three
+        rounds of driver bench files were dominated by unrecorded host
+        noise — the numbers must carry their own weather report)."""
         best = float("inf")
+        rep_times[name], rep_busy[name] = [], []
         for _ in range(reps):
+            idle0, tot0 = _proc_stat()
             t0 = time.monotonic()
             fn()
-            best = min(best, time.monotonic() - t0)
+            wall = time.monotonic() - t0
+            idle1, tot1 = _proc_stat()
+            busy = 1.0 - (idle1 - idle0) / max(1, tot1 - tot0)
+            rep_times[name].append(round(wall, 3))
+            rep_busy[name].append(round(busy, 2))
+            best = min(best, wall)
         return best
 
     try:
@@ -147,7 +165,8 @@ def main() -> None:
         materialize_pages(spark, n_pages, pages_path,
                           num_partitions=4 * cpus)
         run_kg_pipeline(spark, pages_path)  # warm-up (JVM + Python workers)
-        kg_sec = timed_min(lambda: run_kg_pipeline(spark, pages_path))
+        kg_sec = timed_min("kg_pipeline",
+                           lambda: run_kg_pipeline(spark, pages_path))
         timings["kg_pipeline"] = round(kg_sec, 3)
         pages_per_sec = round(n_pages / kg_sec, 1)
     finally:
@@ -160,7 +179,7 @@ def main() -> None:
         # cheap queries get a third rep: on this several-x-noisy host
         # the min estimator tightens a lot for sub-second timings
         timings[name] = round(
-            timed_min(lambda: force(fn(spark, sf_dir)), reps=3), 3)
+            timed_min(name, lambda: force(fn(spark, sf_dir)), reps=3), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -172,6 +191,13 @@ def main() -> None:
         "kg_pages": n_pages,
         "kg_pages_per_sec": pages_per_sec,
         "cpus": cpus,
+        # self-interpretation: per-rep walls + host-busy fraction around
+        # each rep, and the 1/5/15-min loadavg at exit.  busy >> what
+        # this process can use alone means the minima above are still
+        # UPPER bounds on true cost (shared-VM contention).
+        "rep_times": rep_times,
+        "rep_host_busy": rep_busy,
+        "loadavg": [round(x, 1) for x in os.getloadavg()],
     }))
 
 

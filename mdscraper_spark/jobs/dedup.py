@@ -54,9 +54,13 @@ def _hash_decision(docs, key_col) -> "DataFrame":
 
 
 def dedup_corpus(spark: SparkSession, docs, warehouse_path: str,
-                 mode: str = "exact", paragraphs: bool = False) -> dict:
+                 mode: str = "exact", paragraphs: bool = False,
+                 cc_max_iter: int = 25) -> dict:
     """Materialize the dedup decision (+ optional paragraph scrub);
-    returns the audit counts dict."""
+    returns the audit counts dict.  ``cc_max_iter`` is the
+    connected-components round budget for ``mode='near'`` (CC now
+    fails loud on budget exhaustion, so the production job must expose
+    the knob a deep duplicate chain would need raised)."""
     if mode not in MODES:
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
     docs = docs.select("doc_id", "text")
@@ -67,7 +71,7 @@ def dedup_corpus(spark: SparkSession, docs, warehouse_path: str,
         decision = _hash_decision(
             docs, F.md5(dedup_ops.canonical_text(F.col("text"))))
     else:
-        groups = dedup_ops.near_dedup_groups(docs)
+        groups = dedup_ops.near_dedup_groups(docs, cc_max_iter=cc_max_iter)
         decision = groups.select(
             "doc_id", F.col("canonical_id").cast("string")
             .alias("group_key"), "keep")
@@ -99,8 +103,32 @@ def dedup_corpus(spark: SparkSession, docs, warehouse_path: str,
     return audit
 
 
+N_STATE_BUCKETS = 16     # bucket(N, group_key) spec of incremental_dedup
+COMPACT_AFTER = 8        # fold history once this many snapshots accumulate
+
+
+def _seen_history(wh: Warehouse):
+    """(base, delta) seen-key sets from the incremental_dedup state:
+    ``base`` is the oldest (compacted) snapshot read WITH its catalog
+    bucket spec — a join on group_key pays no Exchange on its side —
+    and ``delta`` is the union of the small per-batch appends since the
+    last compaction (broadcast by the caller).  Either may be None."""
+    from functools import reduce
+
+    parts = wh.read_bucketed_parts("incremental_dedup")
+    parts = [p.filter("keep").select("group_key") for p in parts]
+    if not parts:
+        return None, None
+    base = parts[0]
+    delta = (reduce(lambda a, b: a.unionByName(b), parts[1:])
+             if len(parts) > 1 else None)
+    return base, delta
+
+
 def dedup_incremental(spark: SparkSession, new_docs, warehouse_path: str,
-                      batch_id: str, mode: str = "exact") -> dict:
+                      batch_id: str, mode: str = "exact",
+                      n_buckets: int = N_STATE_BUCKETS,
+                      compact_after: int = COMPACT_AFTER) -> dict:
     """Dedup a NEW ingest batch against every batch already ingested —
     the production shape batch dedup cannot cover: a crawler never sees
     the whole corpus at once, and a duplicate of last week's page must
@@ -120,10 +148,25 @@ def dedup_incremental(spark: SparkSession, new_docs, warehouse_path: str,
     seen-keys write that could silently re-admit duplicates).  Replay
     safety is the kg_incremental pattern: applied batch ids travel in
     the snapshot properties, and re-running an applied batch returns
-    its recorded audit without touching the table.  At 10^12 keys the
-    history scan wants `compact()` and a bucket partition spec on
-    group_key so the anti-join is exchange-free on the history side —
-    the same maintenance path every accumulated table here documents.
+    its recorded audit without touching the table.
+
+    10^12-key shape: the state table is written ``bucket(n_buckets,
+    group_key)`` (Warehouse bucket_by), so the per-batch history probe
+    splits into (a) a sort-merge join against the compacted BASE
+    snapshot with NO Exchange on the history side — only the new batch
+    reshuffles onto the buckets — plus (b) a broadcast join against the
+    small post-compaction DELTA snapshots; once ``compact_after``
+    snapshots pile up the table auto-compacts (one bucketed rewrite
+    amortized over that many batches), keeping the delta broadcast
+    bounded.  Plan shape pinned by tests/test_dedup_job.py.
+
+    NULL text takes a sentinel group key (``\\x00null:`` — md5 output
+    is hex, so no collision) instead of md5(NULL)=NULL: the window
+    already treats NULLs as one group, but an equi-join key of NULL
+    never matches history, which would re-admit one NULL-text
+    duplicate per batch (and NULL bucket keys would undercut the
+    bucket spec).  Same one-group semantics as the batch job's GROUP
+    BY, now join- and bucket-safe.
 
     Kept keys are globally unique by the invariant (one keeper per key
     per batch, cross-batch keys only kept when unseen), so the derived
@@ -141,19 +184,27 @@ def dedup_incremental(spark: SparkSession, new_docs, warehouse_path: str,
 
     key = (F.md5(F.col("text")) if mode == "exact"
            else F.md5(dedup_ops.canonical_text(F.col("text"))))
+    key = F.coalesce(key, F.lit("\x00null:"))   # md5 is NULL iff text is
     new = new_docs.select("doc_id", key.alias("group_key"))
     w = Window.partitionBy("group_key")
     first = (F.col("doc_id") == F.min("doc_id").over(w))
+    flagged = new.withColumn("first_in_batch", first)
     if m is not None:
-        seen = (wh.read_table("incremental_dedup")
-                .filter("keep").select("group_key")
-                .withColumn("_seen", F.lit(True)))
-        flagged = (new.withColumn("first_in_batch", first)
-                   .join(seen, "group_key", "left"))
-        keep = F.col("first_in_batch") & F.col("_seen").isNull()
-        dup_hist = F.col("first_in_batch") & F.col("_seen").isNotNull()
+        base, delta = _seen_history(wh)
+        seen = F.lit(False)
+        if base is not None:
+            flagged = flagged.join(
+                base.withColumn("_seen_base", F.lit(True)),
+                "group_key", "left")
+            seen = seen | F.col("_seen_base").isNotNull()
+        if delta is not None:
+            flagged = flagged.join(
+                F.broadcast(delta.withColumn("_seen_delta", F.lit(True))),
+                "group_key", "left")
+            seen = seen | F.col("_seen_delta").isNotNull()
+        keep = F.col("first_in_batch") & ~seen
+        dup_hist = F.col("first_in_batch") & seen
     else:
-        flagged = new.withColumn("first_in_batch", first)
         keep, dup_hist = F.col("first_in_batch"), F.lit(False)
 
     decision = flagged.select(
@@ -172,8 +223,12 @@ def dedup_incremental(spark: SparkSession, new_docs, warehouse_path: str,
              "dup_in_batch": int(c["total"]) - int(c["kept"])
              - int(c["dup_hist"])}
     wh.write_table(decision, "incremental_dedup", mode="append",
+                   bucket_by=(n_buckets, "group_key"),
                    properties={"batches": applied + [batch_id],
                                "audits": {**audits, batch_id: audit}})
+    live = wh.manifest("incremental_dedup")["partitions"].get("", [])
+    if len(live) > compact_after:
+        wh.compact("incremental_dedup")
     return audit
 
 
@@ -189,6 +244,10 @@ def main(argv=None) -> None:
                    help="treat --input as ONE ingest batch and dedup it "
                         "against all previously applied batches; the id "
                         "makes re-runs exactly-once")
+    p.add_argument("--cc-max-iter", type=int, default=25,
+                   help="connected-components round budget for near "
+                        "mode (raise for corpora with deep duplicate "
+                        "chains; CC fails loud on exhaustion)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -202,7 +261,8 @@ def main(argv=None) -> None:
                                   mode=args.mode)
     else:
         audit = dedup_corpus(spark, docs, args.warehouse, mode=args.mode,
-                             paragraphs=args.paragraphs)
+                             paragraphs=args.paragraphs,
+                             cc_max_iter=args.cc_max_iter)
     print(json.dumps({"dedup": audit}))
 
 

@@ -42,6 +42,10 @@ def main(argv=None) -> None:
                         "snapshots down to the newest N (a standing "
                         "ingest commits one snapshot per table per "
                         "micro-batch — unbounded without expiry)")
+    p.add_argument("--cc-max-iter", type=int, default=25,
+                   help="connected-components round budget for "
+                        "--canonicalize (raise for corpora with deep "
+                        "co-reference chains)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
     if not (args.ingest or args.canonicalize):
@@ -60,7 +64,8 @@ def main(argv=None) -> None:
                          args.checkpoint, cfg)
         out["ingested"] = True
     if args.canonicalize:
-        nodes, edges = canonicalize_accumulated(spark, args.warehouse)
+        nodes, edges = canonicalize_accumulated(
+            spark, args.warehouse, cc_max_iter=args.cc_max_iter)
         out["n_nodes"] = nodes.count()
         out["n_edges"] = edges.count()
     if args.expire_keep is not None:

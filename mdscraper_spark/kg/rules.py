@@ -86,6 +86,10 @@ class Gazetteer:
             right = r"\b" if re.match(r"\w", s[-1]) else ""
             return f"{left}{re.escape(s)}{right}"
 
+        # drop empty surfaces: a caller-supplied alias dictionary (now
+        # reachable via KgBuildJob custom aliases) with a blank alias
+        # would IndexError in bounded() and can never match anything
+        surfaces = [s for s in surfaces if s]
         pattern = "|".join(
             bounded(s)
             for s in sorted(surfaces, key=lambda s: (-len(s), s)))

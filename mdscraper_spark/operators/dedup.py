@@ -305,7 +305,8 @@ _PAD_W = 20  # covers every non-negative int64 (19 digits) + safety digit
 
 def near_dedup_groups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
-                      n_bands: int = N_BANDS) -> DataFrame:
+                      n_bands: int = N_BANDS,
+                      cc_max_iter: int = 25) -> DataFrame:
     """(doc_id, canonical_id, group_size, keep): resolve MinHash-LSH
     candidate pairs into connected near-duplicate groups and elect one
     survivor per group (the minimum doc_id) — the decision artifact a
@@ -327,13 +328,15 @@ def near_dedup_groups(df: DataFrame, text_col: str = "text",
     sigs = minhash_signatures(df, text_col, id_col, n_bands)
     pairs = lsh_candidate_pairs(sigs)
     return resolve_dedup_groups(df.select(F.col(id_col)), pairs,
-                                id_col=id_col, a_col="doc_a", b_col="doc_b")
+                                id_col=id_col, a_col="doc_a", b_col="doc_b",
+                                cc_max_iter=cc_max_iter)
 
 
 def resolve_dedup_groups(ids: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
                          a_col: str = "doc_a",
-                         b_col: str = "doc_b") -> DataFrame:
+                         b_col: str = "doc_b",
+                         cc_max_iter: int = 25) -> DataFrame:
     """Close ANY candidate-pair list into near-dup groups with one
     min-id survivor each — the shared back half of near-dup dedup,
     usable with MinHash-LSH pairs (near_dedup_groups), embedding-cosine
@@ -351,7 +354,8 @@ def resolve_dedup_groups(ids: DataFrame, pairs: DataFrame,
 
     pad = lambda c: F.lpad(F.col(c).cast("string"), _PAD_W, "0")
     cmap = connected_components(
-        pairs.select(pad(a_col).alias("src"), pad(b_col).alias("dst")))
+        pairs.select(pad(a_col).alias("src"), pad(b_col).alias("dst")),
+        max_iter=cc_max_iter)
     assigned = cmap.select(
         F.col("node_id").cast("bigint").alias(id_col),
         F.col("canon_id").cast("bigint").alias("canonical_id"))
@@ -555,7 +559,7 @@ WITH t AS (
   SELECT h, count(*) AS cnt FROM spans GROUP BY h
 )
 SELECT doc_id, count(*) AS n_windows,
-       sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_windows,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
        sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) / count(*) AS dup_frac
 FROM spans JOIN c USING (h)
 GROUP BY doc_id

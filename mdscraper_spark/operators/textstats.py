@@ -184,26 +184,62 @@ def domain_quota_sample(df: DataFrame, cap: int,
 # match the identical spans
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_PATTERN = r"\b\d{1,3}(?:\.\d{1,3}){3}\b"
+# NANP-style with REQUIRED separators (a bare 10-digit run is far more
+# often an id than a phone number); optional +1 country code and area
+# parens.  RE2/Java-common subset: no backrefs, no lookaround.
+PHONE_PATTERN = r"(?:\+1[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b"
+# 16-digit card shapes: 4 groups of 4 with optional space/dash
+# separators, or one bare 16-digit run; \b keeps it out of longer
+# digit runs (hashes, ids)
+CC_PATTERN = r"\b\d{4}(?:[ -]?\d{4}){3}\b"
+
+
+def luhn_valid(s) -> "Column":
+    """Boolean column: do the digits of ``s`` pass the Luhn checksum?
+    (Doubles every second digit from the right, subtracts 9 when the
+    double exceeds 9, sum % 10 == 0.)  Pure array expressions over the
+    handful of digits in one candidate match — applied only to
+    CC_PATTERN hits, never to whole documents."""
+    rev = F.reverse(F.regexp_extract_all(s, F.lit(r"\d"), 0))
+    terms = F.zip_with(
+        rev, F.sequence(F.lit(1), F.size(rev)),
+        lambda d, i: F.when((i - 1) % 2 == 0, d.cast("int"))
+                      .otherwise(F.when(d.cast("int") * 2 > 9,
+                                        d.cast("int") * 2 - 9)
+                                 .otherwise(d.cast("int") * 2)))
+    return F.aggregate(terms, F.lit(0), lambda a, x: a + x) % 10 == 0
 
 
 def pii_scrub(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, n_emails, n_ips, clean_text): count and redact email
-    addresses and IPv4 literals — the standard pre-training PII pass.
+    """(doc_id, n_emails, n_ips, n_phones, n_ccs, clean_text): count
+    and redact email addresses, IPv4 literals, phone numbers, and
+    credit-card-shaped digit runs — the standard pre-training PII pass.
 
     Counts are over the ORIGINAL text (each pattern independently);
-    redaction applies emails first, then IPs on the result — both
-    engines scan left-to-right non-overlapping, so spans agree.  Pure
+    ``n_ccs`` counts only Luhn-VALID card candidates (a 16-digit run
+    failing the checksum is an id, not a card), while redaction blanks
+    every CC-shaped run regardless (conservative: a mistyped card is
+    still a card).  Redaction applies emails, then phones, then IPs,
+    then cards, each on the previous result — both engines scan
+    left-to-right non-overlapping, so spans agree byte-for-byte.  Pure
     per-row column expressions: whole-stage codegen, no shuffle, scales
     as a narrow map at any corpus size."""
     col = F.col(text_col)
     clean = F.regexp_replace(
-        F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>"),
-        IPV4_PATTERN, "<IP>")
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>"),
+                PHONE_PATTERN, "<PHONE>"),
+            IPV4_PATTERN, "<IP>"),
+        CC_PATTERN, "<CC>")
+    cc_hits = F.regexp_extract_all(col, F.lit(CC_PATTERN), F.lit(0))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.regexp_count(col, F.lit(EMAIL_PATTERN)).cast("bigint").alias("n_emails"),
         F.regexp_count(col, F.lit(IPV4_PATTERN)).cast("bigint").alias("n_ips"),
+        F.regexp_count(col, F.lit(PHONE_PATTERN)).cast("bigint").alias("n_phones"),
+        F.size(F.filter(cc_hits, luhn_valid)).cast("bigint").alias("n_ccs"),
         clean.alias("clean_text"))
 
 
@@ -420,17 +456,36 @@ def sql_hash_split(id_col: str, salt: str = "split-v1",
             f"WHEN {b} < {train + val} THEN 'val' ELSE 'test' END)")
 
 
+def sql_luhn_valid(expr: str) -> str:
+    """DuckDB boolean: digits of ``expr`` pass the Luhn checksum —
+    the exact twin of ``luhn_valid`` (reverse digits, double evens,
+    -9 when >9, sum % 10 = 0).  ``expr`` may be a lambda variable
+    (nested lambdas are fine in DuckDB)."""
+    rev = f"list_reverse(regexp_extract_all({expr}, '\\d'))"
+    return (f"(list_sum(list_transform(range(1, len({rev}) + 1), "
+            f"i -> CASE WHEN (i-1) % 2 = 0 THEN {rev}[i]::INT "
+            f"ELSE CASE WHEN 2*{rev}[i]::INT > 9 THEN 2*{rev}[i]::INT - 9 "
+            f"ELSE 2*{rev}[i]::INT END END)) % 10 = 0)")
+
+
 def sql_pii_counts(col: str) -> str:
-    """n_emails, n_ips as two SELECT-list items (DuckDB regexp_extract_all
-    returns full-match lists; len == Java's regexp_count of
-    non-overlapping matches)."""
+    """n_emails, n_ips, n_phones, n_ccs as SELECT-list items (DuckDB
+    regexp_extract_all returns full-match lists; len == Java's
+    regexp_count of non-overlapping matches; n_ccs filters candidates
+    through the Luhn twin exactly like the Spark side)."""
     return (f"len(regexp_extract_all({col}, '{EMAIL_PATTERN}')) AS n_emails, "
-            f"len(regexp_extract_all({col}, '{IPV4_PATTERN}')) AS n_ips")
+            f"len(regexp_extract_all({col}, '{IPV4_PATTERN}')) AS n_ips, "
+            f"len(regexp_extract_all({col}, '{PHONE_PATTERN}')) AS n_phones, "
+            f"len(list_filter(regexp_extract_all({col}, '{CC_PATTERN}'), "
+            f"m -> {sql_luhn_valid('m')})) AS n_ccs")
 
 
 def sql_pii_clean(col: str) -> str:
-    return (f"regexp_replace(regexp_replace({col}, '{EMAIL_PATTERN}', "
-            f"'<EMAIL>', 'g'), '{IPV4_PATTERN}', '<IP>', 'g')")
+    return (f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            f"{col}, '{EMAIL_PATTERN}', '<EMAIL>', 'g'), "
+            f"'{PHONE_PATTERN}', '<PHONE>', 'g'), "
+            f"'{IPV4_PATTERN}', '<IP>', 'g'), "
+            f"'{CC_PATTERN}', '<CC>', 'g')")
 
 
 def chunk_documents(df: DataFrame, chunk_tokens: int = 512,

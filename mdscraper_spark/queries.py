@@ -1244,6 +1244,16 @@ WITH p AS (
                ELSE '' END) ||
          (CASE WHEN doc_id % 4 = 0
                THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+               ELSE '' END) ||
+         (CASE WHEN doc_id % 3 = 0
+               THEN ' call (415) 555-' ||
+                    lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               ELSE '' END) ||
+         (CASE WHEN doc_id % 6 = 0
+               THEN ' card 4532 0151 1283 0366'
+               ELSE '' END) ||
+         (CASE WHEN doc_id % 9 = 0
+               THEN ' ref 1234-5678-9012-3456'
                ELSE '' END) AS text
   FROM documents
 )
@@ -1252,12 +1262,15 @@ SELECT doc_id, {textstats.sql_pii_counts('text')},
 FROM p
 """)
 def pii_scrub(spark, sf_dir):
-    """PII redaction pass (emails + IPv4 literals) over documents with
-    deterministic injected PII (the corpus itself is synthetic and
-    PII-free, so the census-page pattern applies: derive the planted
-    addresses from doc_id in BOTH engines and verify count + redacted
-    text byte-for-byte).  Patterns live in the RE2/Java-common subset
-    so span semantics agree."""
+    """PII redaction pass (emails + IPv4 + phone numbers + Luhn-checked
+    credit cards) over documents with deterministic injected PII (the
+    corpus itself is synthetic and PII-free, so the census-page pattern
+    applies: derive the planted values from doc_id in BOTH engines and
+    verify counts + redacted text byte-for-byte).  The %6 plant is a
+    Luhn-VALID card (counted and redacted); the %9 plant is
+    card-shaped but Luhn-invalid (redacted, NOT counted) — so the row
+    pins the checksum split, not just the regex.  Patterns live in the
+    RE2/Java-common subset so span semantics agree."""
     did = F.col("doc_id")
     email1 = F.when(did % 5 != 0,
                     F.concat(F.lit(" Contact user"), did.cast("string"),
@@ -1269,9 +1282,20 @@ def pii_scrub(spark, sf_dir):
                 F.concat(F.lit(" from 10."), (did % 256).cast("string"),
                          F.lit(".0."), (did % 100).cast("string"))) \
          .otherwise(F.lit(""))
+    phone = F.when(did % 3 == 0,
+                   F.concat(F.lit(" call (415) 555-"),
+                            F.lpad((did % 10000).cast("string"), 4, "0"))) \
+             .otherwise(F.lit(""))
+    cc_valid = F.when(did % 6 == 0,
+                      F.lit(" card 4532 0151 1283 0366")) \
+                .otherwise(F.lit(""))
+    cc_bad = F.when(did % 9 == 0,
+                    F.lit(" ref 1234-5678-9012-3456")) \
+              .otherwise(F.lit(""))
     injected = (load(spark, sf_dir, "documents", fan_out=True)
                 .select("doc_id",
-                        F.concat(F.col("text"), email1, email2, ip)
+                        F.concat(F.col("text"), email1, email2, ip,
+                                 phone, cc_valid, cc_bad)
                         .alias("text")))
     return textstats.pii_scrub(injected)
 
@@ -2018,9 +2042,70 @@ def kg_triple_pr(spark, sf_dir):
         "meets_north_rule boolean")
 
 
+@register("kg_lambda_parity", """
+SELECT (SELECT COUNT(*)
+        FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_nodes_*.parquet')
+        WHERE corpus_sig = (SELECT md5(string_agg(text, '' ORDER BY doc_id))
+                            FROM documents)) AS n_nodes,
+       (SELECT COUNT(*)
+        FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_edges_*.parquet')
+        WHERE corpus_sig = (SELECT md5(string_agg(text, '' ORDER BY doc_id))
+                            FROM documents)) AS n_edges,
+       true AS nodes_match_oneshot,
+       true AS edges_match_oneshot
+""")
+def kg_lambda_parity(spark, sf_dir):
+    """Streaming lambda-loop parity as a driver-checkable artifact
+    (round-3 verdict item 5): replay the corpus through the EXACT
+    micro-batch ingest body (streaming.kg_incremental.apply_kg_batch —
+    the foreachBatch code path, on three url-hash splits), canonicalize
+    the accumulated state, and compare nodes/edges SET-exactly against
+    the one-shot batch build.  The row reports the one-shot counts plus
+    two parity booleans; the DuckDB twin replays the counts from the
+    frozen single-threaded oracle and pins both booleans true — so the
+    row hash-matches iff accumulated == one-shot == frozen reference.
+    (The stream-machinery half — checkpoint restarts, replay
+    idempotence — stays pytest-pinned in tests/test_streaming.py; this
+    row pins the algebraic half: batched accumulation commutes with
+    canonicalization.)"""
+    import shutil
+    import tempfile
+
+    from mdscraper_spark.streaming.kg_incremental import (
+        apply_kg_batch, canonicalize_accumulated)
+
+    pages = docs_to_kg_pages(load(spark, sf_dir, "documents",
+                                  fan_out=True))
+    workdir = tempfile.mkdtemp(prefix="kg_lambda_parity_")
+    try:
+        for b in range(3):
+            batch = pages.filter(
+                F.pmod(F.xxhash64("url"), F.lit(3)) == F.lit(b))
+            apply_kg_batch(spark, batch, b, workdir, stream_id=workdir)
+        nodes_acc, edges_acc = canonicalize_accumulated(spark, workdir)
+        docs, mentions, aliases, cmap = _kg_pipeline_parts(spark, sf_dir)
+        edges_one = kg_ops.build_kg_edges(
+            kg_ops.mine_triples(docs), cmap).localCheckpoint()
+        nodes_one = kg_ops.build_kg_nodes(
+            cmap, mentions, aliases).localCheckpoint()
+        n_nodes, n_edges = nodes_one.count(), edges_one.count()
+        nodes_ok = (nodes_acc.count() == n_nodes and
+                    nodes_acc.join(nodes_one, nodes_one.columns,
+                                   "inner").count() == n_nodes)
+        edges_ok = (edges_acc.count() == n_edges and
+                    edges_acc.join(edges_one, edges_one.columns,
+                                   "inner").count() == n_edges)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, bool(nodes_ok), bool(edges_ok))],
+        "n_nodes long, n_edges long, "
+        "nodes_match_oneshot boolean, edges_match_oneshot boolean")
+
+
 @register("kg_degree_stats", f"""
 WITH e AS (SELECT src, dst, n_support FROM {_FROZEN_EDGES}),
-o AS (SELECT src AS node, COUNT(*) AS out_deg, SUM(n_support) AS n_support_out
+o AS (SELECT src AS node, COUNT(*) AS out_deg, CAST(SUM(n_support) AS BIGINT) AS n_support_out
       FROM e GROUP BY 1),
 i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY 1)
 SELECT COALESCE(o.node, i.node) AS node,
@@ -2152,6 +2237,7 @@ def kg_pagerank(spark, sf_dir):
 _DRIVER_ORDER = [
     # KG flagship + graph read side (the engine's centerpiece)
     "kg_flagship", "kg_nodes_check", "kg_triple_pr", "kg_pagerank",
+    "kg_lambda_parity",
     "kg_degree_stats", "graph_shared_suppliers", "two_hop_hub_capped",
     # real extraction surface
     "extract_markdown_docs", "div_attr_census", "doc_size_kb",

@@ -72,7 +72,8 @@ class Warehouse:
     def write_table(self, df: DataFrame, name: str,
                     partition_by: Sequence[str] = (),
                     mode: str = "overwrite",
-                    properties: Optional[dict] = None) -> str:
+                    properties: Optional[dict] = None,
+                    bucket_by: Optional[Sequence] = None) -> str:
         """Write + advance the snapshot chain; returns the snapshot id.
 
         ``mode='overwrite'`` with a partition spec replaces only the
@@ -86,6 +87,16 @@ class Warehouse:
         snapshot manifest — the Iceberg snapshot-properties analog that
         lets a writer make application metadata (e.g. a streaming
         batch id) atomic with the data commit.
+
+        ``bucket_by=(n, col)`` writes the snapshot's files hash-bucketed
+        on ``col`` (Spark bucketBy file layout — the Iceberg
+        ``bucket(n, col)`` analog), so ``read_bucketed_parts`` can hand
+        them back with a catalog bucket spec and joins on ``col`` pay
+        NO Exchange on this side.  The spec is recorded in the manifest
+        and inherited by later appends / compactions of the same table;
+        passing a conflicting spec raises.  Mutually exclusive with
+        ``partition_by`` (Iceberg would allow both; nothing here needs
+        it and the write path stays simple).
         """
         if mode not in ("overwrite", "append"):
             # anything else would silently take the overwrite ownership
@@ -93,12 +104,28 @@ class Warehouse:
             # table
             raise ValueError(f"write_table mode must be 'overwrite' or "
                              f"'append', got {mode!r}")
+        parent_m = self.manifest(name)
+        inherited = (parent_m or {}).get("bucket_by")
+        if bucket_by is None and inherited:
+            bucket_by = inherited
+        if bucket_by is not None:
+            bucket_by = [int(bucket_by[0]), str(bucket_by[1])]
+            if inherited and bucket_by != list(inherited):
+                raise ValueError(
+                    f"table {name} is bucketed {inherited}; conflicting "
+                    f"spec {bucket_by} would break co-partitioning")
+            if partition_by:
+                raise ValueError(
+                    "bucket_by and partition_by are mutually exclusive")
         snapshot_id = uuid.uuid4().hex
         data_dir = self._snap_data_dir(name, snapshot_id)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(data_dir))
+        if bucket_by is not None:
+            self._write_bucketed(df, data_dir, *bucket_by)
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(str(data_dir))
 
         # discover the partition keys this snapshot wrote (leaf dirs
         # with data files, relative to the snapshot dir)
@@ -110,7 +137,7 @@ class Warehouse:
         elif any(data_dir.rglob("*.parquet")):
             written.append("")
 
-        parent = self.manifest(name)
+        parent = parent_m
         partitions: Dict[str, List[str]] = {}
         if parent is not None and (mode == "append" or
                                    (partition_by and mode == "overwrite")):
@@ -136,12 +163,70 @@ class Warehouse:
             "write_mode": mode,
             "partitions": partitions,
             "properties": dict(properties or {}),
+            "bucket_by": list(bucket_by) if bucket_by is not None else None,
         }
         self._snapshots_dir(name).mkdir(parents=True, exist_ok=True)
         (self._snapshots_dir(name) / f"{snapshot_id}.json").write_text(
             json.dumps(manifest, indent=2))
         self._manifest_path(name).write_text(json.dumps(manifest, indent=2))
         return snapshot_id
+
+    def _write_bucketed(self, df: DataFrame, data_dir: pathlib.Path,
+                        n_buckets: int, col: str) -> None:
+        """Write ``df`` as Spark-bucketed parquet files at ``data_dir``.
+
+        bucketBy only exists on the saveAsTable path (plain
+        ``.parquet()`` files carry no bucket ids in their names), so the
+        write goes through a throwaway EXTERNAL table — dropping it
+        keeps the files, which is all we want.  The repartition aligns
+        tasks with buckets (bucket id and HashPartitioning use the same
+        murmur3-pmod), so each task emits exactly one bucket file
+        instead of tasks × buckets fragments.
+        """
+        tmp = f"mdscraper_bucket_write_{uuid.uuid4().hex}"
+        (df.repartition(n_buckets, col)
+           .write.mode("overwrite")
+           .bucketBy(n_buckets, col).sortBy(col)
+           .option("path", str(data_dir))
+           .saveAsTable(tmp))
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+    def read_bucketed_parts(self, name: str) -> List[DataFrame]:
+        """Current snapshots of a bucketed table as SEPARATE bucket-aware
+        DataFrames, oldest-first (compacted base first, then the appends
+        since).  Each part is registered as an external table with the
+        manifest's CLUSTERED BY spec, so a join on the bucket column
+        pays no Exchange on that part's side — the reader composes
+        base-vs-delta plans (big base: sort-merge, exchange-free;
+        small deltas: broadcast).  Falls back to ``[read_table(name)]``
+        for unbucketed tables so callers degrade instead of branching.
+        """
+        m = self.manifest(name)
+        if m is None:
+            return []
+        if not m.get("bucket_by"):
+            return [self.read_table(name)]
+        n_buckets, col = m["bucket_by"]
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in schema.fields)
+        parts = []
+        for sid in m.get("partitions", {}).get("", []):
+            d = self._snap_data_dir(name, sid)
+            if not d.exists():
+                continue
+            # name keyed by snapshot dir: IF NOT EXISTS must never pick
+            # up a same-named registration pointing elsewhere
+            tbl = f"mdscraper_bkt_{uuid.uuid5(uuid.NAMESPACE_URL, str(d)).hex}"
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY (`{col}`) SORTED BY (`{col}`) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{d}'")
+            parts.append(self.spark.table(tbl).select(
+                *[f.name for f in schema.fields]))
+        return parts
 
     def read_table(self, name: str,
                    snapshot_id: Optional[str] = None) -> DataFrame:
@@ -358,7 +443,9 @@ class Warehouse:
         part_by = m.get("partition_by", [])
         if part_by:
             df = df.repartition(*part_by)
-        else:
+        elif not m.get("bucket_by"):
+            # bucketed tables skip this: write_table inherits the spec
+            # and _write_bucketed repartitions onto the buckets itself
             df = df.repartition(max(1, -(-total // target_file_bytes)))
         # carry the current snapshot's properties forward: writers use
         # them for commit metadata that must survive maintenance (the

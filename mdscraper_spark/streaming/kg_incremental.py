@@ -132,6 +132,57 @@ def merge_edge_support(wh: Warehouse, batch_edges,
                      stream_id=stream_id)
 
 
+def apply_kg_batch(spark: SparkSession, batch_df, batch_id: int,
+                   warehouse_path: str, stream_id: str,
+                   config: ExtractConfig | None = None) -> None:
+    """One micro-batch of the KG ingest half of the lambda split:
+    extract + mine ``batch_df`` (pages) and fold the results into the
+    three accumulated tables.  This IS the foreachBatch body of
+    ``stream_kg_update`` (module-level so the registry parity row
+    ``kg_lambda_parity`` replays the identical code path on static
+    splits — not a reimplementation that could drift)."""
+    from mdscraper_spark.sources.fixtures import alias_rows
+
+    config = config or ExtractConfig()
+    docs = extract_markdown(batch_df, config)
+    gaz = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
+    # ONE Arrow pass mines mentions + triples; materialize once —
+    # three accumulated tables consume it and Spark does not dedupe
+    # common subtrees (without the checkpoint the extraction +
+    # mining would re-run per consumer)
+    mined = kg_ops.mine_kg_combined(docs, gaz).localCheckpoint()
+    mentions, triples = kg_ops.split_mined(mined)
+    wh = Warehouse(spark, warehouse_path)
+
+    # (1) per-triple support — the edge side of the lambda split
+    batch_edges = (triples.groupBy(*EDGE_KEYS)
+                   .agg(F.count(F.lit(1)).alias("n_support")))
+    merge_edge_support(wh, batch_edges, int(batch_id),
+                       stream_id=stream_id)
+
+    # (2) co-reference VOCABULARY edges (distinct surface<->entity
+    # winning links).  Per-mention link winners depend only on the
+    # mention's own surface + the alias dict, so the union of the
+    # batches' distinct pairs equals the one-shot batch build's —
+    # which is what makes the periodic canonicalization exact.
+    links = kg_ops.link_entities(mentions, kg_ops.alias_df(spark))
+    coref = _with_bucket(
+        kg_ops.coreference_edges(links)
+        .withColumn("n_seen", F.lit(1).cast("long")), "src")
+    merge_accumulate(wh, RAW_COREF, coref,
+                     ("bucket", "src", "dst"), "n_seen",
+                     int(batch_id), partition_by=("bucket",),
+                     stream_id=stream_id)
+
+    # (3) per-surface-node mention counts — feeds kg_nodes
+    merge_accumulate(wh, RAW_MENTIONS,
+                     _with_bucket(kg_ops.mention_node_counts(mentions),
+                                  "node_id"),
+                     ("bucket", "node_id"), "n_mentions",
+                     int(batch_id), partition_by=("bucket",),
+                     stream_id=stream_id)
+
+
 def stream_kg_update(spark: SparkSession, input_dir: str,
                      warehouse_path: str, checkpoint_dir: str,
                      config: ExtractConfig | None = None) -> None:
@@ -147,45 +198,8 @@ def stream_kg_update(spark: SparkSession, input_dir: str,
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
 
     def update(batch_df, batch_id) -> None:
-        from mdscraper_spark.sources.fixtures import alias_rows
-
-        docs = extract_markdown(batch_df, config)
-        gaz = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
-        # ONE Arrow pass mines mentions + triples; materialize once —
-        # three accumulated tables consume it and Spark does not dedupe
-        # common subtrees (without the checkpoint the extraction +
-        # mining would re-run per consumer)
-        mined = kg_ops.mine_kg_combined(docs, gaz).localCheckpoint()
-        mentions, triples = kg_ops.split_mined(mined)
-        wh = Warehouse(spark, warehouse_path)
-
-        # (1) per-triple support — the edge side of the lambda split
-        batch_edges = (triples.groupBy(*EDGE_KEYS)
-                       .agg(F.count(F.lit(1)).alias("n_support")))
-        merge_edge_support(wh, batch_edges, int(batch_id),
-                           stream_id=stream_id)
-
-        # (2) co-reference VOCABULARY edges (distinct surface<->entity
-        # winning links).  Per-mention link winners depend only on the
-        # mention's own surface + the alias dict, so the union of the
-        # batches' distinct pairs equals the one-shot batch build's —
-        # which is what makes the periodic canonicalization exact.
-        links = kg_ops.link_entities(mentions, kg_ops.alias_df(spark))
-        coref = _with_bucket(
-            kg_ops.coreference_edges(links)
-            .withColumn("n_seen", F.lit(1).cast("long")), "src")
-        merge_accumulate(wh, RAW_COREF, coref,
-                         ("bucket", "src", "dst"), "n_seen",
-                         int(batch_id), partition_by=("bucket",),
-                         stream_id=stream_id)
-
-        # (3) per-surface-node mention counts — feeds kg_nodes
-        merge_accumulate(wh, RAW_MENTIONS,
-                         _with_bucket(kg_ops.mention_node_counts(mentions),
-                                      "node_id"),
-                         ("bucket", "node_id"), "n_mentions",
-                         int(batch_id), partition_by=("bucket",),
-                         stream_id=stream_id)
+        apply_kg_batch(spark, batch_df, int(batch_id), warehouse_path,
+                       stream_id, config)
 
     query = (pages.writeStream
              .foreachBatch(update)
@@ -196,7 +210,7 @@ def stream_kg_update(spark: SparkSession, input_dir: str,
 
 
 def canonicalize_accumulated(spark: SparkSession, warehouse_path: str,
-                             aliases=None):
+                             aliases=None, cc_max_iter: int = 25):
     """The PERIODIC BATCH half of the lambda split: canonicalize the
     accumulated vocabulary and materialize kg_nodes / kg_edges.
 
@@ -220,7 +234,7 @@ def canonicalize_accumulated(spark: SparkSession, warehouse_path: str,
             f"(missing tables: {missing}) — run the --ingest pass first")
     aliases = aliases if aliases is not None else kg_ops.alias_df(spark)
     coref = wh.read_table(RAW_COREF).select("src", "dst")
-    cmap = kg_ops.connected_components(coref)
+    cmap = kg_ops.connected_components(coref, max_iter=cc_max_iter)
     edges = kg_ops.build_kg_edges_from_support(
         wh.read_table(RAW_EDGES), cmap)
     nodes = kg_ops.build_kg_nodes_from_counts(

@@ -193,3 +193,102 @@ def test_incremental_dedup_survives_compaction(spark, tmp_path):
                                "doc_id long, text string")
     a3 = dedup_incremental(spark, b3, wh_path, batch_id="c3")
     assert (a3["kept"], a3["dup_vs_history"]) == (1, 1)
+
+
+def test_incremental_dedup_null_text_matches_history(spark, tmp_path):
+    """md5(NULL)=NULL used to never match the history seen-set, so one
+    NULL-text duplicate per batch was silently re-admitted; the
+    sentinel group key makes NULL-text docs one group across batches
+    (same semantics as the batch job's GROUP BY)."""
+    from mdscraper_spark.jobs.dedup import dedup_incremental
+
+    wh_path = str(tmp_path / "wh_null")
+    b1 = spark.createDataFrame(
+        [(0, None), (1, "real text"), (2, None)],
+        "doc_id long, text string")
+    a1 = dedup_incremental(spark, b1, wh_path, batch_id="n1")
+    assert (a1["kept"], a1["dup_in_batch"]) == (2, 1)
+
+    b2 = spark.createDataFrame(
+        [(10, None), (11, "fresh text")], "doc_id long, text string")
+    a2 = dedup_incremental(spark, b2, wh_path, batch_id="n2")
+    assert a2["dup_vs_history"] == 1 and a2["kept"] == 1
+    wh = Warehouse(spark, wh_path)
+    rows = {r.doc_id: r for r in
+            wh.read_table("incremental_dedup").collect()}
+    assert rows[10].keep is False and rows[10].dup_vs_history is True
+    # the sentinel never collides with a real md5 and is non-null
+    assert rows[0].group_key == rows[10].group_key == "\x00null:"
+
+
+def test_incremental_dedup_auto_compacts_and_stays_correct(spark, tmp_path):
+    """compact_after bounds the delta-snapshot count: once exceeded the
+    state folds into ONE bucketed base snapshot, and history matching
+    still holds across the compaction boundary."""
+    from mdscraper_spark.jobs.dedup import dedup_incremental
+
+    wh_path = str(tmp_path / "wh_cmp")
+    for i in range(4):
+        docs = spark.createDataFrame(
+            [(i * 10, f"text {i}"), (i * 10 + 1, "the constant dup")],
+            "doc_id long, text string")
+        dedup_incremental(spark, docs, wh_path, batch_id=f"k{i}",
+                          compact_after=2)
+    wh = Warehouse(spark, wh_path)
+    m = wh.manifest("incremental_dedup")
+    # 4 appends with compact_after=2 -> at least one compaction ran
+    assert len(m["partitions"][""]) <= 3
+    assert m["bucket_by"] == [16, "group_key"]
+    rows = wh.read_table("incremental_dedup").collect()
+    assert len(rows) == 8
+    # exactly one copy of the constant dup ever kept
+    constant_kept = [r for r in rows
+                     if r.keep and r.doc_id % 10 == 1]
+    assert len(constant_kept) == 1 and constant_kept[0].doc_id == 1
+    # exactly-once guard survives compaction (properties carried)
+    replay = dedup_incremental(
+        spark, spark.createDataFrame([(0, "text 0")],
+                                     "doc_id long, text string"),
+        wh_path, batch_id="k0", compact_after=2)
+    assert replay["batch_id"] == "k0"
+    assert wh.read_table("incremental_dedup").count() == 8
+
+
+def test_incremental_history_join_exchange_free_on_base(spark, tmp_path):
+    """The 10^12-key plan shape: probing the batch against the bucketed
+    history base must put the ONLY Exchange on the batch side — the
+    base scan reads its catalog bucket spec (no reshuffle of the
+    accumulated history), unlike a plain parquet read of the same
+    files (control)."""
+    from mdscraper_spark.jobs.dedup import _seen_history, dedup_incremental
+
+    wh_path = str(tmp_path / "wh_plan")
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id long, text string")
+    dedup_incremental(spark, docs, wh_path, batch_id="p1")
+    wh = Warehouse(spark, wh_path)
+    base, delta = _seen_history(wh)
+    assert base is not None and delta is None
+
+    batch = spark.createDataFrame(
+        [(100 + i, f"text {i}") for i in range(10)],
+        "doc_id long, text string")
+    from pyspark.sql import functions as F
+    keys = batch.select(F.md5("text").alias("group_key"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = keys.join(base, "group_key", "left")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "SortMergeJoin" in plan, plan
+
+        # control: same files read WITHOUT the bucket spec -> both sides
+        # shuffle
+        jp = keys.join(wh.read_table("incremental_dedup")
+                       .filter("keep").select("group_key"),
+                       "group_key", "left")
+        plan_p = jp._jdf.queryExecution().executedPlan().toString()
+        assert plan_p.count("Exchange") == 2, plan_p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

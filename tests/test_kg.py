@@ -201,3 +201,37 @@ def test_forced_salt_must_be_positive(spark_kg):
         with _pytest.raises(ValueError, match="salt"):
             kg_ops.link_entities(spark_kg["mentions"], spark_kg["aliases"],
                                  salt=bad)
+
+
+def test_gazetteer_skips_empty_alias():
+    """A caller-injected alias dictionary (reachable via KgBuildJob
+    custom aliases) with a blank surface must not IndexError at
+    pattern-compile time — and must not change matching."""
+    gaz = rules.Gazetteer([("", "PERSON"), ("Alice", "PERSON")])
+    assert [m[2] for m in gaz.find("Alice met Bob")] == ["Alice"]
+    # all-empty dictionary compiles to the no-op matcher
+    assert rules.Gazetteer([("", "ORG")]).find("anything") == []
+
+
+def test_cc_max_iter_plumbed_through_dedup_surfaces(spark):
+    """ADVICE r03: CC fails loud on round-budget exhaustion, so every
+    production dedup/canonicalize surface must expose the knob."""
+    import inspect
+
+    from mdscraper_spark.jobs.dedup import dedup_corpus
+    from mdscraper_spark.operators.dedup import (near_dedup_groups,
+                                                 resolve_dedup_groups)
+    from mdscraper_spark.streaming.kg_incremental import \
+        canonicalize_accumulated
+
+    for fn in (near_dedup_groups, resolve_dedup_groups, dedup_corpus,
+               canonicalize_accumulated):
+        assert "cc_max_iter" in inspect.signature(fn).parameters, fn
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "alpha beta gamma delta epsilon zeta"),
+         (2, "unrelated text entirely different")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.keep
+           for r in near_dedup_groups(docs, cc_max_iter=50).collect()}
+    assert got == {0: True, 1: False, 2: True}

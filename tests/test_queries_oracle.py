@@ -65,7 +65,10 @@ def test_query_matches_oracle(spark, duck, name):
     scols = sdf.columns
     res = duck.sql(sql)
     ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    # Arrow fetch, like the driver harness and tools/check_oracle.py:
+    # HUGEINT/DECIMAL must surface as Decimal, not be coerced to int.
+    orows = [tuple(d[c] for c in ocols)
+             for d in res.fetch_arrow_table().to_pylist()]
     assert len(srows) == len(orows)
     assert sorted(scols) == sorted(ocols)
     sd = frame_digest(scols, [[r[c] for c in scols] for r in srows])
@@ -77,6 +80,28 @@ def test_every_registry_entry_is_callable():
     assert len(REGISTRY) >= 25
     for name, (fn, sql) in REGISTRY.items():
         assert callable(fn)
+
+
+def test_no_oracle_emits_hugeint_or_decimal(duck):
+    """Registry-wide output-type lint (round-3 verdict item 1).
+
+    The driver harness canonicalizes DuckDB HUGEINT / DECIMAL (Arrow
+    decimal128) differently from Spark's bigint/double, so any oracle
+    whose SQL binds to one of those types is a latent hash-fail even if
+    the values are numerically identical (this is exactly how
+    kg_degree_stats and dup_span_stats went driver-red in round 3: a
+    bare integer SUM binds to HUGEINT).  `rel.types` needs only DuckDB
+    binding, not execution, so this covers the whole registry cheaply.
+    """
+    bad = {}
+    for name, (fn, sql) in REGISTRY.items():
+        if sql is None:
+            continue
+        types = [str(t) for t in duck.sql(sql).types]
+        offending = [t for t in types if "HUGEINT" in t or "DECIMAL" in t]
+        if offending:
+            bad[name] = offending
+    assert not bad, f"oracles emitting non-canonical types: {bad}"
 
 
 def test_engine_rows_inside_driver_window():

@@ -210,3 +210,51 @@ def test_domain_quota_sample_rejects_bad_cap(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError):
         textstats.domain_quota_sample(df, cap=0)
+
+
+def test_pii_scrub_phone_and_cc_boundaries(spark):
+    rows = [
+        # phones: parens+space, dots, dashes, +1 prefix
+        (0, "call (415) 555-0042 or 415.555.0099 or +1 212-555-1234 now"),
+        # separators REQUIRED: a bare 10-digit run is an id, not a phone
+        (1, "order id 4155550042 is not a phone"),
+        # IPv4 stays an IP, not a phone fragment
+        (2, "host 192.168.1.250 up"),
+        # Luhn-valid card in all three shapes: spaced, dashed, bare
+        (3, "pay 4532 0151 1283 0366 / 4532-0151-1283-0366 / "
+            "4532015112830366"),
+        # card-SHAPED but Luhn-invalid: redacted, not counted
+        (4, "ref 1234-5678-9012-3456 logged"),
+        # 20-digit run: no \b-bounded 16-digit window exists inside
+        (5, "hash 45320151128303661234 raw"),
+        # phone inside a sentence ending in the number (trailing \b)
+        (6, "text me at 650-555-0001."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.pii_scrub(df).collect()}
+    assert got[0].n_phones == 3
+    assert got[0].clean_text == "call <PHONE> or <PHONE> or <PHONE> now"
+    assert got[1].n_phones == 0 and got[1].n_ccs == 0
+    assert got[2].n_phones == 0 and got[2].n_ips == 1
+    assert got[3].n_ccs == 3
+    assert got[3].clean_text == "pay <CC> / <CC> / <CC>"
+    assert got[4].n_ccs == 0                      # fails the checksum
+    assert got[4].clean_text == "ref <CC> logged"  # still redacted
+    assert got[5].n_ccs == 0 and "<CC>" not in got[5].clean_text
+    assert got[6].n_phones == 1
+    assert got[6].clean_text == "text me at <PHONE>."
+
+
+def test_luhn_valid_expression(spark):
+    cases = [
+        ("4532015112830366", True),   # textbook valid Visa test number
+        ("4532015112830367", False),
+        ("4532 0151 1283 0366", True),   # separators are stripped
+        ("79927398713", True),           # classic Luhn example
+        ("79927398714", False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = dict(df.select("s", textstats.luhn_valid(F.col("s"))
+                         .alias("ok")).collect())
+    for s, expect in cases:
+        assert got[s] is expect, s

@@ -33,7 +33,13 @@ def canon_cell(v):
             return "NaN"
         return repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
-        return repr(round(float(v), 9))
+        # Deliberately DISTINCT from int/float canon: the driver harness
+        # canonicalizes DuckDB HUGEINT/DECIMAL (Arrow decimal128)
+        # differently from Spark bigint, so an oracle emitting one must
+        # fail here too (round-3 verdict: the old float-round coercion
+        # masked exactly that divergence for kg_degree_stats /
+        # dup_span_stats).
+        return f"decimal:{v}"
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     return repr(v)
@@ -82,7 +88,11 @@ def main():
         try:
             res = con.sql(sql)
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Fetch via Arrow (like the driver harness) so HUGEINT /
+            # DECIMAL surface as decimal.Decimal instead of being
+            # silently coerced to Python int by fetchall().
+            orows = [tuple(d[c] for c in ocols)
+                     for d in res.fetch_arrow_table().to_pylist()]
         except Exception as exc:
             failures.append((name, f"duckdb error: {exc}"))
             print(f"[FAIL] {name}: duckdb error: {exc}")
