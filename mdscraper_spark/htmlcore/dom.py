@@ -371,6 +371,22 @@ class _TreeBuilder(HTMLParser):
     def handle_decl(self, decl: str) -> None:
         self.stack[-1].append(DoctypeNode(decl))
 
+    def unknown_decl(self, data: str) -> None:
+        # bs4 html.parser parity (bs4 builder unknown_decl): a marked
+        # section becomes a STRING node — CData with the 'CDATA['
+        # prefix stripped (case-sensitive, like bs4), anything else
+        # (downlevel-revealed conditionals '<![if !IE]>', lowercase
+        # '<![cdata[') a Declaration keeping its full text.  The
+        # reference's converter walks both as plain NavigableStrings
+        # (only Comment/Doctype are skipped), so they surface as text
+        # in the Markdown — dropping them here would diverge bytes on
+        # real-web pages.  stdlib HTMLParser's default is a silent
+        # no-op, hence this override.
+        if data.startswith("CDATA["):
+            data = data[len("CDATA["):]
+        if data:
+            self.stack[-1].append(TextNode(data))
+
 
 def parse_html(html_text: str) -> Document:
     """Parse an HTML string into a Document tree."""

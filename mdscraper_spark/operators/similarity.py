@@ -125,7 +125,18 @@ IVF_K = 8  # coarse cells; production uses k-means centroids — here the
            # assignment is reproducible in any engine
 
 
-def ivf_cells(embeddings: DataFrame, n_cells: int = IVF_K,
+def auto_n_cells(n_vectors: int) -> int:
+    """Data-derived IVF cell count: ~sqrt(N), the standard IVF sizing
+    (cells and per-cell candidate lists both grow as sqrt(N), so probe
+    cost is balanced between the coarse scan and the cell scan).
+    Clamped to [1, 65536]: above that the broadcast centroid table and
+    the k x d driver round-trip in Lloyd stop being 'small' — at 10^12
+    vectors you shard the coarse quantizer instead (IVF-HNSW
+    territory), which is out of scope here and called out in SURVEY."""
+    return max(1, min(65536, round(n_vectors ** 0.5)))
+
+
+def ivf_cells(embeddings: DataFrame, n_cells: int | None = IVF_K,
               id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
     """(vec_id, embedding, cid): assign every vector to its max-cosine
@@ -133,10 +144,23 @@ def ivf_cells(embeddings: DataFrame, n_cells: int = IVF_K,
 
     Scale shape: the centroid table is tiny and broadcast; assignment
     is a narrow x K expansion reduced by a per-vector argmax — the only
-    shuffle is the argmax window on vec_id, which AQE coalesces."""
+    shuffle is the argmax window on vec_id, which AQE coalesces.
+
+    ``n_cells=None`` derives ~sqrt(N) cells from the corpus size
+    (auto_n_cells) instead of the fixture-sized default.  Past
+    VECTORIZE_ASSIGN_OVER cells the assignment switches to the
+    Arrow+GEMM path (see _assign_numpy) — the interpreted cosine fold
+    is O(k·d) per vector and dominates the build in the sqrt(N)-cells
+    regime."""
+    if n_cells is None:
+        n_cells = auto_n_cells(embeddings.count())
     cents = (embeddings.filter(F.col(id_col) < n_cells)
              .select(F.col(id_col).alias("cid"),
                      F.col(vec_col).alias("cvec")))
+    if n_cells > VECTORIZE_ASSIGN_OVER:
+        rows = [(int(r["cid"]), [float(x) for x in r["cvec"]])
+                for r in cents.collect()]           # k x d, driver-bounded
+        return _assign_numpy(embeddings, rows, id_col, vec_col)
     scored = (embeddings.crossJoin(F.broadcast(cents))
               .withColumn("csim", cosine(F.col(vec_col), F.col("cvec"))))
     # min-struct argmax (sim desc, cid asc as a total order) — a
@@ -151,9 +175,11 @@ def ivf_cells(embeddings: DataFrame, n_cells: int = IVF_K,
                     F.col("best.cid").alias("cid")))
 
 
-def ivf_cell_sizes(embeddings: DataFrame, n_cells: int = IVF_K) -> DataFrame:
+def ivf_cell_sizes(embeddings: DataFrame,
+                   n_cells: int | None = IVF_K) -> DataFrame:
     """(cid, n_vecs, min_vec_id): the IVF cell histogram — decides the
-    candidate-list size the ANN probe scans per query."""
+    candidate-list size the ANN probe scans per query.  ``n_cells=None``
+    sizes the quantizer from the data (auto_n_cells ~ sqrt(N))."""
     return (ivf_cells(embeddings, n_cells)
             .groupBy("cid")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
@@ -192,7 +218,53 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
 
 # -- k-means coarse quantization (the production IVF path) -------------------
 
-def kmeans_centroids(embeddings: DataFrame, n_cells: int = IVF_K,
+# above this many centroids the per-vector assignment switches from the
+# SQL min-struct argmax (whole-stage codegen, bit-pinned vs the DuckDB
+# twins at fixture scale) to one Arrow-batched numpy matmul: the k x N
+# cosine matrix is a BLAS GEMM, ~100x the interpreted higher-order-fn
+# fold once k reaches the sqrt(N) sizing real corpora need
+VECTORIZE_ASSIGN_OVER = 32
+
+
+def _assign_numpy(df: DataFrame, cents_list, id_col: str, vec_col: str):
+    """(id, vec, cid) via a vectorized centroid argmax: the ascending-cid
+    centroid matrix rides into each Arrow batch, normalized rows x
+    normalized centroids is one GEMM, argmax(first-max) reproduces the
+    min-struct tie-break (lowest cid among equals).  Driver holds only
+    k x d floats — the same bounded round-trip Lloyd already makes.
+    Numeric caveat (documented on the callers): float64 GEMM and the
+    left-fold SQL cosine can disagree in the last ulp, so near-exact
+    centroid ties may assign differently; the learned-quantizer path is
+    verified by its recall contract, not by byte equality."""
+    import numpy as np
+
+    cents_list = sorted(cents_list, key=lambda cv: cv[0])
+    cids = np.asarray([c for c, _ in cents_list], dtype=np.int64)
+    c_mat = np.asarray([v for _, v in cents_list], dtype=np.float64)
+    c_mat = c_mat / np.maximum(
+        np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-300)
+    types = dict(df.dtypes)
+    schema = f"`{id_col}` {types[id_col]}, `{vec_col}` {types[vec_col]}, " \
+             "cid int"
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                               1e-300)
+            best = (v @ c_mat.T).argmax(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                vec_col: pdf[vec_col],
+                                "cid": cids[best].astype("int32")})
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def kmeans_centroids(embeddings: DataFrame, n_cells: int | None = IVF_K,
                      iters: int = 5, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """Lloyd iterations as DataFrame ops: broadcast the k centroids,
@@ -208,6 +280,8 @@ def kmeans_centroids(embeddings: DataFrame, n_cells: int = IVF_K,
     O(N)); an empty cell keeps its previous centroid.
     """
     spark = embeddings.sparkSession
+    if n_cells is None:
+        n_cells = auto_n_cells(embeddings.count())
     # seed from the n_cells SMALLEST ids (not `id < n_cells`, which
     # silently yields fewer/zero centroids on a non-0-based id space)
     seeds = (embeddings.select(id_col, vec_col)
@@ -219,15 +293,21 @@ def kmeans_centroids(embeddings: DataFrame, n_cells: int = IVF_K,
              for cid, r in enumerate(seeds)]
     base = embeddings.select(F.col(id_col).alias("vec_id"),
                              F.col(vec_col).alias("v"))
+    vectorized = n_cells > VECTORIZE_ASSIGN_OVER
     for _ in range(iters):
-        cdf = spark.createDataFrame(cents, "cid int, cvec array<double>")
-        assigned = (base.crossJoin(F.broadcast(cdf))
-                    .withColumn("csim", cosine(F.col("v"), F.col("cvec")))
-                    .groupBy("vec_id")
-                    .agg(F.min(F.struct(F.negate("csim"), "cid", "v"))
-                         .alias("best"))
-                    .select(F.col("best.cid").alias("cid"),
-                            F.col("best.v").alias("v")))
+        if vectorized:
+            assigned = _assign_numpy(base, cents, "vec_id", "v") \
+                .select("cid", "v")
+        else:
+            cdf = spark.createDataFrame(cents, "cid int, cvec array<double>")
+            assigned = (base.crossJoin(F.broadcast(cdf))
+                        .withColumn("csim",
+                                    cosine(F.col("v"), F.col("cvec")))
+                        .groupBy("vec_id")
+                        .agg(F.min(F.struct(F.negate("csim"), "cid", "v"))
+                             .alias("best"))
+                        .select(F.col("best.cid").alias("cid"),
+                                F.col("best.v").alias("v")))
         # decimal-exact mean: a double F.avg's partial-aggregation
         # order varies with task scheduling, which would break the
         # documented bit-determinism of the centroids (and downstream
@@ -248,10 +328,21 @@ def kmeans_centroids(embeddings: DataFrame, n_cells: int = IVF_K,
 
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               vectorized: bool | None = None) -> DataFrame:
     """(vec_id, embedding, cid): max-cosine assignment against an
     arbitrary (broadcast) centroid table — the generalization of
-    ivf_cells to learned centroids."""
+    ivf_cells to learned centroids.  ``vectorized=None`` auto-selects
+    the Arrow+GEMM path once the centroid count passes
+    VECTORIZE_ASSIGN_OVER (the sqrt(N)-cells regime where the
+    interpreted cosine fold dominates the whole IVF build)."""
+    if vectorized is None or vectorized:
+        cents_rows = [(int(r["cid"]), [float(x) for x in r["cvec"]])
+                      for r in centroids.collect()]  # k x d, driver-bounded
+        if vectorized is None:
+            vectorized = len(cents_rows) > VECTORIZE_ASSIGN_OVER
+        if vectorized:
+            return _assign_numpy(embeddings, cents_rows, id_col, vec_col)
     scored = (embeddings.crossJoin(F.broadcast(centroids))
               .withColumn("csim", cosine(F.col(vec_col), F.col("cvec"))))
     # min-struct argmax (negated sim asc, then cid asc == sim desc, cid
@@ -268,7 +359,8 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame,
 
 
 def ivf_kmeans_recall(embeddings: DataFrame, n_queries: int = 20,
-                      k: int = 10, n_cells: int = IVF_K, iters: int = 5,
+                      k: int = 10, n_cells: int | None = IVF_K,
+                      iters: int = 5,
                       nprobe: int = 5, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
     """One-row (n_queries, recall, recall_ge_09): average recall@k of
@@ -290,6 +382,8 @@ def ivf_kmeans_recall(embeddings: DataFrame, n_queries: int = 20,
     # corpus of <= k) the fixed n_queries*k denominator would silently
     # deflate recall and the output row would misstate the query count
     n_avail = embeddings.count()
+    if n_cells is None:
+        n_cells = auto_n_cells(n_avail)
     if n_avail < n_queries or n_avail <= k:
         raise ValueError(
             f"ivf_kmeans_recall needs > {k} vectors and >= {n_queries} "

