@@ -564,3 +564,42 @@ def build_kg_edges_from_support(support: DataFrame,
                 F.col("n_support"))
             .groupBy("src", "pred", "dst")
             .agg(F.sum("n_support").alias("n_support")))
+
+
+# ---------------------------------------------------------------------------
+# graph export (round 4): N-Triples interchange
+# ---------------------------------------------------------------------------
+
+_NT_ESCAPES = (("%", "%25"), (" ", "%20"), ("<", "%3C"),
+               (">", "%3E"), ('"', "%22"))
+
+
+def _nt_iri_frag(col):
+    """Deterministic IRI-fragment mangling for node/predicate ids: the
+    five characters that can break an N-Triples IRI token are
+    percent-encoded, '%' first so the encoding is injective.  Pure
+    codegen (chained replace), and the identical chain is expressible
+    in ANSI SQL — see queries.kg_export_ntriples."""
+    for ch, enc in _NT_ESCAPES:
+        col = F.replace(col, F.lit(ch), F.lit(enc))
+    return col
+
+
+def edges_to_ntriples(edges: DataFrame,
+                      base: str = "urn:kg:") -> DataFrame:
+    """kg_edges(src, pred, dst, n_support) -> one N-Triples line per
+    edge: ``<{base}e:{src}> <{base}p:{pred}> <{base}e:{dst}> .``
+
+    W3C N-Triples is the standard KG interchange format; this is the
+    export sink's row shape (write with ``df.write.text`` — a pure
+    projection, no shuffle, partitioning preserved from the edges
+    table).  n_support travels alongside so a reified export can be
+    layered on without recomputing the graph.
+    """
+    line = F.concat(
+        F.lit(f"<{base}e:"), _nt_iri_frag(F.col("src")),
+        F.lit(f"> <{base}p:"), _nt_iri_frag(F.col("pred")),
+        F.lit(f"> <{base}e:"), _nt_iri_frag(F.col("dst")),
+        F.lit("> ."))
+    return edges.select(line.alias("ntriple"),
+                        F.col("n_support"))

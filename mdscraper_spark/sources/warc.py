@@ -1,0 +1,264 @@
+"""WARC source/sink: Common-Crawl-shaped pages as ISO 28500 WARC files.
+
+The engine's canonical input is the ``pages`` table
+(BASELINE.json input_hint), but real Common-Crawl corpora arrive as
+WARC/1.0 *response* records — one gzip-or-plain ``.warc`` file per
+crawl shard.  This module gives the engine that second source format
+(and the matching sink so the round trip is testable with zero
+external data):
+
+* ``write_warc_shards(pages_df, out_dir)`` — one ``mapInPandas`` pass;
+  each input partition serializes its rows as WARC/1.0 response
+  records into ONE shard file (the Common-Crawl layout: a crawl shard
+  == one WARC file) and yields a manifest row.  No shuffle, no
+  driver-side collect — a 10^12-row pages table streams straight to
+  shards.
+* ``read_warc(spark, path)`` — ``binaryFile`` scan + ``mapInPandas``
+  parse back to the ``pages`` schema.  WARC files are processed one
+  file per task, which is exactly how Common Crawl is processed in
+  practice (shards are ~1 GiB by construction; ``binaryFile`` never
+  splits a file, so the per-task memory bound is the shard size the
+  *writer* chose, not a Spark setting).
+
+Format notes (public spec, ISO 28500 / WARC 1.0):
+* each record: ``WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<payload>\\r\\n\\r\\n``
+  with ``Content-Length`` giving the exact payload byte count — the
+  parser walks records by header + length, never by regex splitting,
+  so html bodies containing ``WARC/1.0`` cannot desync it;
+* response records carry an HTTP response as payload; the page bytes
+  are everything after the first ``\\r\\n\\r\\n`` of that HTTP block;
+* ``.gz`` shards are member-per-record gzip (the Common-Crawl
+  convention); Python's zlib multi-member loop decompresses the
+  concatenation transparently.
+
+Determinism: record ids are ``uuid5(NAMESPACE_URL, url)`` and
+``WARC-Date`` replays ``warc_ts`` — same input rows => byte-identical
+records regardless of partitioning (shard *membership* follows the
+input partitioning, which callers pin with ``repartition`` when they
+need reproducible shard files).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import uuid
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_CRLF = b"\r\n"
+
+MANIFEST_SCHEMA = StructType([
+    StructField("path", StringType(), False),
+    StructField("n_records", LongType(), False),
+    StructField("n_bytes", LongType(), False),
+])
+
+WARC_PAGES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("html", BinaryType(), True),
+    StructField("text", StringType(), True),
+    StructField("lang", StringType(), True),
+])
+
+
+# ---------------------------------------------------------------------------
+# record serialization
+# ---------------------------------------------------------------------------
+
+def _http_block(html: bytes) -> bytes:
+    return (b"HTTP/1.1 200 OK" + _CRLF
+            + b"Content-Type: text/html; charset=UTF-8" + _CRLF
+            + b"Content-Length: " + str(len(html)).encode() + _CRLF
+            + _CRLF + html)
+
+
+def format_record(url: str, warc_date: str, html: bytes) -> bytes:
+    """One WARC/1.0 response record (headers + HTTP payload + 2 CRLF)."""
+    payload = _http_block(html)
+    rec_id = uuid.uuid5(uuid.NAMESPACE_URL, url)
+    headers = (b"WARC/1.0" + _CRLF
+               + b"WARC-Type: response" + _CRLF
+               + b"WARC-Record-ID: <urn:uuid:" + str(rec_id).encode() + b">" + _CRLF
+               + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+               + b"WARC-Date: " + warc_date.encode() + _CRLF
+               + b"Content-Type: application/http; msgtype=response" + _CRLF
+               + b"Content-Length: " + str(len(payload)).encode() + _CRLF)
+    return headers + _CRLF + payload + _CRLF + _CRLF
+
+
+def _warc_date(ts) -> str:
+    if ts is None or ts != ts:  # None or NaT
+        return "1970-01-01T00:00:00Z"
+    return pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+# ---------------------------------------------------------------------------
+# sink
+# ---------------------------------------------------------------------------
+
+def write_warc_shards(pages: DataFrame, out_dir: str,
+                      compress: bool = False) -> DataFrame:
+    """Serialize a pages DataFrame to WARC shards, one per partition.
+
+    Returns the manifest DataFrame (path, n_records, n_bytes); the
+    write happens when the manifest is consumed (callers that need the
+    files on disk run an action on it — see ``warc_roundtrip``).
+    ``out_dir`` must be a directory visible to every executor (in
+    production: a DFS path via the Hadoop FS API; in local mode a
+    shared filesystem path — same contract as any Spark file sink).
+    """
+    suffix = ".warc.gz" if compress else ".warc"
+    cols = pages.select("url", "warc_ts", "html")
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"shard-{pid:05d}{suffix}")
+        n = 0
+        buf = io.BytesIO()
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                html = bytes(row.html) if row.html is not None else b""
+                rec = format_record(row.url, _warc_date(row.warc_ts), html)
+                if compress:
+                    # member-per-record gzip (Common-Crawl convention);
+                    # mtime pinned so shard bytes are deterministic
+                    rec = gzip.compress(rec, mtime=0)
+                buf.write(rec)
+                n += 1
+        if n == 0:  # empty partition -> no shard file
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        data = buf.getvalue()
+        tmp = path + ".inprogress"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic publish, torn shards impossible
+        yield pd.DataFrame({"path": [path], "n_records": [n],
+                            "n_bytes": [len(data)]})
+
+    return cols.mapInPandas(write_partition, MANIFEST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# source
+# ---------------------------------------------------------------------------
+
+def _maybe_gunzip(data: bytes) -> bytes:
+    if data[:2] != b"\x1f\x8b":
+        return data
+    # multi-member stream (member-per-record shards): loop decompressobj
+    import zlib
+
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc(data: bytes, source: str = "<bytes>",
+               lenient: bool = False) -> List[Tuple[str, Optional[pd.Timestamp], bytes]]:
+    """Walk WARC records by header + Content-Length (never regex split).
+
+    Returns (url, warc_ts, html) per *response* record; other record
+    types (warcinfo, request, metadata) are skipped.  Malformed
+    records raise ``ValueError`` naming the source file unless
+    ``lenient`` (then the remainder of the file is dropped — a real
+    crawl tolerates a torn tail, tests do not).
+    """
+    data = _maybe_gunzip(data)
+    out: List[Tuple[str, Optional[pd.Timestamp], bytes]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if not data.startswith(b"WARC/", pos) or hdr_end < 0:
+            if lenient:
+                break
+            raise ValueError(f"malformed WARC record at byte {pos} in {source}")
+        headers = {}
+        for line in data[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers[b"content-length"])
+        except (KeyError, ValueError):
+            if lenient:
+                break
+            raise ValueError(f"missing Content-Length at byte {pos} in {source}")
+        body_start = hdr_end + 4
+        body_end = body_start + length
+        if body_end > n:
+            if lenient:
+                break
+            raise ValueError(f"truncated record at byte {pos} in {source}")
+        if headers.get(b"warc-type") == b"response":
+            url = headers.get(b"warc-target-uri", b"").decode("utf-8")
+            date_raw = headers.get(b"warc-date")
+            ts = None
+            if date_raw:
+                try:
+                    ts = pd.Timestamp(date_raw.decode()).tz_localize(None)
+                except ValueError:
+                    ts = None
+            payload = data[body_start:body_end]
+            http_end = payload.find(_CRLF + _CRLF)
+            html = payload[http_end + 4:] if http_end >= 0 else payload
+            out.append((url, ts, html))
+        pos = body_end
+    return out
+
+
+def read_warc(spark: SparkSession, path: str,
+              lenient: bool = False) -> DataFrame:
+    """WARC shards -> pages DataFrame (url, warc_ts, html, text, lang).
+
+    ``text``/``lang`` come back NULL (a WARC carries raw captures;
+    downstream extraction fills text).  One file per task via the
+    ``binaryFile`` source — the scale contract is the Common-Crawl
+    one: shard size is bounded by the writer, so is task memory.
+    """
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("path", "content"))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "warc_ts": [], "html": [],
+                    "text": [], "lang": []}
+            for r in pdf.itertuples(index=False):
+                for url, ts, html in parse_warc(bytes(r.content), r.path,
+                                                lenient=lenient):
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    rows["html"].append(html)
+                    rows["text"].append(None)
+                    rows["lang"].append(None)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(parse, WARC_PAGES_SCHEMA)
