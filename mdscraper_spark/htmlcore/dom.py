@@ -387,6 +387,20 @@ class _TreeBuilder(HTMLParser):
         if data:
             self.stack[-1].append(TextNode(data))
 
+    def handle_pi(self, data: str) -> None:
+        # bs4 html.parser parity: a processing instruction becomes a
+        # ProcessingInstruction STRING node holding exactly the
+        # tokenizer's data (everything between '<?' and the FIRST '>',
+        # so '<?php echo "<p>x" ?>' yields 'php echo "<p' and the
+        # remainder re-parses as markup — empirically pinned in
+        # tests/test_htmlcore.py).  The reference's converter walks all
+        # NavigableStrings except Comment/Doctype, so PI content
+        # surfaces as plain text in the Markdown; stdlib HTMLParser's
+        # default silent drop would diverge bytes on PHP/ASP-littered
+        # real-web pages.
+        if data:
+            self.stack[-1].append(TextNode(data))
+
 
 def parse_html(html_text: str) -> Document:
     """Parse an HTML string into a Document tree."""

@@ -232,6 +232,25 @@ class MarkdownRenderer:
         )
         return "\n" + quoted + "\n\n"
 
+    # definition lists (markdownify convert_dt/convert_dd, PHP-Markdown
+    #-Extra style: bare term line, ':   ' definition lines)
+    def _tag_dt(self, el: Element, text: str, parent_tags: frozenset) -> str:
+        text = (text or "").strip()
+        text = _ALL_WS_RE.sub(" ", text)
+        if "_inline" in parent_tags:
+            return " " + text + " "
+        if not text:
+            return ""
+        return "\n\n%s\n" % text
+
+    def _tag_dd(self, el: Element, text: str, parent_tags: frozenset) -> str:
+        text = (text or "").strip()
+        if "_inline" in parent_tags:
+            return " " + text + " "
+        if not text:
+            return ""
+        return ":   %s\n" % text
+
     def _tag_hr(self, el: Element, text: str, parent_tags: frozenset) -> str:
         return "\n\n---\n\n"
 

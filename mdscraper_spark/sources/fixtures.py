@@ -384,12 +384,99 @@ HOSTILE_ENTITY_RUNS = """
 </html>
 """
 
+# round-4 second wave: pre/code whitespace, quote/definition-list
+# structure, foreign content (svg/math/custom elements), and
+# PHP/ASP/bogus-markup litter — the four highest-frequency unpinned
+# shapes left on real pages.
+
+HOSTILE_PRE_CODE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Code</h1>
+        <p>inline <code>a *b* _c_</code> and <code>back`tick</code></p>
+        <pre>def f(x):
+    return x * 2   # trailing spaces follow
+</pre>
+        <pre><code>&lt;div class="content"&gt;escaped markup&lt;/div&gt;
+	tab-indented line</code></pre>
+        <pre></pre>
+        <p>after empty pre</p>
+        <p><kbd>Ctrl</kbd>+<samp>OUT_*raw*</samp></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_QUOTE_DL = """
+<html>
+<body>
+    <div class="content">
+        <h1>Quotes</h1>
+        <blockquote>
+            <p>level one</p>
+            <blockquote><p>level two</p></blockquote>
+            <ul><li>listed in quote</li><li>second</li></ul>
+        </blockquote>
+        <blockquote></blockquote>
+        <p>between</p>
+        <dl>
+            <dt>term one</dt>
+            <dd>definition one</dd>
+            <dt>term two</dt>
+            <dd>first definition</dd>
+            <dd>second definition</dd>
+        </dl>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_FOREIGN = """
+<html>
+<body>
+    <div class="content">
+        <h1>Foreign</h1>
+        <p>before svg</p>
+        <svg width="100" height="100"><title>chart title</title>
+            <text x="0" y="15">svg text node</text>
+            <circle cx="50" cy="50" r="40"/>
+        </svg>
+        <math><mrow><mi>x</mi><mo>=</mo><mn>1</mn></mrow></math>
+        <x-widget data-v="1"><p>custom element body</p></x-widget>
+        <ns:item>namespaced</ns:item>
+        <p>after foreign</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_PI_BOGUS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Server Litter</h1>
+        <p>a<?php echo "<b>x</b>"; ?>b</p>
+        <p><% response.write("asp") %></p>
+        <p>1 < 2 and < notatag stay text</p>
+        <p><!bogus>after bogus comment</p>
+        <p>x<!DOCTYPE html>y doctype in body</p>
+        <p>stray close</ div>lost: '&lt;/ div&gt;' closed the container</p>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
     "article-basic": ARTICLE_BASIC,
     "hostile-attr-soup": HOSTILE_ATTR_SOUP,
     "hostile-cdata-body": HOSTILE_CDATA_BODY,
     "hostile-deep-tables": HOSTILE_DEEP_TABLES,
     "hostile-entity-runs": HOSTILE_ENTITY_RUNS,
+    "hostile-pre-code": HOSTILE_PRE_CODE,
+    "hostile-quote-dl": HOSTILE_QUOTE_DL,
+    "hostile-foreign": HOSTILE_FOREIGN,
+    "hostile-pi-bogus": HOSTILE_PI_BOGUS,
     "hostile-comments": HOSTILE_COMMENTS,
     "hostile-script-cdata": HOSTILE_SCRIPT_CDATA,
     "hostile-misnest": HOSTILE_MISNEST,

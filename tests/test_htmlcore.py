@@ -182,3 +182,37 @@ def test_newline_cap_holds_across_all_newline_pieces():
     md = render_markdown(root.find("div"))
     assert "\n\n\n" not in md
     assert md == "one\n\ntwo"
+
+
+def test_pi_surfaces_as_text_and_tokenizes_at_first_gt():
+    # bs4 html.parser parity: PI content = everything between '<?' and
+    # the FIRST '>', kept as a string node; the remainder re-parses as
+    # markup ('</b>' pops nothing, '"; ?>b' is data).
+    root = parse_html('<p>a<?php echo "<b>x</b>"; ?>b</p>')
+    p = root.find("p")
+    assert p.get_text() == 'aphp echo "<bx"; ?>b'
+
+
+def test_pi_inside_script_is_raw_data():
+    # script content is CDATA mode: '<?' there is plain data, no PI
+    root = parse_html('<script><?php echo 1; ?></script><p>t</p>')
+    script = root.find("script")
+    assert script.get_text() == "<?php echo 1; ?>"
+
+
+def test_bogus_end_tag_with_space_pops_matching_open():
+    # '</ div>' parses as an end tag for div (html.parser leniency):
+    # it closes the nearest open div, so 'after' lands OUTSIDE it
+    root = parse_html('<div class="c"><p>in</p></ div><p>after</p></div>')
+    div = root.find("div")
+    assert div.get_text() == "in"
+
+
+def test_definition_list_renders_php_markdown_extra_style():
+    from mdscraper_spark.mdrender.render import render_markdown
+
+    root = parse_html(
+        "<div><dl><dt>term</dt><dd>def one</dd><dd>def two</dd>"
+        "<dt></dt><dd></dd></dl></div>")
+    md = render_markdown(root.find("div"))
+    assert md == "term\n:   def one\n:   def two"
