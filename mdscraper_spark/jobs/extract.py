@@ -50,6 +50,11 @@ def create_cli_parser() -> argparse.ArgumentParser:
     src.add_argument("--input", help="pages parquet/Iceberg path")
     src.add_argument("--synthesize", type=int, metavar="N",
                      help="generate N deterministic synthetic pages")
+    p.add_argument("--format", default="table", choices=("table", "warc"),
+                   dest="input_format",
+                   help="--input format: 'table' (parquet/Iceberg pages "
+                        "table, default) or 'warc' (directory of "
+                        "Common-Crawl-style WARC/1.0 response shards)")
     mode = p.add_mutually_exclusive_group()
     mode.add_argument("--url", default=None,
                       help="process the single pages row with this url")
@@ -162,8 +167,13 @@ def main(argv=None) -> None:
     from mdscraper_spark.sources.pages import bulk_pages_df
 
     spark = get_spark("mdscraper-spark-extract", master=args.master)
-    pages = (spark.read.parquet(args.input) if args.input
-             else bulk_pages_df(spark, args.synthesize))
+    if args.input and args.input_format == "warc":
+        from mdscraper_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    else:
+        pages = (spark.read.parquet(args.input) if args.input
+                 else bulk_pages_df(spark, args.synthesize))
 
     if args.url:
         pages = pages.filter(F.col("url") == args.url)

@@ -272,3 +272,32 @@ def test_doc_path_join_semantics(spark):
     assert ok == "/abs/notes.md"          # absolute fixed name wins
     ok, _ = path_of(ExtractConfig(output="notes.md", outdir="out"))
     assert ok == "out/notes.md"
+
+
+def test_warc_input_format_matches_parquet_run(spark, tmp_path):
+    """--format warc (round 4): the job reads Common-Crawl-style WARC
+    shards and produces the SAME markdown_docs rows as the parquet run
+    over identical pages (text/lang are NULL in a WARC capture, so the
+    comparison is on url+markdown — the byte contract surface)."""
+    from mdscraper_spark.jobs.extract import main
+    from mdscraper_spark.sources import warc
+    from mdscraper_spark.sources.tables import Warehouse
+
+    pq = _pages_parquet(spark, tmp_path)
+    shard_dir = str(tmp_path / "warc_in")
+    warc.write_warc_shards(spark.read.parquet(pq), shard_dir).collect()
+
+    wh_w = str(tmp_path / "wh_warc")
+    main(["--input", shard_dir, "--format", "warc", "--warehouse", wh_w,
+          "--extract-only", "--n-buckets", "4"])
+    wh_p = str(tmp_path / "wh_pq")
+    main(["--input", pq, "--warehouse", wh_p,
+          "--extract-only", "--n-buckets", "4"])
+
+    def docs(wh):
+        return sorted((r.url, r.markdown, r.status)
+                      for r in Warehouse(spark, wh)
+                      .read_table("markdown_docs").collect())
+
+    got, want = docs(wh_w), docs(wh_p)
+    assert got == want and len(got) == 6
