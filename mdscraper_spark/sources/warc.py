@@ -233,19 +233,11 @@ def parse_warc(data: bytes, source: str = "<bytes>",
     return out
 
 
-def read_warc(spark: SparkSession, path: str,
-              lenient: bool = False) -> DataFrame:
-    """WARC shards -> pages DataFrame (url, warc_ts, html, text, lang).
-
-    ``text``/``lang`` come back NULL (a WARC carries raw captures;
-    downstream extraction fills text).  One file per task via the
-    ``binaryFile`` source — the scale contract is the Common-Crawl
-    one: shard size is bounded by the writer, so is task memory.
-    """
-    files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.warc*")
-             .load(path)
-             .select("path", "content"))
+def files_to_pages(files: DataFrame, lenient: bool = False) -> DataFrame:
+    """(path, content) binary-file rows -> pages rows; the ONE record
+    walk shared by batch ``read_warc`` and the streaming ingest
+    (streaming/incremental.py stream_pages_from_warc), so the two
+    paths cannot drift."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -261,4 +253,20 @@ def read_warc(spark: SparkSession, path: str,
                     rows["lang"].append(None)
             yield pd.DataFrame(rows)
 
-    return files.mapInPandas(parse, WARC_PAGES_SCHEMA)
+    return files.select("path", "content").mapInPandas(
+        parse, WARC_PAGES_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str,
+              lenient: bool = False) -> DataFrame:
+    """WARC shards -> pages DataFrame (url, warc_ts, html, text, lang).
+
+    ``text``/``lang`` come back NULL (a WARC carries raw captures;
+    downstream extraction fills text).  One file per task via the
+    ``binaryFile`` source — the scale contract is the Common-Crawl
+    one: shard size is bounded by the writer, so is task memory.
+    """
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path))
+    return files_to_pages(files, lenient=lenient)

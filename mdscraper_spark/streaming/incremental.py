@@ -73,3 +73,46 @@ def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
              .trigger(availableNow=True)
              .start())
     query.awaitTermination()
+
+
+def stream_pages_from_warc(spark: SparkSession, shard_dir: str) -> DataFrame:
+    """Streaming pages source over ARRIVING WARC shards (round 4).
+
+    ``binaryFile`` is a FileFormat, so it composes with the file-stream
+    source: each newly-landed shard becomes one task's input, exactly
+    once per checkpoint — the standing-ingest twin of the batch
+    ``sources.warc.read_warc``.  The record walk is the identical
+    parser, so batch and streaming WARC ingest cannot drift.  Memory
+    bound per task = shard size, chosen by the crawler that writes the
+    shards (the Common-Crawl contract).
+    """
+    from mdscraper_spark.sources.warc import files_to_pages
+
+    # the file-stream source requires an explicit schema; binaryFile's
+    # is fixed by the format
+    binary_file_schema = ("path string, modificationTime timestamp, "
+                          "length long, content binary")
+    files = (spark.readStream.format("binaryFile")
+             .schema(binary_file_schema)
+             .option("pathGlobFilter", "*.warc*")
+             .load(shard_dir))
+    return files_to_pages(files)
+
+
+def stream_extract_warc(spark: SparkSession, shard_dir: str,
+                        output_dir: str, checkpoint_dir: str,
+                        config: ExtractConfig) -> None:
+    """Incremental extraction straight off arriving WARC shards:
+    drain the current backlog (availableNow) through the SAME Arrow
+    extraction operator and append markdown_docs parquet; the
+    checkpoint makes re-runs exactly-once per shard."""
+    docs = extract_markdown(stream_pages_from_warc(spark, shard_dir),
+                            config)
+    query = (docs.writeStream
+             .format("parquet")
+             .option("path", output_dir)
+             .option("checkpointLocation", checkpoint_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
