@@ -467,12 +467,89 @@ HOSTILE_PI_BOGUS = """
 </html>
 """
 
+# round-4 third wave: interactive-widget litter, inline media/link
+# nesting, hard-break/rule runs, and iframe/noscript fallbacks.
+
+HOSTILE_FORMS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Forms</h1>
+        <p>before form</p>
+        <form action="/s" method="post">
+            <label for="q">Search label</label>
+            <input type="text" id="q" value="typed value">
+            <select><option>opt a</option><option selected>opt b</option></select>
+            <textarea>area text</textarea>
+            <button type="submit">Go button</button>
+        </form>
+        <p>after form</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_MEDIA_LINKS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Media <img src="h.jpg" alt="head img"> Links</h1>
+        <p><a href="/x"><img src="i.jpg" alt="linked img"></a></p>
+        <p><a href="https://example.com/auto">https://example.com/auto</a></p>
+        <p><a href="/t" title="the title">titled link</a></p>
+        <p><img src="t.jpg" alt="titled img" title="img title"></p>
+        <p><em>em <strong>both</strong></em> <strong><em>swapped</em></strong></p>
+        <p><a href="/empty"></a>after empty link</p>
+        <p><a>no href text</a></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_BR_HR = """
+<html>
+<body>
+    <div class="content">
+        <h1>Breaks<br>inside heading</h1>
+        <p>line one<br>line two<br><br>after double break</p>
+        <hr>
+        <p>between rules</p>
+        <hr>
+        <hr>
+        <p>after adjacent rules</p>
+        <ul><li>item<br>continued</li></ul>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_IFRAME_NOSCRIPT = """
+<html>
+<body>
+    <div class="content">
+        <h1>Frames</h1>
+        <p>before</p>
+        <iframe src="https://embed.test/w"></iframe>
+        <noscript><p>noscript fallback text</p></noscript>
+        <object data="movie.swf"><p>object fallback</p></object>
+        <embed src="plugin.swf">
+        <canvas>canvas fallback</canvas>
+        <p>after</p>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
     "article-basic": ARTICLE_BASIC,
     "hostile-attr-soup": HOSTILE_ATTR_SOUP,
     "hostile-cdata-body": HOSTILE_CDATA_BODY,
     "hostile-deep-tables": HOSTILE_DEEP_TABLES,
     "hostile-entity-runs": HOSTILE_ENTITY_RUNS,
+    "hostile-forms": HOSTILE_FORMS,
+    "hostile-media-links": HOSTILE_MEDIA_LINKS,
+    "hostile-br-hr": HOSTILE_BR_HR,
+    "hostile-iframe-noscript": HOSTILE_IFRAME_NOSCRIPT,
     "hostile-pre-code": HOSTILE_PRE_CODE,
     "hostile-quote-dl": HOSTILE_QUOTE_DL,
     "hostile-foreign": HOSTILE_FOREIGN,
