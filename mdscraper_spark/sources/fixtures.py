@@ -540,7 +540,31 @@ HOSTILE_IFRAME_NOSCRIPT = """
 </html>
 """
 
+# round-4 fourth wave: the inline-semantics tail — strikethrough
+# family, sub/sup, highlight/insert/underline (pass-through), docs-page
+# furniture (details/summary, figure/figcaption), and ruby annotations
+# (rt text surfaces inline — the documented markdownify behavior).
+
+HOSTILE_INLINE_TAIL = """
+<html>
+<body>
+    <div class="content">
+        <h1>Inline Tail</h1>
+        <p><del>deleted</del> and <s>struck</s> and <strike>old strike</strike></p>
+        <p>H<sub>2</sub>O and x<sup>2</sup> stay flat</p>
+        <p><mark>marked</mark> <ins>inserted</ins> <u>underlined</u> <small>small</small></p>
+        <p><abbr title="HyperText">HT</abbr> at <time datetime="2025-06-14">launch day</time></p>
+        <details><summary>click me</summary><p>hidden body</p></details>
+        <figure><img src="f.jpg" alt="fig img"><figcaption>the caption</figcaption></figure>
+        <p><ruby>漢<rt>kan</rt>字<rt>ji</rt></ruby> annotated</p>
+        <p><span class="a"><span class="b">nested spans</span></span></p>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-inline-tail": HOSTILE_INLINE_TAIL,
     "article-basic": ARTICLE_BASIC,
     "hostile-attr-soup": HOSTILE_ATTR_SOUP,
     "hostile-cdata-body": HOSTILE_CDATA_BODY,
