@@ -27,6 +27,10 @@ def main(argv=None) -> None:
         description="standing KG ingest + periodic canonicalization")
     p.add_argument("--input", required=True,
                    help="pages parquet dir (streamed, new files picked up)")
+    p.add_argument("--format", default="parquet",
+                   choices=("parquet", "warc"), dest="input_format",
+                   help="--input format: parquet pages dir (default) or "
+                        "a directory of arriving WARC/1.0 shards")
     p.add_argument("--warehouse", required=True)
     p.add_argument("--checkpoint", required=True,
                    help="streaming checkpoint dir (exactly-once state)")
@@ -61,7 +65,8 @@ def main(argv=None) -> None:
         cfg = ExtractConfig(
             exclude_selectors=tuple(args.exclude_selectors))
         stream_kg_update(spark, args.input, args.warehouse,
-                         args.checkpoint, cfg)
+                         args.checkpoint, cfg,
+                         input_format=args.input_format)
         out["ingested"] = True
     if args.canonicalize:
         nodes, edges = canonicalize_accumulated(

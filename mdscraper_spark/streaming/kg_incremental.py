@@ -185,17 +185,26 @@ def apply_kg_batch(spark: SparkSession, batch_df, batch_id: int,
 
 def stream_kg_update(spark: SparkSession, input_dir: str,
                      warehouse_path: str, checkpoint_dir: str,
-                     config: ExtractConfig | None = None) -> None:
+                     config: ExtractConfig | None = None,
+                     input_format: str = "parquet") -> None:
     """Drain currently-available page files into the accumulated
     raw_edges table (availableNow + checkpoint = one exactly-once
-    incremental ingest per invocation)."""
+    incremental ingest per invocation).  ``input_format='warc'``
+    ingests arriving Common-Crawl-style WARC shards instead of a
+    parquet pages directory (same record walk as the batch source)."""
     import os
 
     config = config or ExtractConfig()
     # the checkpoint location IS the stream identity: batch ids are
     # only meaningful within one checkpoint's numbering
     stream_id = os.path.abspath(checkpoint_dir)
-    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    if input_format == "warc":
+        from mdscraper_spark.streaming.incremental import (
+            stream_pages_from_warc)
+
+        pages = stream_pages_from_warc(spark, input_dir)
+    else:
+        pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
 
     def update(batch_df, batch_id) -> None:
         apply_kg_batch(spark, batch_df, int(batch_id), warehouse_path,

@@ -407,3 +407,34 @@ def test_stream_extract_from_warc_shards(spark, tmp_path):
         spark.createDataFrame(all_pages, PAGES_SCHEMA), CFG).collect()
     want = {r.url: r.markdown for r in batch}
     assert {r.url: r.markdown for r in docs} == want
+
+
+def test_kg_stream_from_warc_matches_parquet_ingest(spark, tmp_path):
+    """Round 4: the standing KG ingest accepts WARC shards
+    (input_format='warc') and accumulates to the SAME canonical
+    nodes/edges as the parquet-pages ingest over identical pages."""
+    from mdscraper_spark.sources import warc
+    from mdscraper_spark.streaming.kg_incremental import (
+        canonicalize_accumulated, stream_kg_update)
+
+    all_pages = bulk_pages_df(spark, 30).collect()
+
+    pq_in = str(tmp_path / "pages_pq")
+    spark.createDataFrame(all_pages, PAGES_SCHEMA).write.parquet(pq_in)
+    wh_pq = str(tmp_path / "wh_pq")
+    stream_kg_update(spark, pq_in, wh_pq, str(tmp_path / "ck_pq"), CFG)
+    nodes_pq, edges_pq = canonicalize_accumulated(spark, wh_pq)
+    want = (sorted(map(tuple, nodes_pq.collect())),
+            sorted(map(tuple, edges_pq.collect())))
+
+    warc_in = str(tmp_path / "pages_warc")
+    warc.write_warc_shards(
+        spark.createDataFrame(all_pages, PAGES_SCHEMA).repartition(3),
+        warc_in).collect()
+    wh_w = str(tmp_path / "wh_warc")
+    stream_kg_update(spark, warc_in, wh_w, str(tmp_path / "ck_w"), CFG,
+                     input_format="warc")
+    nodes_w, edges_w = canonicalize_accumulated(spark, wh_w)
+    got = (sorted(map(tuple, nodes_w.collect())),
+           sorted(map(tuple, edges_w.collect())))
+    assert got == want
