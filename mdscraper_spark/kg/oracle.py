@@ -116,11 +116,20 @@ def run_oracle(pages: Iterable[Tuple[str, str]],
     )
 
     edge_support: Dict[Tuple[str, str, str], int] = defaultdict(int)
+    edge_urls: Dict[Tuple[str, str, str], set] = defaultdict(set)
     for url, sid, subj, pred, obj, conf in triples:
         src = canon_of.get(rules.surface_node(subj), rules.surface_node(subj))
         dst = canon_of.get(rules.surface_node(obj), rules.surface_node(obj))
         edge_support[(src, pred, dst)] += 1
+        edge_urls[(src, pred, dst)].add(url)
     kg_edges = sorted((s, p, d, n) for (s, p, d), n in edge_support.items())
+    # per-edge provenance: distinct supporting docs + lexicographic
+    # first/last supporting url (ASCII urls: Python min/max == Spark
+    # min/max on the same strings)
+    kg_edge_prov = sorted(
+        (s, p, d, n, len(edge_urls[(s, p, d)]),
+         min(edge_urls[(s, p, d)]), max(edge_urls[(s, p, d)]))
+        for (s, p, d), n in edge_support.items())
 
     return {
         "markdown_docs": markdown_docs,
@@ -130,4 +139,5 @@ def run_oracle(pages: Iterable[Tuple[str, str]],
         "canonical_map": canonical_map,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
+        "kg_edge_prov": kg_edge_prov,
     }

@@ -516,10 +516,14 @@ def build_kg_nodes_from_counts(canonical_map: DataFrame,
     return _label_nodes(counted, aliases)
 
 
-def build_kg_edges(triples: DataFrame, canonical_map: DataFrame) -> DataFrame:
-    """kg_edges(src, pred, dst, n_support): triples mapped onto canonical
-    ids (two joins on the canonical_map — broadcast-hinted only when
-    the size gate proved it driver-sized), deduped by support count."""
+def _canonicalized_triples(triples: DataFrame,
+                           canonical_map: DataFrame) -> DataFrame:
+    """Shared front half of the edge builders: map raw (subj, pred,
+    obj) surfaces onto canonical ids via two left joins on the
+    canonical_map (broadcast-hinted only when the size gate proved it
+    driver-sized); unlinked surfaces keep their surface node id.
+    Passes every other triple column (url, sent_id, conf) through for
+    downstream aggregation."""
     cmap = _maybe_broadcast(canonical_map)
     subj_node = F.concat(F.lit("s:"), _norm_col(F.col("subj")))
     obj_node = F.concat(F.lit("s:"), _norm_col(F.col("obj")))
@@ -530,12 +534,33 @@ def build_kg_edges(triples: DataFrame, canonical_map: DataFrame) -> DataFrame:
                 .withColumnRenamed("canon_id", "src_canon"), "subj_node", "left")
          .join(cmap.withColumnRenamed("node_id", "obj_node")
                .withColumnRenamed("canon_id", "dst_canon"), "obj_node", "left"))
-    return (t.select(
-                F.coalesce("src_canon", "subj_node").alias("src"),
-                F.col("pred"),
-                F.coalesce("dst_canon", "obj_node").alias("dst"))
+    return (t.withColumn("src", F.coalesce("src_canon", "subj_node"))
+            .withColumn("dst", F.coalesce("dst_canon", "obj_node"))
+            .drop("subj_node", "obj_node", "src_canon", "dst_canon"))
+
+
+def build_kg_edges(triples: DataFrame, canonical_map: DataFrame) -> DataFrame:
+    """kg_edges(src, pred, dst, n_support): triples mapped onto canonical
+    ids, deduped by support count."""
+    return (_canonicalized_triples(triples, canonical_map)
             .groupBy("src", "pred", "dst")
             .agg(F.count(F.lit(1)).alias("n_support")))
+
+
+def build_kg_edges_with_provenance(triples: DataFrame,
+                                   canonical_map: DataFrame) -> DataFrame:
+    """Edge provenance (round 4): kg_edges extended with the lineage a
+    production KG needs to audit an assertion — how many distinct
+    documents support the edge and the lexicographic first/last
+    supporting url.  Same single shuffle as build_kg_edges (the extra
+    aggregates ride the same groupBy); countDistinct is exact here
+    because the group key already co-locates each edge's rows."""
+    return (_canonicalized_triples(triples, canonical_map)
+            .groupBy("src", "pred", "dst")
+            .agg(F.count(F.lit(1)).alias("n_support"),
+                 F.countDistinct("url").alias("n_docs"),
+                 F.min("url").alias("first_url"),
+                 F.max("url").alias("last_url")))
 
 
 def build_kg_edges_from_support(support: DataFrame,

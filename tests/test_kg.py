@@ -235,3 +235,33 @@ def test_cc_max_iter_plumbed_through_dedup_surfaces(spark):
     got = {r.doc_id: r.keep
            for r in near_dedup_groups(docs, cc_max_iter=50).collect()}
     assert got == {0: True, 1: False, 2: True}
+
+
+def test_edge_provenance_counts_and_url_span(spark):
+    """Round 4: build_kg_edges_with_provenance = build_kg_edges plus
+    exact distinct-doc counts and the lexicographic url span, one
+    shuffle total."""
+    from mdscraper_spark.operators.kg import (build_kg_edges,
+                                              build_kg_edges_with_provenance)
+
+    triples = spark.createDataFrame(
+        [("https://d.test/2", 0, "Ada Lovelace", "works_for", "Acme", 0.9),
+         ("https://d.test/1", 0, "Ada Lovelace", "works_for", "Acme", 0.9),
+         ("https://d.test/1", 1, "Ada Lovelace", "works_for", "Acme", 0.9),
+         ("https://d.test/3", 0, "Ada Lovelace", "born_in", "London", 0.8)],
+        "url string, sent_id int, subj string, pred string, obj string, "
+        "conf double")
+    cmap = spark.createDataFrame([("s:ada lovelace", "e:1")],
+                                 "node_id string, canon_id string")
+    rows = {(r.src, r.pred, r.dst): r for r in
+            build_kg_edges_with_provenance(triples, cmap).collect()}
+    works = rows[("e:1", "works_for", "s:acme")]
+    assert (works.n_support, works.n_docs) == (3, 2)
+    assert works.first_url == "https://d.test/1"
+    assert works.last_url == "https://d.test/2"
+    born = rows[("e:1", "born_in", "s:london")]
+    assert (born.n_support, born.n_docs) == (1, 1)
+    # provenance agrees with the flagship edge build on (edge, support)
+    flag = {(r.src, r.pred, r.dst): r.n_support
+            for r in build_kg_edges(triples, cmap).collect()}
+    assert {k: v.n_support for k, v in rows.items()} == flag

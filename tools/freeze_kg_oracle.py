@@ -117,6 +117,18 @@ def freeze(sf_dir: str) -> None:
                     [(c, l, int(m), sig) for c, l, m in kg_nodes])
     con.execute(f"COPY n TO '{out_nodes}' (FORMAT PARQUET)")
 
+    # edge provenance (round 4): same single-threaded derivation,
+    # extended with distinct-doc counts and first/last supporting url
+    out_prov = OUT_DIR / f"kg_prov_{fsig}.parquet"
+    con.execute("CREATE TABLE pv (src VARCHAR, pred VARCHAR, dst VARCHAR, "
+                "n_support BIGINT, n_docs BIGINT, first_url VARCHAR, "
+                "last_url VARCHAR, corpus_sig VARCHAR)")
+    con.executemany(
+        "INSERT INTO pv VALUES (?, ?, ?, ?, ?, ?, ?, ?)",
+        [(s, p, d, int(n), int(nd), fu, lu, sig)
+         for s, p, d, n, nd, fu, lu in derived["kg_edge_prov"]])
+    con.execute(f"COPY pv TO '{out_prov}' (FORMAT PARQUET)")
+
     # PageRank expected values, replayed single-threaded over the
     # SAME frozen edges (for the kg_pagerank oracle row)
     pr = py_pagerank([(s, d) for s, _p, d, _n in edges])
