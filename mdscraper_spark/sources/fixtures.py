@@ -540,6 +540,46 @@ HOSTILE_IFRAME_NOSCRIPT = """
 </html>
 """
 
+# round-4 fifth wave: table span/structure quirks and list edges —
+# the two highest-frequency block shapes left unpinned.
+
+HOSTILE_TABLE_SPAN = """
+<html>
+<body>
+    <div class="content">
+        <h1>Spans</h1>
+        <table>
+            <tr><th colspan="2">wide header</th><th>h3</th></tr>
+            <tr><td rowspan="2">tall</td><td>b1</td><td>c1</td></tr>
+            <tr><td>b2</td><td></td></tr>
+            <tr><td>a3<td>b3<td>c3</tr>
+            <tr><td><h2>heading in cell</h2><ul><li>list in cell</li></ul></td>
+                <td><p>para one</p><p>para two</p></td><td>plain</td></tr>
+        </table>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_LIST_EDGE = """
+<html>
+<body>
+    <div class="content">
+        <h1>List Edges</h1>
+        <ol start="5"><li>five</li><li>six</li></ol>
+        <ol reversed><li>r1</li><li>r2</li></ol>
+        <ul>
+            <li><p>loose para one</p><p>loose para two</p></li>
+            <li>tight item</li>
+        </ul>
+        <ul><li>d1<ul><li>d2<ul><li>d3<ul><li>d4</li></ul></li></ul></li></ul></li></ul>
+        <li>orphan li outside any list</li>
+        <ul><li><blockquote><p>quote in item</p></blockquote></li></ul>
+    </div>
+</body>
+</html>
+"""
+
 # round-4 fourth wave: the inline-semantics tail — strikethrough
 # family, sub/sup, highlight/insert/underline (pass-through), docs-page
 # furniture (details/summary, figure/figcaption), and ruby annotations
@@ -565,6 +605,8 @@ HOSTILE_INLINE_TAIL = """
 
 FIXTURE_CASES: Dict[str, str] = {
     "hostile-inline-tail": HOSTILE_INLINE_TAIL,
+    "hostile-table-span": HOSTILE_TABLE_SPAN,
+    "hostile-list-edge": HOSTILE_LIST_EDGE,
     "article-basic": ARTICLE_BASIC,
     "hostile-attr-soup": HOSTILE_ATTR_SOUP,
     "hostile-cdata-body": HOSTILE_CDATA_BODY,
