@@ -540,6 +540,60 @@ HOSTILE_IFRAME_NOSCRIPT = """
 </html>
 """
 
+# round-4 sixth wave: unicode whitespace, link-scheme edges (incl. the
+# root_url rewrite over fragment/scheme/protocol-relative hrefs), and
+# heading edges.
+
+HOSTILE_WS_UNICODE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Unicode Space</h1>
+        <p>nbsp&nbsp;&nbsp;run and ideographic　space</p>
+        <p>zero​width‍join and bidi ‪embed‬ marks</p>
+        <p>line sep and para sep survive as text</p>
+        <p>vtab\x0bhere formfeed\x0chere</p>
+        <p>combining é acute and precomposed é</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_LINK_EDGE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Link Edges</h1>
+        <p><a href="javascript:alert(1)">js scheme</a></p>
+        <p><a href="mailto:a@b.test">mail me</a> <a href="tel:+15551234">call</a></p>
+        <p><a href="#section-2">fragment only</a></p>
+        <p><a href="//cdn.test/lib.js">protocol relative</a></p>
+        <p><a href="">empty href</a></p>
+        <p><a href="/path with spaces/doc.html">spaced path</a></p>
+        <p><a href="data:text/plain;base64,aGk=">data uri</a></p>
+        <p><a href="relative/sub.html">relative path</a></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_HEADING_EDGE = """
+<html>
+<body>
+    <div class="content">
+        <h1>First H1</h1>
+        <h7>not a real heading</h7>
+        <h2></h2>
+        <h2><img src="only.jpg" alt="only img"></h2>
+        <h3>trailing hashes ###</h3>
+        <h1>Second H1 later</h1>
+        <ul><li><h4>heading in item</h4></li></ul>
+        <h2>after list</h2>
+    </div>
+</body>
+</html>
+"""
+
 # round-4 fifth wave: table span/structure quirks and list edges —
 # the two highest-frequency block shapes left unpinned.
 
@@ -607,6 +661,9 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-inline-tail": HOSTILE_INLINE_TAIL,
     "hostile-table-span": HOSTILE_TABLE_SPAN,
     "hostile-list-edge": HOSTILE_LIST_EDGE,
+    "hostile-ws-unicode": HOSTILE_WS_UNICODE,
+    "hostile-link-edge": HOSTILE_LINK_EDGE,
+    "hostile-heading-edge": HOSTILE_HEADING_EDGE,
     "article-basic": ARTICLE_BASIC,
     "hostile-attr-soup": HOSTILE_ATTR_SOUP,
     "hostile-cdata-body": HOSTILE_CDATA_BODY,
