@@ -540,6 +540,82 @@ HOSTILE_IFRAME_NOSCRIPT = """
 </html>
 """
 
+# round-4 seventh wave: macro composition pages — realistic full-page
+# layouts exercising the whole cascade + strip + render path at once
+# (every other family is a micro-surface; these pin the interactions).
+
+REALISTIC_BLOG = """
+<!DOCTYPE html>
+<html lang="en">
+<head>
+    <meta charset="utf-8">
+    <title>Ten Spark Tips — DevBlog</title>
+    <meta name="description" content="tips and tricks">
+    <script src="/js/analytics.js"></script>
+    <style>body { margin: 0 }</style>
+</head>
+<body>
+    <header><nav id="nav"><a href="/">Home</a> <a href="/archive">Archive</a></nav></header>
+    <div class="ads"><a href="https://ads.test/click">BUY NOW</a></div>
+    <aside class="sidebar">
+        <h3>Recent posts</h3>
+        <ul><li><a href="/post/9">Older post</a></li></ul>
+    </aside>
+    <main>
+        <article class="post-content content">
+            <h1>Ten Spark Tips</h1>
+            <p class="byline">By <a href="/authors/sam">Sam Writer</a> on <time datetime="2025-06-01">June 1</time></p>
+            <p>Tip one: <strong>push filters down</strong> before anything else.</p>
+            <blockquote><p>Measure, don't guess.</p></blockquote>
+            <h2>The list</h2>
+            <ol>
+                <li>Broadcast the small side</li>
+                <li>Salt the <em>skewed</em> keys</li>
+            </ol>
+            <figure><img src="/img/dag.png" alt="the DAG"><figcaption>A happy DAG</figcaption></figure>
+            <pre><code>df.groupBy("k").agg(F.sum("v"))</code></pre>
+            <p>Comments? <a href="#comments">Jump below</a>.</p>
+        </article>
+        <section id="comments" class="comments">
+            <h2>3 Comments</h2>
+            <div class="comment"><p>First!</p></div>
+        </section>
+    </main>
+    <footer><p>&copy; 2025 DevBlog · <a href="/privacy">Privacy</a></p></footer>
+</body>
+</html>
+"""
+
+REALISTIC_DOCS = """
+<html>
+<head><title>API Reference</title></head>
+<body>
+    <div id="header"><input type="search" placeholder="Search docs"></div>
+    <div class="toc sidebar"><ul><li><a href="#install">Install</a></li><li><a href="#api">API</a></li></ul></div>
+    <div id="main-content">
+        <h1>API Reference</h1>
+        <p>Version <code>2.1</code> — see the <a href="changelog.html">changelog</a>.</p>
+        <h2 id="install">Install</h2>
+        <pre>pip install example</pre>
+        <h2 id="api">API</h2>
+        <dl>
+            <dt><code>connect(url)</code></dt>
+            <dd>Open a connection. Raises <code>TimeoutError</code> after 60s.</dd>
+            <dt><code>close()</code></dt>
+            <dd>Idempotent.</dd>
+        </dl>
+        <table>
+            <tr><th>Option</th><th>Default</th></tr>
+            <tr><td><code>retries</code></td><td>3</td></tr>
+            <tr><td><code>timeout</code></td><td>60</td></tr>
+        </table>
+        <div class="admonition warning"><p><strong>Warning:</strong> not thread-safe.</p></div>
+    </div>
+    <div class="footer">Generated by docgen</div>
+</body>
+</html>
+"""
+
 # round-4 sixth wave: unicode whitespace, link-scheme edges (incl. the
 # root_url rewrite over fragment/scheme/protocol-relative hrefs), and
 # heading edges.
@@ -661,6 +737,8 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-inline-tail": HOSTILE_INLINE_TAIL,
     "hostile-table-span": HOSTILE_TABLE_SPAN,
     "hostile-list-edge": HOSTILE_LIST_EDGE,
+    "realistic-blog": REALISTIC_BLOG,
+    "realistic-docs": REALISTIC_DOCS,
     "hostile-ws-unicode": HOSTILE_WS_UNICODE,
     "hostile-link-edge": HOSTILE_LINK_EDGE,
     "hostile-heading-edge": HOSTILE_HEADING_EDGE,
