@@ -540,6 +540,38 @@ HOSTILE_IFRAME_NOSCRIPT = """
 </html>
 """
 
+# round-4 eighth wave: modern media elements — picture/srcset, video/
+# audio with track/source children and fallback text, figure-wrapped
+# responsive images.  <source>/<track> are void, carry no text; the
+# inner <img> of a <picture> renders; fallback text surfaces.
+
+HOSTILE_MEDIA_ELEMENTS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Media Elements</h1>
+        <picture>
+            <source srcset="big.webp 2x, small.webp 1x" type="image/webp">
+            <source srcset="big.jpg" media="(min-width: 800px)">
+            <img src="fallback.jpg" alt="responsive pic">
+        </picture>
+        <p>between</p>
+        <video controls poster="poster.jpg">
+            <source src="clip.mp4" type="video/mp4">
+            <track kind="captions" src="cap.vtt" srclang="en">
+            Your browser does not support video.
+        </video>
+        <audio src="tune.ogg">audio fallback text</audio>
+        <figure>
+            <picture><img src="fig.png" alt="figured pic"></picture>
+            <figcaption>responsive caption</figcaption>
+        </figure>
+        <p>end</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-4 seventh wave: macro composition pages — realistic full-page
 # layouts exercising the whole cascade + strip + render path at once
 # (every other family is a micro-surface; these pin the interactions).
@@ -737,6 +769,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-inline-tail": HOSTILE_INLINE_TAIL,
     "hostile-table-span": HOSTILE_TABLE_SPAN,
     "hostile-list-edge": HOSTILE_LIST_EDGE,
+    "hostile-media-elements": HOSTILE_MEDIA_ELEMENTS,
     "realistic-blog": REALISTIC_BLOG,
     "realistic-docs": REALISTIC_DOCS,
     "hostile-ws-unicode": HOSTILE_WS_UNICODE,
