@@ -103,6 +103,99 @@ def run_kg_pipeline(spark, pages_path: str, salt=None) -> dict:
         mined.unpersist()
 
 
+def materialize_salt_bench(spark, n_mentions: int, dict_reps: int,
+                           workdir: str) -> tuple:
+    """Inputs for the skew/salt bench (generation is NOT timed).
+
+    The fixture alias dictionary is broadcast-sized, so the production
+    pipeline never exercises the salted join under time; this builds the
+    case the salted path exists for (verdict-r4 item 3):
+
+    * dictionary: fixture aliases x ``dict_reps`` suffixed replicas
+      (~150k rows, ~12 MiB by decide_salt's estimator -> over the
+      10 MiB broadcast threshold, so salt="auto" picks the salted path);
+      rep 0 keeps the original surfaces so mentions still match.
+    * mentions: ``n_mentions`` rows where 80% share ONE hub surface —
+      an unsalted shuffle join piles those onto a single partition.
+    """
+    from pyspark.sql import functions as F
+
+    from mdscraper_spark.operators import kg as kg_ops
+    from mdscraper_spark.sources import fixtures
+
+    aliases = kg_ops.alias_df(spark)
+    big = (aliases
+           .withColumn("rep", F.explode(
+               F.sequence(F.lit(0), F.lit(dict_reps - 1))))
+           .select(
+               F.when(F.col("rep") == 0, F.col("alias"))
+                .otherwise(F.concat_ws("_", "alias", "rep"))
+                .alias("alias"),
+               "entity_id", "canonical", "etype", "prior"))
+    dict_path = str(pathlib.Path(workdir) / "salt_dict")
+    big.write.mode("overwrite").parquet(dict_path)
+
+    hub = " ".join(fixtures.org_name(0).split()[:2])   # shared hub alias
+    tail = [fixtures.org_name(k) for k in range(1, 33)]
+    mentions = (spark.range(n_mentions, numPartitions=64)
+                .select(
+                    F.concat(F.lit("https://bench.example/p"),
+                             F.col("id")).alias("url"),
+                    F.lit(0).alias("sent_id"),
+                    (F.col("id") % 7).cast("int").alias("span_start"),
+                    ((F.col("id") % 7) + 9).cast("int").alias("span_end"),
+                    F.when(F.col("id") % 10 < 8, F.lit(hub))
+                     .otherwise(F.element_at(
+                         F.array(*[F.lit(t) for t in tail]),
+                         (F.col("id") % 32 + 1).cast("int")))
+                     .alias("surface"),
+                    F.lit("ORG").alias("mtype")))
+    mentions_path = str(pathlib.Path(workdir) / "salt_mentions")
+    mentions.write.mode("overwrite").parquet(mentions_path)
+    return dict_path, mentions_path
+
+
+def run_salt_bench(spark, timed_min, timings: dict, sf: float,
+                   cpus: int, weather: dict) -> None:
+    """Timed broadcast-vs-salted evidence on the skewed workload.
+
+    Three placements of the same join, byte-identical outputs
+    (tests/test_kg.py pins that); recorded names:
+      kg_link_broadcast    salt=None  (forced broadcast hash join)
+      kg_link_skew_shuffle salt=1     (shuffle join, hub key unsalted —
+                                       the failure mode salting fixes;
+                                       AQE's skew split is ON, so this
+                                       also measures the AQE fallback)
+      kg_link_salted       salt=cpus  (hub spread over `cpus` partitions)
+    """
+    from mdscraper_spark.operators import kg as kg_ops
+
+    n_mentions = max(200_000, int(20_000_000 * sf))
+    workdir = tempfile.mkdtemp(prefix="bench_salt_")
+    try:
+        # 384 reps x 500 fixture aliases ~= 15 MiB by decide_salt's
+        # estimator — comfortably past the 10 MiB broadcast threshold
+        dict_path, mentions_path = materialize_salt_bench(
+            spark, n_mentions, dict_reps=384, workdir=workdir)
+        big_dict = spark.read.parquet(dict_path)
+        big_dict._mdscraper_salt_key = f"bench_salt_dict_{n_mentions}"
+        mentions = spark.read.parquet(mentions_path)
+        # sanity: the auto path must actually choose salting here,
+        # else the dictionary is under-sized and the bench is vacuous
+        auto = kg_ops.decide_salt(big_dict)
+        weather["salt_auto_decision"] = auto
+        assert auto is not None, "salt bench dictionary under threshold"
+        for name, salt in (("kg_link_broadcast", None),
+                           ("kg_link_skew_shuffle", 1),
+                           ("kg_link_salted", min(cpus, 32))):
+            fn = lambda s=salt: force(
+                kg_ops.link_entities(mentions, big_dict, salt=s))
+            fn()                                   # warm-up
+            timings[name] = round(timed_min(name, fn), 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -172,6 +265,10 @@ def main() -> None:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
+    # -- skew/salt join evidence (verdict-r4 item 3) ---------------------
+    extra_weather: dict = {}
+    run_salt_bench(spark, timed_min, timings, sf, cpus, extra_weather)
+
     # -- headline registry queries --------------------------------------
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
@@ -182,7 +279,24 @@ def main() -> None:
             timed_min(name, lambda: force(fn(spark, sf_dir)), reps=3), 3)
 
     total = round(sum(timings.values()), 3)
+    # Weather report (per-rep walls + host-busy fraction around each
+    # rep + loadavg at exit) goes on its OWN line, printed FIRST: the
+    # driver keeps only the last 2000 chars of stdout and parses the
+    # final line, so the headline line below must stay compact and
+    # last.  (Round-4 verdict item 1: folding these diagnostics into
+    # the headline line pushed it past the tail window and cost the
+    # round its official number.)  busy >> what this process can use
+    # alone means the minima below are still UPPER bounds on true cost
+    # (shared-VM contention).
     print(json.dumps({
+        "weather": {
+            "rep_times": rep_times,
+            "rep_host_busy": rep_busy,
+            "loadavg": [round(x, 1) for x in os.getloadavg()],
+            **extra_weather,
+        }
+    }))
+    headline = json.dumps({
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
@@ -191,14 +305,12 @@ def main() -> None:
         "kg_pages": n_pages,
         "kg_pages_per_sec": pages_per_sec,
         "cpus": cpus,
-        # self-interpretation: per-rep walls + host-busy fraction around
-        # each rep, and the 1/5/15-min loadavg at exit.  busy >> what
-        # this process can use alone means the minima above are still
-        # UPPER bounds on true cost (shared-VM contention).
-        "rep_times": rep_times,
-        "rep_host_busy": rep_busy,
-        "loadavg": [round(x, 1) for x in os.getloadavg()],
-    }))
+    })
+    # hard guard: the driver tail is 2000 chars; leave headroom for the
+    # trailing newline and any stray log line.  tests/test_bench_contract.py
+    # enforces this against the real HEADLINE list too.
+    assert len(headline) < 1500, f"headline line too long: {len(headline)}"
+    print(headline)
 
 
 if __name__ == "__main__":

@@ -595,16 +595,23 @@ def build_kg_edges_from_support(support: DataFrame,
 # graph export (round 4): N-Triples interchange
 # ---------------------------------------------------------------------------
 
-_NT_ESCAPES = (("%", "%25"), (" ", "%20"), ("<", "%3C"),
-               (">", "%3E"), ('"', "%22"))
+# The W3C IRIREF production (n-triples grammar) excludes
+# [#x00-#x20] < > " { } | ^ ` \ — ALL of them are percent-encoded, not
+# just the original five (round-4 ADVICE: backslash etc. survive
+# _norm_col, which only collapses \s whitespace, so un-escaped they
+# would render invalid N-Triples lines).  '%' stays FIRST so the
+# mangling is injective: no later replacement can fabricate an escape.
+_NT_ESCAPES = (("%", "%25"),) + tuple(
+    (ch, "%%%02X" % ord(ch))
+    for ch in [chr(c) for c in range(0x21)] + list('<>"{}|^`\\'))
 
 
 def _nt_iri_frag(col):
-    """Deterministic IRI-fragment mangling for node/predicate ids: the
-    five characters that can break an N-Triples IRI token are
-    percent-encoded, '%' first so the encoding is injective.  Pure
-    codegen (chained replace), and the identical chain is expressible
-    in ANSI SQL — see queries.kg_export_ntriples."""
+    """Deterministic IRI-fragment mangling for node/predicate ids: every
+    character the W3C IRIREF production forbids is percent-encoded,
+    '%' first so the encoding is injective.  Pure codegen (chained
+    replace), and the identical chain is expressible in ANSI SQL — see
+    queries.kg_export_ntriples (generated from this same table)."""
     for ch, enc in _NT_ESCAPES:
         col = F.replace(col, F.lit(ch), F.lit(enc))
     return col

@@ -2306,14 +2306,23 @@ def kg_edge_provenance(spark, sf_dir):
         kg_ops.mine_triples(docs), cmap)
 
 
-_NT_SQL_FRAG = ("replace(replace(replace(replace(replace({c},"
-                "'%','%25'),' ','%20'),'<','%3C'),'>','%3E'),'\"','%22')")
+def _nt_sql_frag_expr(c: str) -> str:
+    """ANSI-SQL twin of kg_ops._nt_iri_frag, GENERATED from the same
+    escape table so the Spark render and the DuckDB oracle can never
+    drift (round-4 ADVICE: the hand-written five-replace twin missed
+    the rest of the IRIREF excluded set).  Control chars are spelled
+    chr(n); printable ones as quoted literals."""
+    expr = c
+    for ch, enc in kg_ops._NT_ESCAPES:
+        lit = f"chr({ord(ch)})" if ord(ch) < 0x21 else f"'{ch}'"
+        expr = f"replace({expr},{lit},'{enc}')"
+    return expr
 
 
 @register("kg_export_ntriples", f"""
-SELECT '<urn:kg:e:' || {_NT_SQL_FRAG.format(c='src')} ||
-       '> <urn:kg:p:' || {_NT_SQL_FRAG.format(c='pred')} ||
-       '> <urn:kg:e:' || {_NT_SQL_FRAG.format(c='dst')} ||
+SELECT '<urn:kg:e:' || {_nt_sql_frag_expr('src')} ||
+       '> <urn:kg:p:' || {_nt_sql_frag_expr('pred')} ||
+       '> <urn:kg:e:' || {_nt_sql_frag_expr('dst')} ||
        '> .' AS ntriple,
        n_support
 FROM {_FROZEN_EDGES}

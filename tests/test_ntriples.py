@@ -43,3 +43,43 @@ def test_custom_base(spark):
                                "n_support long")
     (row,) = kg_ops.edges_to_ntriples(df, base="http://kg.test/").collect()
     assert row["ntriple"].startswith("<http://kg.test/e:")
+
+
+def test_full_iriref_excluded_set_escaped(spark):
+    """Round-4 ADVICE: the W3C IRIREF production forbids [#x00-#x20]
+    < > " { } | ^ ` \\ — every one must be percent-encoded, uppercase
+    hex, '%' first."""
+    nasty = 'a\\b{c}d|e^f`g\x01h\x1fi\tj'
+    got = _render(spark, [(nasty, "p", "e:1", 1)])
+    (line,) = got
+    frag = line.split(" ")[0][len("<urn:kg:e:"):-1]
+    assert frag == "a%5Cb%7Bc%7Dd%7Ce%5Ef%60g%01h%1Fi%09j"
+    # nothing the grammar forbids survives in any IRI token
+    forbidden = set('<>"{}|^`\\') | {chr(c) for c in range(0x21)}
+    for tok in line.split(" ")[:3]:
+        assert not (set(tok[1:-1]) & forbidden), tok
+
+
+def test_sql_twin_matches_spark_on_adversarial_input(spark, tmp_path):
+    """The DuckDB oracle fragment is GENERATED from kg_ops._NT_ESCAPES;
+    prove the two renders agree byte-for-byte on inputs covering the
+    whole excluded set."""
+    import duckdb
+
+    from mdscraper_spark.queries import _nt_sql_frag_expr
+
+    rows = [('s:a b<c>"d%e', "rel x", "e:1", 1),
+            ('a\\b{c}d|e^f`g', "p|q", 'e:"2"', 2),
+            ("ctl\x00\x01\x1f\x09end", "p", "e:3", 3),
+            ("plain", "works_for", "e:4", 4)]
+    spark_lines = sorted(_render(spark, rows))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges (src VARCHAR, pred VARCHAR, "
+                "dst VARCHAR, n_support BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?,?,?,?)", rows)
+    sql_lines = sorted(r[0] for r in con.execute(
+        f"SELECT '<urn:kg:e:' || {_nt_sql_frag_expr('src')} ||"
+        f" '> <urn:kg:p:' || {_nt_sql_frag_expr('pred')} ||"
+        f" '> <urn:kg:e:' || {_nt_sql_frag_expr('dst')} || '> .'"
+        " FROM edges").fetchall())
+    assert spark_lines == sql_lines
