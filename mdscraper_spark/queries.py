@@ -2336,6 +2336,63 @@ def kg_export_ntriples(spark, sf_dir):
     return kg_ops.edges_to_ntriples(_flagship_edges(spark, sf_dir))
 
 
+def _nt_sql_literal_expr(c: str) -> str:
+    """ANSI-SQL twin of kg_ops._nt_literal (N-Triples ECHAR string
+    escaping), generated from the same table."""
+    expr = c
+    for ch, enc in kg_ops._NT_LITERAL_ESCAPES:
+        lit = f"chr({ord(ch)})" if ord(ch) < 0x20 else f"'{ch}'"
+        expr = f"replace({expr},{lit},'{enc}')"
+    return expr
+
+
+_FROZEN_PROV = _FROZEN_EDGES.replace("kg_edges_", "kg_prov_")
+
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+@register("kg_export_provenance", f"""
+WITH t AS (
+  SELECT
+    '<urn:kg:stmt:' || md5(concat_ws(chr(31), src, pred, dst)) || '>'
+        AS stmt,
+    '<urn:kg:e:' || {_nt_sql_frag_expr('src')} || '>' AS s_iri,
+    '<urn:kg:p:' || {_nt_sql_frag_expr('pred')} || '>' AS p_iri,
+    '<urn:kg:e:' || {_nt_sql_frag_expr('dst')} || '>' AS o_iri,
+    CAST(n_support AS VARCHAR) AS sup_s,
+    CAST(n_docs AS VARCHAR) AS docs_s,
+    {_nt_sql_literal_expr('first_url')} AS first_lit,
+    {_nt_sql_literal_expr('last_url')} AS last_lit
+  FROM {_FROZEN_PROV}
+)
+SELECT unnest([
+  s_iri || ' ' || p_iri || ' ' || o_iri || ' .',
+  stmt || ' <{_RDF}type> <{_RDF}Statement> .',
+  stmt || ' <{_RDF}subject> ' || s_iri || ' .',
+  stmt || ' <{_RDF}predicate> ' || p_iri || ' .',
+  stmt || ' <{_RDF}object> ' || o_iri || ' .',
+  stmt || ' <urn:kg:m:n_support> "' || sup_s || '"^^<{_XSD_INT}> .',
+  stmt || ' <urn:kg:m:n_docs> "' || docs_s || '"^^<{_XSD_INT}> .',
+  stmt || ' <urn:kg:m:first_url> "' || first_lit || '" .',
+  stmt || ' <urn:kg:m:last_url> "' || last_lit || '" .'
+]) AS ntriple
+FROM t
+""")
+def kg_export_provenance(spark, sf_dir):
+    """Provenance-preserving export (round 5): the per-edge audit trail
+    (distinct-doc support, first/last supporting url) rendered as
+    standard RDF reification so it survives the N-Triples interchange
+    boundary — composed kg_edge_provenance -> provenance_to_ntriples,
+    verified line-for-line against the same reification over the FROZEN
+    single-threaded oracle's provenance edges.  Projection + explode
+    only: the export adds zero shuffles at any scale."""
+    docs, _mentions, _aliases, cmap = _kg_pipeline_parts(spark, sf_dir)
+    return kg_ops.provenance_to_ntriples(
+        kg_ops.build_kg_edges_with_provenance(
+            kg_ops.mine_triples(docs), cmap))
+
+
 @register("warc_roundtrip", """
 SELECT 'https://docs.test/' || doc_id AS url,
        md5('<html><head><title>Doc</title></head><body><div class="content"><h1>Report '
@@ -2380,68 +2437,36 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
+# Round-5 window: 12 pinned + all 37 rows whose last driver-green is
+# r02/r03 + the one new round-5 row (kg_export_provenance) = exactly
+# the 50-row cap; every row below the cap was driver-green in r04
+# (max staleness 1 round at rotation time) and remains covered by the
+# local check_oracle twin — the rotation never removes a row's oracle,
+# only its slot in the driver's hash window (round-4 ADVICE item 5:
+# this trade-off is also documented in BENCH/BASELINE.md).
 _DRIVER_ORDER = [
-    "kg_flagship",  # last driver-green: r03
-    "kg_nodes_check",  # last driver-green: r03
-    "kg_triple_pr",  # last driver-green: r03
-    "kg_pagerank",  # last driver-green: r03
-    "kg_degree_stats",  # last driver-green: r00
-    "extract_markdown_docs",  # last driver-green: r03
-    "div_attr_census",  # last driver-green: r03
-    "multimodal_decode",  # last driver-green: r03
-    "multimodal_frame_sample",  # last driver-green: r03
-    "multimodal_feature_ann",  # last driver-green: r03
-    "dedup_exact",  # last driver-green: r03
-    "near_dedup_groups",  # last driver-green: r03
-    "ngram_jaccard_pairs",  # last driver-green: r03
-    "ivf_kmeans_recall",  # last driver-green: r03
-    "curation_funnel",  # last driver-green: r03
+    "kg_flagship",  # last driver-green: r04
+    "kg_nodes_check",  # last driver-green: r04
+    "kg_triple_pr",  # last driver-green: r04
+    "kg_pagerank",  # last driver-green: r04
+    "kg_degree_stats",  # last driver-green: r04
+    "extract_markdown_docs",  # last driver-green: r04
+    "multimodal_decode",  # last driver-green: r04
+    "dedup_exact",  # last driver-green: r04
+    "near_dedup_groups",  # last driver-green: r04
+    "ngram_jaccard_pairs",  # last driver-green: r04
+    "ivf_kmeans_recall",  # last driver-green: r04
+    "curation_funnel",  # last driver-green: r04
     # rotation: longest-unverified-by-driver first
-    "corpus_bigram_counts",  # last driver-green: r00
-    "corpus_shuffle",  # last driver-green: r00
-    "crawl_policy_filter",  # last driver-green: r00
-    "dedup_lines",  # last driver-green: r00
-    "dup_span_stats",  # last driver-green: r00
-    "embedding_dedup_groups",  # last driver-green: r00
-    "inlink_stats",  # last driver-green: r00
-    "ivf_auto_cells",  # last driver-green: r00
-    "kg_lambda_parity",  # last driver-green: r00
-    "kg_edge_provenance",  # last driver-green: r00 (new, round 4)
-    "kg_export_ntriples",  # last driver-green: r00 (new, round 4)
-    "normalized_exact_dedup",  # last driver-green: r00
-    "pii_scrub",  # last driver-green: r00
-    "warc_roundtrip",  # last driver-green: r00 (new, round 4)
-    "alias_edit_distance",  # last driver-green: r02
-    "approx_distinct_users_per_type",  # last driver-green: r02
-    "approx_event_value_percentiles",  # last driver-green: r02
-    "asof_prior_click",  # last driver-green: r02
-    "customers_without_orders",  # last driver-green: r02
-    "event_sessions",  # last driver-green: r02
-    "events_error_click_window",  # last driver-green: r02
-    "events_json_extract",  # last driver-green: r02
-    "hourly_event_stats",  # last driver-green: r02
-    "largest_order_argmax",  # last driver-green: r02
-    "latest_order_per_customer",  # last driver-green: r02
-    "orders_above_customer_avg",  # last driver-green: r02
-    "part_types_except",  # last driver-green: r02
-    "part_types_intersect",  # last driver-green: r02
-    "pivot_user_event_matrix",  # last driver-green: r02
-    "q1_pricing_summary",  # last driver-green: r02
-    "q3_top_orders",  # last driver-green: r02
-    "q5_region_revenue",  # last driver-green: r02
-    "rollup_lang_source",  # last driver-green: r02
-    "status_counts",  # last driver-green: r02
-    "window_running_stats",  # last driver-green: r02
-    # ---- driver cap (50) falls here; rows below hold the freshest
-    # ---- driver-green signals and stay check_oracle-verified locally
+    "kg_export_provenance",  # last driver-green: r00
+    "cube_event_stats",  # last driver-green: r02
+    "distinct_users_per_type",  # last driver-green: r02
+    "event_value_percentiles",  # last driver-green: r02
     "benchmark_contamination",  # last driver-green: r03
     "clean_text_collapse",  # last driver-green: r03
     "cosine_topk",  # last driver-green: r03
     "dedup_embedding_pairs",  # last driver-green: r03
-    "distinct_users_per_type",  # last driver-green: r02 (rotated below cap r04: exact twin of approx_distinct_users_per_type)
     "doc_chunks",  # last driver-green: r03
-    "event_value_percentiles",  # last driver-green: r02 (rotated below cap r04: exact twin of approx_event_value_percentiles)
-    "cube_event_stats",  # last driver-green: r02 (rotated below cap r04)
     "doc_fingerprint",  # last driver-green: r03
     "doc_lang_guess",  # last driver-green: r03
     "doc_quality_score",  # last driver-green: r03
@@ -2471,7 +2496,48 @@ _DRIVER_ORDER = [
     "two_hop_hub_capped",  # last driver-green: r03
     "url_file_order",  # last driver-green: r03
     "url_normalize_dedup",  # last driver-green: r03
+    # ---- driver cap (50) falls here; rows below hold the freshest
+    # ---- driver-green signals and stay check_oracle-verified locally
+    "alias_edit_distance",  # last driver-green: r04
+    "approx_distinct_users_per_type",  # last driver-green: r04
+    "approx_event_value_percentiles",  # last driver-green: r04
+    "asof_prior_click",  # last driver-green: r04
+    "corpus_bigram_counts",  # last driver-green: r04
+    "corpus_shuffle",  # last driver-green: r04
+    "crawl_policy_filter",  # last driver-green: r04
+    "customers_without_orders",  # last driver-green: r04
+    "dedup_lines",  # last driver-green: r04
+    "div_attr_census",  # last driver-green: r04
+    "dup_span_stats",  # last driver-green: r04
+    "embedding_dedup_groups",  # last driver-green: r04
+    "event_sessions",  # last driver-green: r04
+    "events_error_click_window",  # last driver-green: r04
+    "events_json_extract",  # last driver-green: r04
+    "hourly_event_stats",  # last driver-green: r04
+    "inlink_stats",  # last driver-green: r04
+    "ivf_auto_cells",  # last driver-green: r04
+    "kg_edge_provenance",  # last driver-green: r04
+    "kg_export_ntriples",  # last driver-green: r04
+    "kg_lambda_parity",  # last driver-green: r04
+    "largest_order_argmax",  # last driver-green: r04
+    "latest_order_per_customer",  # last driver-green: r04
+    "multimodal_feature_ann",  # last driver-green: r04
+    "multimodal_frame_sample",  # last driver-green: r04
+    "normalized_exact_dedup",  # last driver-green: r04
+    "orders_above_customer_avg",  # last driver-green: r04
+    "part_types_except",  # last driver-green: r04
+    "part_types_intersect",  # last driver-green: r04
+    "pii_scrub",  # last driver-green: r04
+    "pivot_user_event_matrix",  # last driver-green: r04
+    "q1_pricing_summary",  # last driver-green: r04
+    "q3_top_orders",  # last driver-green: r04
+    "q5_region_revenue",  # last driver-green: r04
+    "rollup_lang_source",  # last driver-green: r04
+    "status_counts",  # last driver-green: r04
+    "warc_roundtrip",  # last driver-green: r04
+    "window_running_stats",  # last driver-green: r04
 ]
+
 
 # explicit raise (not assert): must survive `python -O`, where a
 # compiled-out assert would silently drop unlisted queries from the

@@ -41,7 +41,6 @@ need reproducible shard files).
 from __future__ import annotations
 
 import gzip
-import io
 import uuid
 from typing import Iterator, List, Optional, Tuple
 
@@ -100,9 +99,23 @@ def format_record(url: str, warc_date: str, html: bytes) -> bytes:
 
 
 def _warc_date(ts) -> str:
+    """WARC-Date rendering.  Column contract: ``warc_ts`` is UTC — a
+    naive timestamp is *interpreted* as UTC (the input_hint schema has
+    no zone; stamping session-local wall time as Z would misrepresent
+    non-UTC sessions, so tz-aware inputs are converted to UTC first).
+    Sub-second precision survives the roundtrip: WARC 1.1 permits
+    fractional seconds, emitted only when present so whole-second
+    records keep their original byte shape."""
     if ts is None or ts != ts:  # None or NaT
         return "1970-01-01T00:00:00Z"
-    return pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+    t = pd.Timestamp(ts)
+    if t.tzinfo is not None:
+        t = t.tz_convert("UTC").tz_localize(None)
+    base = t.strftime("%Y-%m-%dT%H:%M:%S")
+    nanos = t.microsecond * 1000 + t.nanosecond
+    if nanos:
+        base += "." + f"{nanos:09d}".rstrip("0")
+    return base + "Z"
 
 
 # ---------------------------------------------------------------------------
@@ -128,10 +141,43 @@ def write_warc_shards(pages: DataFrame, out_dir: str,
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
         path = os.path.join(out_dir, f"shard-{pid:05d}{suffix}")
-        n = 0
-        buf = io.BytesIO()
+        # Temp-file contract (round-4 ADVICE, both items):
+        # * dot-prefixed AND free of the ".warc" substring, so a reader
+        #   racing the writer can neither glob-match it ("*.warc*")
+        #   nor see it via Spark's file listing (hidden-file filter) —
+        #   the tmp+rename publish stays atomic from the reader's view;
+        # * taskAttemptId-unique, so a speculative or retried attempt
+        #   never writes into an inode a finished attempt already
+        #   published via os.replace.
+        tmp = os.path.join(
+            out_dir, f".inprogress-shard-{pid:05d}-{tc.taskAttemptId()}")
+        stats = _stream_shard(batches, out_dir, tmp, path, compress)
+        if stats is None:  # empty partition -> no shard file
+            return
+        n, n_bytes = stats
+        yield pd.DataFrame({"path": [path], "n_records": [n],
+                            "n_bytes": [n_bytes]})
+
+    return cols.mapInPandas(write_partition, MANIFEST_SCHEMA)
+
+
+def _stream_shard(batches: Iterator[pd.DataFrame], out_dir: str,
+                  tmp: str, path: str, compress: bool) -> Optional[Tuple[int, int]]:
+    """Stream one partition's records straight to ``tmp`` then publish
+    atomically via ``os.replace`` (round-4 verdict item 5: peak task
+    memory is ~1 record, not 2x the shard as the old whole-shard
+    BytesIO was).  A failing attempt removes its temp file so retries
+    start clean.  Returns (n_records, n_bytes), or None for an empty
+    partition (no shard file)."""
+    import os
+
+    n = 0
+    n_bytes = 0
+    f = None
+    try:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 html = bytes(row.html) if row.html is not None else b""
@@ -140,20 +186,22 @@ def write_warc_shards(pages: DataFrame, out_dir: str,
                     # member-per-record gzip (Common-Crawl convention);
                     # mtime pinned so shard bytes are deterministic
                     rec = gzip.compress(rec, mtime=0)
-                buf.write(rec)
+                if f is None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    f = open(tmp, "wb")
+                f.write(rec)
+                n_bytes += len(rec)
                 n += 1
-        if n == 0:  # empty partition -> no shard file
-            return
-        os.makedirs(out_dir, exist_ok=True)
-        data = buf.getvalue()
-        tmp = path + ".inprogress"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, path)  # atomic publish, torn shards impossible
-        yield pd.DataFrame({"path": [path], "n_records": [n],
-                            "n_bytes": [len(data)]})
-
-    return cols.mapInPandas(write_partition, MANIFEST_SCHEMA)
+    except BaseException:
+        if f is not None:
+            f.close()
+            os.remove(tmp)  # a failed attempt leaves no litter
+        raise
+    if f is None:
+        return None
+    f.close()
+    os.replace(tmp, path)  # atomic publish, torn shards impossible
+    return n, n_bytes
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +315,6 @@ def read_warc(spark: SparkSession, path: str,
     one: shard size is bounded by the writer, so is task memory.
     """
     files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.warc*")
+             .option("pathGlobFilter", "*.{warc,warc.gz}")
              .load(path))
     return files_to_pages(files, lenient=lenient)

@@ -94,7 +94,7 @@ def stream_pages_from_warc(spark: SparkSession, shard_dir: str) -> DataFrame:
                           "length long, content binary")
     files = (spark.readStream.format("binaryFile")
              .schema(binary_file_schema)
-             .option("pathGlobFilter", "*.warc*")
+             .option("pathGlobFilter", "*.{warc,warc.gz}")
              .load(shard_dir))
     return files_to_pages(files)
 

@@ -83,3 +83,55 @@ def test_sql_twin_matches_spark_on_adversarial_input(spark, tmp_path):
         f" '> <urn:kg:e:' || {_nt_sql_frag_expr('dst')} || '> .'"
         " FROM edges").fetchall())
     assert spark_lines == sql_lines
+
+
+def _render_prov(spark, rows):
+    df = spark.createDataFrame(
+        rows, "src string, pred string, dst string, n_support long, "
+              "n_docs long, first_url string, last_url string")
+    return [r["ntriple"] for r in
+            kg_ops.provenance_to_ntriples(df).collect()]
+
+
+def test_provenance_export_reification_shape(spark):
+    lines = _render_prov(spark, [("e:1", "works_for", "e:2", 3, 2,
+                                  "https://a.test/x", "https://z.test/y")])
+    assert len(lines) == 9
+    import hashlib
+    sid = hashlib.md5("e:1\x1fworks_for\x1fe:2".encode()).hexdigest()
+    stmt = f"<urn:kg:stmt:{sid}>"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    assert lines[0] == "<urn:kg:e:e:1> <urn:kg:p:works_for> <urn:kg:e:e:2> ."
+    assert f"{stmt} <{rdf}type> <{rdf}Statement> ." in lines
+    assert f"{stmt} <{rdf}subject> <urn:kg:e:e:1> ." in lines
+    assert f"{stmt} <{rdf}predicate> <urn:kg:p:works_for> ." in lines
+    assert f"{stmt} <{rdf}object> <urn:kg:e:e:2> ." in lines
+    assert f'{stmt} <urn:kg:m:n_support> "3"^^<{xsd}> .' in lines
+    assert f'{stmt} <urn:kg:m:n_docs> "2"^^<{xsd}> .' in lines
+    assert f'{stmt} <urn:kg:m:first_url> "https://a.test/x" .' in lines
+    assert f'{stmt} <urn:kg:m:last_url> "https://z.test/y" .' in lines
+
+
+def test_provenance_literal_echar_escaping(spark):
+    """STRING_LITERAL_QUOTE requires ECHAR for backslash, quote, LF, CR
+    — urls are the only literal payload; prove they are escaped."""
+    lines = _render_prov(spark, [("e:1", "p", "e:2", 1, 1,
+                                  'u"r\\l\nx', "plain")])
+    (first_line,) = [l for l in lines if "m:first_url" in l]
+    assert '"u\\"r\\\\l\\nx"' in first_line
+    # the rendered literal body contains no raw quote/backslash/newline
+    body = first_line.split('m:first_url> "', 1)[1].rsplit('" .', 1)[0]
+    assert "\n" not in body and "\r" not in body
+
+
+def test_provenance_export_no_shuffle(spark):
+    """Projection + explode only: the physical plan must contain no
+    Exchange — the export cannot introduce a shuffle at any scale."""
+    df = spark.createDataFrame(
+        [("e:1", "p", "e:2", 1, 1, "u", "u")],
+        "src string, pred string, dst string, n_support long, "
+        "n_docs long, first_url string, last_url string")
+    plan = kg_ops.provenance_to_ntriples(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan

@@ -120,3 +120,77 @@ def test_warc_date_nat_and_none():
     assert warc._warc_date(pd.NaT) == "1970-01-01T00:00:00Z"
     assert warc._warc_date(pd.Timestamp("2025-06-14 12:30:45")) == \
         "2025-06-14T12:30:45Z"
+
+
+def test_warc_date_subsecond_and_tz():
+    """Round-4 ADVICE: sub-second precision must survive (WARC 1.1
+    fractional seconds) and tz-aware stamps convert to UTC before the
+    'Z' label; whole seconds keep the original compact shape."""
+    assert warc._warc_date(pd.Timestamp("2024-05-06 07:08:09")) == \
+        "2024-05-06T07:08:09Z"
+    assert warc._warc_date(pd.Timestamp("2024-05-06 07:08:09.125")) == \
+        "2024-05-06T07:08:09.125Z"
+    assert warc._warc_date(pd.Timestamp("2024-05-06 07:08:09.000001")) == \
+        "2024-05-06T07:08:09.000001Z"
+    aware = pd.Timestamp("2024-05-06 07:08:09.5", tz="America/New_York")
+    assert warc._warc_date(aware) == "2024-05-06T11:08:09.5Z"
+
+
+def test_subsecond_ts_roundtrip(spark, tmp_path):
+    """A page with microsecond warc_ts must come back equal through the
+    shard roundtrip (the old whole-second strftime silently truncated)."""
+    import datetime
+
+    ts = datetime.datetime(2024, 5, 6, 7, 8, 9, 123456)
+    df = spark.createDataFrame(
+        [("https://sub.test/1", ts, b"<html>x</html>", None, None)],
+        warc.WARC_PAGES_SCHEMA)
+    out = str(tmp_path / "shards")
+    warc.write_warc_shards(df.repartition(1), out).collect()
+    (row,) = warc.read_warc(spark, out).collect()
+    assert row["warc_ts"] == ts
+
+
+def test_reader_ignores_inprogress_tmp(spark, tmp_path):
+    """Round-4 ADVICE (medium): a reader racing the writer must never
+    ingest a partially-written temp file.  The temp naming contract is
+    dot-prefixed and '.warc'-free; drop a torn temp next to a good
+    shard and assert both the batch glob and strict parsing never see
+    it."""
+    out = tmp_path / "shards"
+    df = fixture_pages_df(spark).limit(3)
+    warc.write_warc_shards(df.repartition(1), str(out)).collect()
+    torn = out / ".inprogress-shard-00007-12345"
+    torn.write_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n")  # torn header
+    # strict (lenient=False) read: would raise if the temp were listed
+    rows = warc.read_warc(spark, str(out)).collect()
+    assert len(rows) == 3
+    # and the temp name can never match the reader glob
+    import fnmatch
+    assert not fnmatch.fnmatch(torn.name, "*.warc*")
+
+
+def test_failed_write_leaves_no_tmp(tmp_path):
+    """A task attempt that dies mid-shard must remove its temp file so
+    retries start clean (no torn litter, no glob surprises); driven at
+    the _stream_shard level where a mid-iterator failure is
+    deterministic."""
+    out = tmp_path / "shards"
+    tmp = str(out / ".inprogress-shard-00000-1")
+    path = str(out / "shard-00000.warc")
+
+    def batches():
+        yield pd.DataFrame({"url": ["https://ok.test/1"],
+                            "warc_ts": [None], "html": [b"<html>a</html>"]})
+        raise RuntimeError("executor died mid-partition")
+
+    with pytest.raises(RuntimeError):
+        warc._stream_shard(batches(), str(out), tmp, path, compress=False)
+    assert [p for p in out.glob("*") if p.is_file()] == []
+    # and a clean retry into the same dir publishes normally
+    def good():
+        yield pd.DataFrame({"url": ["https://ok.test/1"],
+                            "warc_ts": [None], "html": [b"<html>a</html>"]})
+    n, n_bytes = warc._stream_shard(good(), str(out), tmp, path,
+                                    compress=False)
+    assert n == 1 and os.path.exists(path) and not os.path.exists(tmp)
