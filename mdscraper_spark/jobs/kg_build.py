@@ -61,12 +61,18 @@ class KgBuildJob:
     def __init__(self, spark: SparkSession, warehouse_path: str,
                  config: Optional[ExtractConfig] = None,
                  n_buckets: int = 16, salt="auto",
-                 aliases: Optional[DataFrame] = None) -> None:
+                 aliases: Optional[DataFrame] = None,
+                 cc_local_solve_threshold: int = 2_000_000) -> None:
         self.spark = spark
         self.wh = Warehouse(spark, warehouse_path)
         self.config = config or ExtractConfig()
         self.n_buckets = n_buckets
         self.salt = salt
+        # size gate for canonicalization (passed straight to
+        # connected_components); 0 forces the distributed
+        # label-propagation path — production web-scale behavior, and
+        # the path whose cc_round telemetry the lineage table records
+        self.cc_local_solve_threshold = cc_local_solve_threshold
         self._custom_aliases = aliases is not None
         self.aliases = aliases if aliases is not None else kg_ops.alias_df(spark)
 
@@ -177,7 +183,31 @@ class KgBuildJob:
                            wall_ms)
 
         t0 = time.monotonic()
-        cmap = kg_ops.connected_components(kg_ops.coreference_edges(links))
+        # CC convergence telemetry (round-4 verdict item 8): every
+        # distributed label-propagation round lands in lineage as
+        # stage='cc_round' with part_id = round index and
+        # n_rows = changed-label count, so a production
+        # non-convergence is diagnosable from the trajectory (flat
+        # n_rows => a deep component, shrinking => raise max_iter).
+        # The driver-sized local union-find path has no rounds and
+        # records nothing.
+        cc_rounds: list = []
+
+        def record_cc_round(round_idx: int, n_changed: int,
+                            n_nodes: int) -> None:
+            cc_rounds.append((round_idx, n_changed))
+
+        cmap = kg_ops.connected_components(
+            kg_ops.coreference_edges(links),
+            local_solve_threshold=self.cc_local_solve_threshold,
+            on_round=record_cc_round)
+        if cc_rounds:
+            wall_cc = int((time.monotonic() - t0) * 1000)
+            now = datetime.datetime.now()
+            self._append_lineage([
+                (run_id, int(rnd), "cc_round", "ok", int(n_changed),
+                 wall_cc, now)
+                for rnd, n_changed in cc_rounds])
         self.wh.write_table(cmap, "canonical_map")
         cmap = self.wh.read_table("canonical_map")
         nodes = kg_ops.build_kg_nodes(cmap, mentions, self.aliases)

@@ -17,8 +17,9 @@ Scale notes:
 * canonicalization is size-gated (AQE-style): the distinct co-reference
   graph is a vocabulary graph, far smaller than the corpus — a driver
   union-find solves it in one collect when it fits; otherwise
-  hash-partitioned min-label propagation with checksum convergence
-  probes and localCheckpoint lineage cuts (SURVEY.md §4.3).
+  hash-partitioned min-label propagation with exact changed-label
+  convergence probes (Observation metrics riding each round's action)
+  and localCheckpoint lineage cuts (SURVEY.md §4.3).
 """
 
 from __future__ import annotations
@@ -351,7 +352,8 @@ def _local_union_find(pairs) -> list:
 
 def connected_components(edges: DataFrame, max_iter: int = 25,
                          checkpoint_every: int = 3,
-                         local_solve_threshold: int = 2_000_000) -> DataFrame:
+                         local_solve_threshold: int = 2_000_000,
+                         on_round=None) -> DataFrame:
     """canonical_map(node_id, canon_id): canon is the component min.
 
     Two physical strategies behind one semantic contract (the same
@@ -365,10 +367,19 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
       collect instead of ~k driver-coordinated jobs.
     * Past the threshold (web-scale alias vocabularies): hash-
       partitioned min-label propagation.  Labels are monotone
-      non-increasing, so sum(xxhash64(node,label)) changes iff any
-      label changed — a one-pass convergence probe instead of a
-      self-join diff.  localCheckpoint every few rounds cuts the
-      lineage chain that otherwise grows linearly with iterations.
+      non-increasing, so the per-round probe counts labels that
+      strictly DECREASED this round via ``Observation`` metrics riding
+      the round's one action — an exact changed-label count at zero
+      extra passes (n_changed == 0 is the fixpoint).  localCheckpoint
+      every few rounds cuts the lineage chain that otherwise grows
+      linearly with iterations.
+
+    ``on_round(round_idx, n_changed, n_nodes)`` (optional) fires after
+    every distributed round — jobs persist these into their lineage
+    table so a production non-convergence is diagnosable from the
+    convergence trajectory instead of a bare RuntimeError (round-4
+    verdict item 8).  The local union-find path has no rounds and
+    never calls it.
 
     Both paths produce byte-identical labels (component min under
     UTF8 binary order); tests assert the equality.
@@ -405,30 +416,44 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         und = edges.union(edges.select(F.col("dst").alias("src"),
                                        F.col("src").alias("dst"))).distinct()
         und = und.localCheckpoint()
+    from pyspark.sql import Observation
+
     labels = (und.select(F.col("src").alias("node_id"))
               .distinct()
               .withColumn("label", F.col("node_id")))
 
-    def checksum(lbl: DataFrame) -> int:
-        # decimal(38) accumulator: no ANSI long overflow at any scale
-        row = lbl.agg(F.sum(F.xxhash64("node_id", "label")
-                            .cast("decimal(38,0)"))).collect()[0]
-        return int(row[0] or 0)
-
-    prev = checksum(labels)
     converged = False
     for i in range(max_iter):
         msgs = (und.join(labels, und.src == labels.node_id)
                 .select(F.col("dst").alias("node_id"), F.col("label")))
-        labels = (labels.unionByName(msgs)
-                  .groupBy("node_id").agg(F.min("label").alias("label")))
+        # Ride the old label through the SAME single shuffle (every
+        # node occurs exactly once in `labels`, so max(old_label)
+        # recovers it; msg rows carry NULL), then observe the exact
+        # count of labels that strictly decreased — the convergence
+        # probe and the telemetry are the round's one action, no
+        # second aggregation pass.
+        obs = Observation()
+        merged = (labels.withColumn("old_label", F.col("label"))
+                  .unionByName(msgs.withColumn(
+                      "old_label", F.lit(None).cast("string")))
+                  .groupBy("node_id")
+                  .agg(F.min("label").alias("label"),
+                       F.max("old_label").alias("old_label")))
+        observed = merged.observe(
+            obs,
+            F.coalesce(F.sum((F.col("label") < F.col("old_label"))
+                             .cast("long")), F.lit(0)).alias("n_changed"),
+            F.count(F.lit(1)).alias("n_nodes"))
+        labels = observed.select("node_id", "label")
+        labels.count()  # the round's action; fills obs
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint()
-        cur = checksum(labels)
-        if cur == prev:
+        n_changed = obs.get["n_changed"]
+        if on_round is not None:
+            on_round(i, int(n_changed), int(obs.get["n_nodes"]))
+        if n_changed == 0:
             converged = True
             break
-        prev = cur
     if not converged:
         # min-label propagation needs O(component diameter) rounds;
         # stopping early would SILENTLY split one component into
