@@ -254,6 +254,86 @@ def test_incremental_dedup_auto_compacts_and_stays_correct(spark, tmp_path):
     assert wh.read_table("incremental_dedup").count() == 8
 
 
+@pytest.mark.slow
+def test_incremental_dedup_many_batches_flat_cost(spark, tmp_path):
+    """Round-4 verdict item 6 — the bucketed-state design exercised at
+    its operating point instead of toy scale: 20 ingest batches with
+    auto-compaction triggering repeatedly (compact_after=4), pinning
+
+    * delta-snapshot count stays bounded by compact_after across the
+      WHOLE run (the broadcast side can never grow unboundedly),
+    * compaction actually fired repeatedly (>= 3 folds),
+    * the history probe is still Exchange-free on the compacted base
+      after the last fold (the 10^12-key plan shape survives many
+      compaction cycles, not just the first),
+    * per-batch wall time stays flat: the late-batch median is within
+      3x of the early-batch median even though history is ~20x larger
+      — the growth a seen-set re-shuffle or unbounded delta union
+      would show is absent,
+    * global exactly-once keep: every content key kept exactly once
+      across all 20 batches.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mdscraper_spark.jobs.dedup import _seen_history, dedup_incremental
+
+    wh_path = str(tmp_path / "wh_many")
+    wh = Warehouse(spark, wh_path)
+    n_batches, per_batch, compact_after = 20, 400, 4
+    walls, live_counts = [], []
+    for b in range(n_batches):
+        # ~half the batch repeats keys from earlier batches (stride-2
+        # overlap), half is fresh — the realistic recrawl mix
+        rows = [(b * per_batch + i,
+                 f"text {(b // 2) * per_batch + i}" if i % 2 == 0
+                 else f"text {b * per_batch + i}")
+                for i in range(per_batch)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        t0 = time.monotonic()
+        dedup_incremental(spark, docs, wh_path, batch_id=f"m{b:02d}",
+                          compact_after=compact_after)
+        walls.append(time.monotonic() - t0)
+        live = wh.manifest("incremental_dedup")["partitions"].get("", [])
+        live_counts.append(len(live))
+
+    # delta count bounded the whole run, and compaction fired repeatedly
+    assert max(live_counts) <= compact_after + 1, live_counts
+    folds = sum(1 for prev, cur in zip(live_counts, live_counts[1:])
+                if cur < prev)
+    assert folds >= 3, (folds, live_counts)
+
+    # plan shape after many folds: base probe still Exchange-free
+    base, delta = _seen_history(wh)
+    assert base is not None
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(10)], "group_key string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (probe.join(base, "group_key", "left")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # flat per-batch cost (median-of-window vs median-of-window rides
+    # out host noise; JVM-warmup batches 0-2 excluded)
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    early, late = med(walls[3:8]), med(walls[-5:])
+    assert late < 3 * early, (early, late, walls)
+
+    # global exactly-once keep per content key
+    kept = (wh.read_table("incremental_dedup").filter("keep")
+            .groupBy("group_key").count())
+    assert kept.filter(F.col("count") > 1).count() == 0
+    # and total rows = every ingested doc, decided exactly once
+    assert (wh.read_table("incremental_dedup").count()
+            == n_batches * per_batch)
+
+
 def test_incremental_history_join_exchange_free_on_base(spark, tmp_path):
     """The 10^12-key plan shape: probing the batch against the bucketed
     history base must put the ONLY Exchange on the batch side — the
