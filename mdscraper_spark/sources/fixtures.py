@@ -765,7 +765,115 @@ HOSTILE_INLINE_TAIL = """
 </html>
 """
 
+# round-5 ninth wave (verdict-r4 item 4): modern component markup
+# (<template>/<slot> — html.parser keeps template content in-tree, so
+# it renders like markdownify would), srcdoc iframes (srcdoc is an
+# opaque attribute even when it holds raw markup; the iframe's child
+# text is the rendered fallback), XHTML/XML-prolog pages with
+# misdeclared encodings (the pipeline is str-in — charset declarations
+# are inert metadata, the prolog PI is skipped), content illegally
+# inside <head> (title still wins; stray head content is outside every
+# cascade container), and a programmatic >10k-element stress page
+# (wide sections + a 300-deep div spine: parser and renderer must be
+# iteration-safe, not recursion-bound).
+
+HOSTILE_TEMPLATE_SLOT = """
+<html>
+<body>
+    <div class="content">
+        <h1>Template And Slot</h1>
+        <template id="row-tpl"><p>template paragraph <b>bold inside</b></p></template>
+        <p>before the card</p>
+        <my-card><span slot="title">slotted title</span><slot name="title">fallback title</slot></my-card>
+        <template><ul><li>tpl item one</li><li>tpl item two</li></ul></template>
+        <p>after templates <a href="/tpl.html">tpl link</a></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_SRCDOC_IFRAME = """
+<html>
+<body>
+    <div class="content">
+        <h1>Srcdoc Iframes</h1>
+        <iframe srcdoc="&lt;p&gt;entity-encoded srcdoc para&lt;/p&gt;">first fallback</iframe>
+        <p>between frames</p>
+        <iframe src="https://example.test/embed" srcdoc="<em>raw markup in attribute</em>"></iframe>
+        <iframe srcdoc='<a href="https://x.test/">srcdoc link</a>'><p>nested fallback para</p></iframe>
+        <p>tail after frames</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_XML_PROLOG = """<?xml version="1.0" encoding="ISO-8859-1"?>
+<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Strict//EN" "http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd">
+<html xmlns="http://www.w3.org/1999/xhtml" xml:lang="en">
+<head>
+    <meta http-equiv="Content-Type" content="text/html; charset=shift_jis" />
+    <title>Prolog Page</title>
+</head>
+<body>
+    <div class="content">
+        <h1>XML Prolog</h1>
+        <p>café three&eacute; ways &#233; — literal, named, numeric</p>
+        <p>self-closed<br />break and rule<hr /></p>
+        <p><a href="/x.html" title="xhtml attr">xhtml link</a></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_HEAD_CONTENT = """
+<html>
+<head>
+    <title>Head Recovery</title>
+    <p>stray paragraph illegally inside head</p>
+    <meta name="desc" content="meta stays metadata">
+    <h2>stray heading in head</h2>
+    <style>p { color: red }</style>
+</head>
+<body>
+    <div class="content">
+        <h1>Body Proper</h1>
+        <p>real body text with <a href="/b.html">a body link</a></p>
+    </div>
+</body>
+</html>
+"""
+
+
+def _stress_10k_html() -> str:
+    """Deterministic >10k-element page: 600 wide sections (headings,
+    links, images, lists — every variant knob has work to do) plus a
+    300-deep nested-div spine.  Pure construction, no randomness: the
+    golden bytes are stable across regenerations."""
+    parts = ['<html><head><title>Stress Page</title></head><body>',
+             '<div class="ads">STRESS SPONSOR</div>',
+             '<nav id="nav"><a href="/home">Home</a></nav>',
+             '<div class="content"><h1>Stress</h1>']
+    for s in range(600):
+        parts.append(
+            f'<h2>Section {s}</h2>'
+            f'<p>para {s} with <a href="/docs/{s}.html">link {s}</a>'
+            f' and <b>bold {s}</b></p>'
+            f'<ul><li>item {s}a</li><li>item {s}b</li></ul>'
+            f'<p><img src="/img/{s}.png" alt="alt {s}"></p>')
+    parts.append('<h3>Deep Spine</h3>')
+    parts.append('<div>' * 300 + '<p>deep core</p>' + '</div>' * 300)
+    parts.append('<p>after the spine</p></div></body></html>')
+    return "".join(parts)
+
+
+STRESS_10K = _stress_10k_html()
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-template-slot": HOSTILE_TEMPLATE_SLOT,
+    "hostile-srcdoc-iframe": HOSTILE_SRCDOC_IFRAME,
+    "hostile-xml-prolog": HOSTILE_XML_PROLOG,
+    "hostile-head-content": HOSTILE_HEAD_CONTENT,
+    "stress-10k": STRESS_10K,
     "hostile-inline-tail": HOSTILE_INLINE_TAIL,
     "hostile-table-span": HOSTILE_TABLE_SPAN,
     "hostile-list-edge": HOSTILE_LIST_EDGE,
