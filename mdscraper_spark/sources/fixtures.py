@@ -868,7 +868,76 @@ def _stress_10k_html() -> str:
 
 STRESS_10K = _stress_10k_html()
 
+# round-5 tenth wave: the legacy/obsolete tail and table sectioning.
+# <xmp> is NOT rawtext under html.parser (only script/style are), so
+# markup inside it renders — the bs4-model behavior this engine pins;
+# li under <dir>/<menu> hits the documented orphan-li dash quirk (no
+# ul/ol ancestor); table sections render in DOCUMENT order (a tfoot
+# declared first surfaces first) with the header delimiter under the
+# th row; <base href> is inert (markdownify has no base support) so
+# relative hrefs stay verbatim; kbd/samp code-wrap while tt stays
+# plain (exactly markdownify's convert map); q adds no quote marks.
+
+HOSTILE_LEGACY_TAIL = """
+<html>
+<body>
+    <div class="content">
+        <h1>Legacy Tail</h1>
+        <center>centered text</center>
+        <font color="red" size="3">font text</font>
+        <p><tt>teletype</tt> and <big>big text</big> and <acronym title="As Soon As">ASAP</acronym></p>
+        <marquee>scrolling text</marquee>
+        <blink>blinking</blink>
+        <dir><li>dir item</li></dir>
+        <menu><li>menu item</li></menu>
+        <xmp>raw <b>xmp bold renders</b> here</xmp>
+        <p>after legacy <a href="/legacy.html">legacy link</a></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_TABLE_SECTIONS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Table Sections</h1>
+        <table>
+            <caption>the caption</caption>
+            <colgroup><col span="2" style="background:red"><col></colgroup>
+            <tfoot><tr><td>foot a</td><td>foot b</td></tr></tfoot>
+            <thead><tr><th scope="col">Head A</th><th>Head B</th></tr></thead>
+            <tbody><tr><td>body a</td><td>body b</td></tr></tbody>
+        </table>
+        <p>after table</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_INLINE_ODDITIES = """
+<html>
+<head><base href="https://based.test/sub/"><title>Odd Page</title></head>
+<body>
+    <div class="content">
+        <h1>Inline Oddities</h1>
+        <p><q>outer <q>inner</q> quote</q></p>
+        <p><bdo dir="rtl">reversed run</bdo> and <bdi>isolate</bdi></p>
+        <p>super<wbr>cali<wbr>fragilistic</p>
+        <p><data value="42">the answer</data> <kbd>Ctrl</kbd>+<kbd>C</kbd> <samp>sample out</samp> <var>x</var></p>
+        <p><output>7</output> <progress value="0.3">30%</progress> <meter value="0.6">60%</meter></p>
+        <dialog open><p>dialog body</p></dialog>
+        <datalist id="dl"><option value="a">opt text</option></datalist>
+        <p><a href="rel.html">base-relative link</a></p>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-legacy-tail": HOSTILE_LEGACY_TAIL,
+    "hostile-table-sections": HOSTILE_TABLE_SECTIONS,
+    "hostile-inline-oddities": HOSTILE_INLINE_ODDITIES,
     "hostile-template-slot": HOSTILE_TEMPLATE_SLOT,
     "hostile-srcdoc-iframe": HOSTILE_SRCDOC_IFRAME,
     "hostile-xml-prolog": HOSTILE_XML_PROLOG,
