@@ -113,7 +113,8 @@ def materialize_salt_bench(spark, n_mentions: int, dict_reps: int,
 
     * dictionary: fixture aliases x ``dict_reps`` suffixed replicas
       (~150k rows, ~12 MiB by decide_salt's estimator -> over the
-      10 MiB broadcast threshold, so salt="auto" picks the salted path);
+      10 MiB broadcast threshold, so salt="auto" leaves broadcast:
+      shuffle+AQE with skew handling on, salted with it off);
       rep 0 keeps the original surfaces so mentions still match.
     * mentions: ``n_mentions`` rows where 80% share ONE hub surface —
       an unsalted shuffle join piles those onto a single partition.
@@ -180,8 +181,9 @@ def run_salt_bench(spark, timed_min, timings: dict, sf: float,
         big_dict = spark.read.parquet(dict_path)
         big_dict._mdscraper_salt_key = f"bench_salt_dict_{n_mentions}"
         mentions = spark.read.parquet(mentions_path)
-        # sanity: the auto path must actually choose salting here,
-        # else the dictionary is under-sized and the bench is vacuous
+        # sanity: the auto path must see an over-threshold dictionary
+        # (None would mean broadcast fits and the bench is vacuous);
+        # with AQE skew handling on it picks the plain shuffle (1)
         auto = kg_ops.decide_salt(big_dict)
         weather["salt_auto_decision"] = auto
         assert auto is not None, "salt bench dictionary under threshold"

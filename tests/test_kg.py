@@ -160,16 +160,30 @@ def test_auto_salt_triggers_on_big_dict_and_stays_byte_identical(spark_kg, spark
     assert {tuple(r) for r in auto_small.collect()} == base
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled",
+                              "true")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64b")
+        # AQE skew handling on (production default): the over-threshold
+        # dict takes the PLAIN shuffle join — AQE splits a hub key's
+        # partition at runtime, and explicit salting measured 4x slower
+        # (decide_salt docstring / BENCH/BASELINE.md)
         s = kg_ops.decide_salt(aliases)
-        assert s is not None and s >= 4     # trigger fires
+        assert s == 1
         auto_big = kg_ops.link_entities(mentions, aliases, salt="auto")
-        plan = auto_big._jdf.queryExecution().executedPlan().toString()
-        assert "salt_key" in plan           # salted keys in the join
         assert {tuple(r) for r in auto_big.collect()} == base
+
+        # AQE skew handling OFF: hand-salting is the only skew defense
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        s_off = kg_ops.decide_salt(aliases)
+        assert s_off is not None and s_off >= 4
+        salted = kg_ops.link_entities(mentions, aliases, salt="auto")
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "salt_key" in plan           # salted keys in the join
+        assert {tuple(r) for r in salted.collect()} == base
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_skew)
 
 
 def test_decide_salt_cached_per_dict_identity(spark):
