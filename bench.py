@@ -280,7 +280,16 @@ def main() -> None:
         timings[name] = round(
             timed_min(name, lambda: force(fn(spark, sf_dir)), reps=3), 3)
 
-    total = round(sum(timings.values()), 3)
+    # The salt-bench trio times three FORCED placements of one join on
+    # a purpose-built skewed workload — evidence, not headline work
+    # (two of the three are deliberately wrong placements).  Keep their
+    # per-query walls visible but exclude them from the suite total so
+    # headline_suite_total stays comparable round-over-round (rounds
+    # <= 4 had no salt trio).
+    salt_names = ("kg_link_broadcast", "kg_link_skew_shuffle",
+                  "kg_link_salted")
+    total = round(sum(v for k, v in timings.items()
+                      if k not in salt_names), 3)
     # Weather report (per-rep walls + host-busy fraction around each
     # rep + loadavg at exit) goes on its OWN line, printed FIRST: the
     # driver keeps only the last 2000 chars of stdout and parses the
