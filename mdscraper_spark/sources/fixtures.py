@@ -934,7 +934,43 @@ HOSTILE_INLINE_ODDITIES = """
 </html>
 """
 
+# round-5 eleventh wave: attribute-edge parsing (duplicate attributes
+# keep the LAST value — the bs4/html.parser-builder default; unquoted
+# and valueless attributes; newlines inside quoted values flowing
+# verbatim into the markdown link; numeric character references
+# resolved inside attribute values) and raw control characters in text
+# (NUL/BEL/backspace pass through as data exactly as html.parser
+# forwards them — a real-crawl page can carry any byte).
+
+HOSTILE_ATTR_EDGE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Attr Edge</h1>
+        <p><a href="/first.html" href="/second.html">dup href keeps last</a></p>
+        <p><img src="/a.png" alt="one" alt="two"></p>
+        <p><a href=/unquoted/path.html>unquoted value</a></p>
+        <p><input disabled data-empty class="x">valueless attrs inert</p>
+        <p><a href="/a&#47;b.html" title="ref &amp; title">entity in attr</a></p>
+        <p><a href="/line
+break.html" title="multi
+line">newline in attr</a></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_CTRL_CHARS = (
+    "\n<html>\n<body>\n    <div class=\"content\">\n"
+    "        <h1>Ctrl\x07Chars</h1>\n"
+    "        <p>null\x00byte bell\x07 backspace\x08 survive as data</p>\n"
+    "        <p>escape\x1b[31m ansi stays literal</p>\n"
+    "        <p><a href=\"/x.html\">del\x7fchar in link text</a></p>\n"
+    "    </div>\n</body>\n</html>\n")
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-attr-edge": HOSTILE_ATTR_EDGE,
+    "hostile-ctrl-chars": HOSTILE_CTRL_CHARS,
     "hostile-legacy-tail": HOSTILE_LEGACY_TAIL,
     "hostile-table-sections": HOSTILE_TABLE_SECTIONS,
     "hostile-inline-oddities": HOSTILE_INLINE_ODDITIES,
