@@ -968,7 +968,49 @@ HOSTILE_CTRL_CHARS = (
     "        <p><a href=\"/x.html\">del\x7fchar in link text</a></p>\n"
     "    </div>\n</body>\n</html>\n")
 
+# round-5 twelfth wave: parser-recovery shapes around tables and form
+# widgets.  Stray text directly inside <table>/<tr> stays IN PLACE (no
+# browser-style foster parenting — html.parser keeps it, so the bs4
+# model renders it where it sits); a headerless table gets
+# markdownify's padded empty header row; unclosed <option> chains nest
+# (no implied closes per the DOM contract) and surface as concatenated
+# text; nested forms both render.
+
+HOSTILE_TABLE_RECOVERY = """
+<html>
+<body>
+    <div class="content">
+        <h1>Table Recovery</h1>
+        <table>stray text directly in table
+            <tr>row-level text<td>cell a</td>more row text<td>cell b</td></tr>
+            <li>list item inside table</li>
+            <tr><td><table><tr><td>inner</td></tr>text in inner table</table></td></tr>
+        </table>
+        <p>after the table</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_SELECT_FORM = """
+<html>
+<body>
+    <div class="content">
+        <h1>Select And Form</h1>
+        <select><option>one<option>two</option><optgroup label="g"><option>three</optgroup></select>
+        <form action="/outer"><p>outer form body</p>
+            <form action="/inner"><p>nested form body</p></form>
+        </form>
+        <fieldset><legend>the legend</legend><p>fieldset body</p></fieldset>
+        <p>end <a href="/f.html">form link</a></p>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-table-recovery": HOSTILE_TABLE_RECOVERY,
+    "hostile-select-form": HOSTILE_SELECT_FORM,
     "hostile-attr-edge": HOSTILE_ATTR_EDGE,
     "hostile-ctrl-chars": HOSTILE_CTRL_CHARS,
     "hostile-legacy-tail": HOSTILE_LEGACY_TAIL,
