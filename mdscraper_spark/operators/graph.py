@@ -188,3 +188,64 @@ def pagerank(edges: DataFrame, iters: int = 10,
     # round 6 (not more): per-iteration double sums are order-dependent
     # at ~1e-16 and 10 rounds amplify to ~1e-12 vs the oracle's replay
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, degree, n_tri, clustering): per-node triangle counts and
+    local clustering coefficient over the UNDIRECTED simple graph
+    induced by ``edges`` (src, dst) — direction, predicates and
+    multiplicity are dropped; self-loops are ignored.
+
+    Scale shape — degree-ordered orientation (the Schank/Wagner trick
+    every distributed triangle counter uses): each undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher one,
+    which caps every node's ORIENTED out-degree at O(sqrt(m)).  The
+    wedge self-join therefore emits at most sum(out_deg^2) = O(m^1.5)
+    candidate wedges TOTAL regardless of hub skew — a celebrity node
+    with 10^6 neighbors contributes wedges only through its (tiny)
+    oriented out-list, not its fan-in.  Three shuffles: degree count,
+    wedge self-join on the pivot, closing-edge join; each triangle is
+    enumerated exactly once (its minimum-(degree, id) corner is the
+    pivot).  At 10^12 edges the edge table bucketed by node id makes
+    the self-join exchange-free, same as two_hop_counts.
+    """
+    und = (edges.select(F.least("src", "dst").alias("u"),
+                        F.greatest("src", "dst").alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    # orient low-(degree, id) -> high-(degree, id); keep the head's
+    # (degree, id) key so wedge endpoints can be ordered without a
+    # second degree join
+    lower_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = (und.join(du, "u").join(dv, "v")
+         .select(F.when(lower_first, F.col("u")).otherwise(F.col("v"))
+                 .alias("s"),
+                 F.when(lower_first, F.col("v")).otherwise(F.col("u"))
+                 .alias("t"),
+                 F.when(lower_first, F.col("dv")).otherwise(F.col("du"))
+                 .alias("dt")))
+    a = o.select(F.col("s"), F.col("t").alias("t1"), F.col("dt").alias("d1"))
+    b = o.select(F.col("s"), F.col("t").alias("t2"), F.col("dt").alias("d2"))
+    wedges = (a.join(b, "s")
+              .filter((F.col("d1") < F.col("d2"))
+                      | ((F.col("d1") == F.col("d2"))
+                         & (F.col("t1") < F.col("t2")))))
+    closing = o.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tris = wedges.join(closing, ["t1", "t2"]).select("s", "t1", "t2")
+    per_node = (tris.select(F.explode(F.array("s", "t1", "t2"))
+                            .alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri")))
+    return (deg.join(per_node, "node", "left")
+            .select("node", "degree",
+                    F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+                    F.when(F.col("degree") < 2, F.lit(0.0))
+                    .otherwise(F.round(
+                        2.0 * F.coalesce("n_tri", F.lit(0))
+                        / (F.col("degree") * (F.col("degree") - 1)), 6))
+                    .alias("clustering")))

@@ -2268,6 +2268,75 @@ def two_hop_hub_capped(spark, sf_dir):
     return two_hop_counts(cs.unionByName(sn), max_hub_degree=_HUB_CAP)
 
 
+@register("graph_triangle_clustering", """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t,
+         CASE WHEN du.degree < dv.degree
+                OR (du.degree = dv.degree AND e.u < e.v)
+              THEN dv.degree ELSE du.degree END AS dt
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+tris AS (
+  SELECT a.s, a.t AS t1, b.t AS t2
+  FROM o a JOIN o b ON a.s = b.s
+       AND (a.dt < b.dt OR (a.dt = b.dt AND a.t < b.t))
+       JOIN o c ON c.s = a.t AND c.t = b.t
+),
+per_node AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT s AS node FROM tris
+    UNION ALL SELECT t1 AS node FROM tris
+    UNION ALL SELECT t2 AS node FROM tris)
+  GROUP BY node
+)
+SELECT deg.node, deg.degree, COALESCE(n_tri, 0) AS n_tri,
+       CASE WHEN deg.degree < 2 THEN 0.0
+            ELSE round(2.0 * COALESCE(n_tri, 0)
+                       / (deg.degree * (deg.degree - 1)), 6)
+       END AS clustering
+FROM deg LEFT JOIN per_node ON per_node.node = deg.node
+""")
+def graph_triangle_clustering(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient via
+    degree-ordered orientation (wedge fan-out capped at O(sqrt(m)) per
+    node, total work O(m^1.5) regardless of hub skew — the shape a
+    10^12-edge counter needs), on the part co-order graph: parts are
+    adjacent when one order contains both (triangle-rich, unlike the
+    strictly bipartite procurement edges).  Each triangle is
+    enumerated exactly once at its minimum-(degree, id) corner; the
+    SQL oracle replays the identical orientation and wedge ordering."""
+    from mdscraper_spark.operators.graph import triangle_counts
+
+    li = (load(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    a = li.select("o", F.col("p").alias("src"))
+    b = li.select("o", F.col("p").alias("dst"))
+    edges = (a.join(b, "o")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst")
+             .distinct())
+    return triangle_counts(edges)
+
+
 @register("kg_pagerank", f"""
 SELECT node, rank
 FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_pagerank_*.parquet')
@@ -2437,10 +2506,11 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + all 37 rows whose last driver-green is
-# r02/r03 + the one new round-5 row (kg_export_provenance) = exactly
-# the 50-row cap; every row below the cap was driver-green in r04
-# (max staleness 1 round at rotation time) and remains covered by the
+# Round-5 window: 12 pinned + 36 of the 37 rows whose last
+# driver-green is r02/r03 + the two new round-5 rows
+# (kg_export_provenance, graph_triangle_clustering) = exactly the
+# 50-row cap; every row below the cap was driver-green in r03/r04
+# (max staleness 2 rounds at rotation time) and remains covered by the
 # local check_oracle twin — the rotation never removes a row's oracle,
 # only its slot in the driver's hash window (round-4 ADVICE item 5:
 # this trade-off is also documented in BENCH/BASELINE.md).
@@ -2459,6 +2529,7 @@ _DRIVER_ORDER = [
     "curation_funnel",  # last driver-green: r04
     # rotation: longest-unverified-by-driver first
     "kg_export_provenance",  # last driver-green: r00
+    "graph_triangle_clustering",  # last driver-green: r00 (new round 5)
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -2495,9 +2566,12 @@ _DRIVER_ORDER = [
     "site_seed_harvest",  # last driver-green: r03
     "two_hop_hub_capped",  # last driver-green: r03
     "url_file_order",  # last driver-green: r03
-    "url_normalize_dedup",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    # (url_normalize_dedup yields its slot to the new round-5 triangle
+    # row; it stays check_oracle-covered, staleness 2 rounds — the
+    # documented window trade-off, BENCH/BASELINE.md)
+    "url_normalize_dedup",  # last driver-green: r03
     "alias_edit_distance",  # last driver-green: r04
     "approx_distinct_users_per_type",  # last driver-green: r04
     "approx_event_value_percentiles",  # last driver-green: r04

@@ -1008,7 +1008,73 @@ HOSTILE_SELECT_FORM = """
 </html>
 """
 
+# round-5 thirteenth wave: markdown-metacharacter collisions and text
+# shaping.  Source text that LOOKS like markdown (leading '#', '>',
+# '-', '1.', fenced backticks, '[x](y)' link syntax, '|' pipes) must
+# pass through with only '*' and '_' escaped — the markdownify
+# contract escapes nothing else, so a rendered page can contain lines
+# a later markdown parser would re-interpret; the byte contract pins
+# that rather than papering over it.  Table cells carrying pipes,
+# backticks and block children pin the cell-flattening seams, and the
+# bidi/shaping page pins invisible code points (RLM, ZWJ, soft
+# hyphen), <bdo>/<bdi> transparency, <wbr> dropping, and unbroken
+# kilobyte-scale tokens flowing through the wrap-free renderer.
+
+HOSTILE_MD_METACHARS = """
+<html>
+<body>
+    <div class="content">
+        <h1>MD Metachars</h1>
+        <p># not a heading</p>
+        <p>> not a quote</p>
+        <p>- not a bullet</p>
+        <p>1. not an ordered item</p>
+        <p>```not a fence```</p>
+        <p>[not](a-link.html) and ![not](an-image.png)</p>
+        <p>pipes | in | plain text</p>
+        <p>lit*eral aster*isks and snake_case_name</p>
+        <p>+ plus bullet and ~~tilde run~~</p>
+        <p>backslash\\mid\\path stays</p>
+        <p><code>#code > is | not *escaped*_ever</code></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_TABLE_PIPES = """
+<html>
+<body>
+    <div class="content">
+        <h1>Table Pipes</h1>
+        <table>
+            <tr><th>col|a</th><th>col`b`</th></tr>
+            <tr><td>1 | 2</td><td>tick `x`</td></tr>
+            <tr><td>line<br>break cell</td><td><p>para</p><p>cell</p></td></tr>
+            <tr><td>*star* _under_</td><td><ul><li>li one</li><li>li two</li></ul></td></tr>
+        </table>
+        <p>after pipes table</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_BIDI_SHAPING = (
+    "\n<html>\n<body>\n    <div class=\"content\">\n"
+    "        <h1>Bidi Shaping</h1>\n"
+    "        <p>שלום and مرحبا mixed with latin</p>\n"
+    "        <p><bdo dir=\"rtl\">forced rtl run</bdo> then "
+    "<bdi>isolated‏ run</bdi></p>\n"
+    "        <p>soft­hyphen zero‍width​joiners stay</p>\n"
+    "        <p>long<wbr>word<wbr>break opportunities vanish</p>\n"
+    "        <p>" + "x" * 1200 + "</p>\n"
+    "        <p><a href=\"/q?a=1&amp;b=2#frag\">" + "verylongtoken" * 40
+    + "</a></p>\n"
+    "    </div>\n</body>\n</html>\n")
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-md-metachars": HOSTILE_MD_METACHARS,
+    "hostile-table-pipes": HOSTILE_TABLE_PIPES,
+    "hostile-bidi-shaping": HOSTILE_BIDI_SHAPING,
     "hostile-table-recovery": HOSTILE_TABLE_RECOVERY,
     "hostile-select-form": HOSTILE_SELECT_FORM,
     "hostile-attr-edge": HOSTILE_ATTR_EDGE,

@@ -104,3 +104,42 @@ def test_pagerank_matches_python_replay(spark, edges):
 def test_pagerank_empty_edges_returns_empty(spark, edges):
     empty = edges.filter("src = 'nope'")
     assert pagerank(empty).collect() == []
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 on {a,b,c,d} (4 triangles, every node in 3, clustering 1.0)
+    plus a pendant edge d-e (degree 4 at d drops its coefficient to
+    0.5) and an isolated edge f-g (zero triangles, zero coefficient).
+    Direction/multiplicity must not matter: edges arrive as a mix of
+    orientations with one duplicate and one self-loop."""
+    from mdscraper_spark.operators.graph import triangle_counts
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+          ("d", "b"), ("c", "d")]
+    rows = ([(s, "r", d, 1) for s, d in k4]
+            + [("b", "r", "a", 1),        # duplicate, reversed
+               ("d", "r", "e", 1), ("f", "r", "g", 1),
+               ("e", "r", "e", 1)])       # self-loop: ignored
+    edges = spark.createDataFrame(
+        rows, "src string, pred string, dst string, n_support long")
+    got = {r.node: (r.degree, r.n_tri, r.clustering)
+           for r in triangle_counts(edges).collect()}
+    assert got["a"] == (3, 3, 1.0)
+    assert got["b"] == (3, 3, 1.0)
+    assert got["c"] == (3, 3, 1.0)
+    assert got["d"] == (4, 3, 0.5)
+    assert got["e"] == (1, 0, 0.0)
+    assert got["f"] == (1, 0, 0.0)
+    assert got["g"] == (1, 0, 0.0)
+
+
+def test_triangle_counts_triangle_free(spark):
+    """Bipartite graph: every node present, zero triangles."""
+    from mdscraper_spark.operators.graph import triangle_counts
+
+    rows = [(u, "r", v, 1) for u in ("a", "b") for v in ("x", "y")]
+    edges = spark.createDataFrame(
+        rows, "src string, pred string, dst string, n_support long")
+    out = triangle_counts(edges).collect()
+    assert len(out) == 4
+    assert all(r.n_tri == 0 and r.clustering == 0.0 for r in out)
