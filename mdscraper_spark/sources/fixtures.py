@@ -1071,7 +1071,79 @@ HOSTILE_BIDI_SHAPING = (
     + "</a></p>\n"
     "    </div>\n</body>\n</html>\n")
 
+# round-5 fourteenth wave: case folding, raw-text element seams, and
+# document-structure recovery.  html.parser lowercases tag AND
+# attribute names (so <DIV CLASS="content"> must hit the content
+# cascade), but attribute VALUES keep their case; script/style are the
+# only CDATA elements html.parser knows — the first literal </script>
+# terminates the element even inside a JS string (the classic
+# "</scr"+"ipt>" page loses its tail), while <textarea>/<title> get NO
+# RCDATA treatment, so markup inside them parses as real elements (a
+# documented html.parser-vs-browser divergence the byte contract
+# pins).  Legacy doctypes, meta-refresh litter, a second <body>, and
+# stray </html> followed by trailing content exercise structural
+# recovery: html.parser emits them all as ordinary tags/data and the
+# pipeline must keep flowing.
+
+HOSTILE_CASE_TAGS = """
+<HTML>
+<BODY>
+    <DIV CLASS="content">
+        <H1>Case Tags</H1>
+        <P>upper tags lower fine</P>
+        <p><A HREF="/Upper/Path.html" TITLE="Keep Value Case">mixed link</A></p>
+        <p><IMG SRC="/CasePic.PNG" ALT="Case Alt"></p>
+        <P><STRONG>bold</STRONG> and <Em>italic</Em> survive</P>
+        <UL><LI>item one<LI>item two</UL>
+    </DIV>
+</BODY>
+</HTML>
+"""
+
+HOSTILE_RAWTEXT_MARKUP = """
+<html>
+<body>
+    <div class="content">
+        <h1>Rawtext Markup</h1>
+        <p>before script</p>
+        <script>var s = "</script> leaked tail after early close</p>
+        <p>style selectors opaque:</p>
+        <style>p > a { color: red; } /* <b>not bold</b> */</style>
+        <textarea>plain area <b>parsed bold</b> inside</textarea>
+        <p>title in body: <title>not <em>rcdata</em> here</title> done</p>
+        <p>after rawtext</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_DOCTYPE_META = """
+<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN"
+  "http://www.w3.org/TR/html4/loose.dtd">
+<html>
+<head>
+    <meta http-equiv="refresh" content="5; url=/redirect.html">
+    <meta charset="iso-8859-1">
+    <link rel="preload" href="/font.woff2" as="font">
+</head>
+<body>
+    <div class="content">
+        <h1>Doctype Meta</h1>
+        <p>first body content</p>
+    </div>
+</body>
+<body>
+    <p>second body treated as plain element</p>
+</body>
+</html>
+</html>
+<p>content after the close persists</p>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-case-tags": HOSTILE_CASE_TAGS,
+    "hostile-rawtext-markup": HOSTILE_RAWTEXT_MARKUP,
+    "hostile-doctype-meta": HOSTILE_DOCTYPE_META,
     "hostile-md-metachars": HOSTILE_MD_METACHARS,
     "hostile-table-pipes": HOSTILE_TABLE_PIPES,
     "hostile-bidi-shaping": HOSTILE_BIDI_SHAPING,
