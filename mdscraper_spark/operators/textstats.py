@@ -759,3 +759,70 @@ FROM g GROUP BY ngram
 HAVING count(*) >= {min_count}
 ORDER BY n_occurrences DESC, ngram {limit}
 """
+
+
+def unigram_logprob(df: DataFrame, min_count: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob): mean unigram log-probability of
+    each document under the corpus's OWN unigram model — the
+    perplexity-proxy quality signal training-data curation ranks by
+    (gibberish and boilerplate-free word salad score far below prose
+    made of common words).  p(token) = corpus_count / corpus_total;
+    tokens whose corpus count falls below ``min_count`` (the Zipf
+    singleton tail) are floored at 1/corpus_total, so one hapax does
+    not dominate a document's mean.
+
+    Scale shape: ONE map-side-combinable groupBy(token) builds the
+    count table; the HAVING-style ``min_count`` filter prunes the
+    (overwhelmingly singleton) tail before the join, exactly like
+    corpus_ngram_counts; the exploded-tokens ⋈ counts join is the one
+    wide op — token frequency is Zipf-skewed (stop words are hot
+    keys), which AQE's skew split handles, and the per-doc mean
+    combines map-side.  corpus_total is a single scalar pulled to the
+    driver (same bounded-.first() contract as pagerank's dangling
+    mass).  Rounded to 6 so Spark's and the oracle's double summation
+    order agree."""
+    from mdscraper_spark.operators.dedup import tokenize, ws_strip
+
+    toks = (df.filter(F.length(ws_strip(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokenize(F.col(text_col))).alias("token")))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c")).first()[0]
+    if not total:
+        return toks.select("doc_id", F.lit(0).alias("n_tokens"),
+                           F.lit(0.0).alias("avg_logprob"))
+    vocab = counts.filter(F.col("c") >= min_count)
+    return (toks.join(vocab, "token", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(F.log(
+                     F.coalesce(F.col("c"), F.lit(1))
+                     / F.lit(float(total)))), 6).alias("avg_logprob")))
+
+
+def sql_unigram_logprob(table: str, min_count: int = 2,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB twin of unigram_logprob over ``table``."""
+    from mdscraper_spark.operators.dedup import sql_tokens, sql_ws_strip
+
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, unnest({sql_tokens(text_col)}) AS token
+  FROM {table}
+  WHERE length({sql_ws_strip(text_col)}) > 0
+), c AS (
+  SELECT token, COUNT(*) AS c FROM t GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS total FROM c
+), v AS (
+  SELECT token, c FROM c WHERE c >= {min_count}
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(AVG(ln(COALESCE(v.c, 1) / (SELECT total FROM tot))), 6)
+           AS avg_logprob
+FROM t LEFT JOIN v USING (token)
+GROUP BY doc_id
+"""

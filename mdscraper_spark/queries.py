@@ -903,6 +903,20 @@ def corpus_bigram_counts(spark, sf_dir):
         n=2, min_count=2, top_k=100)
 
 
+@register("doc_unigram_logprob",
+          textstats.sql_unigram_logprob("documents", min_count=2))
+def doc_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score (round 5): per-doc mean unigram
+    log-probability under the corpus's own unigram LM, rare-token
+    floor at 1/total — the signal curation pipelines rank on between
+    the heuristic quality score and a real LM.  One token groupBy +
+    one Zipf-skewed join (AQE skew split) + map-side-combined per-doc
+    mean; the oracle replays tokenization, the min_count floor and the
+    rounding point identically."""
+    return textstats.unigram_logprob(
+        load(spark, sf_dir, "documents", fan_out=True), min_count=2)
+
+
 @register("dup_span_stats", dedup.sql_dup_span_stats(f"""(
   SELECT doc_id,
          CASE WHEN doc_id % 4 = 0 THEN '{_SPAN_BOILER} ' || text
@@ -2506,10 +2520,11 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + 36 of the 37 rows whose last
-# driver-green is r02/r03 + the two new round-5 rows
-# (kg_export_provenance, graph_triangle_clustering) = exactly the
-# 50-row cap; every row below the cap was driver-green in r03/r04
+# Round-5 window: 12 pinned + 35 of the 37 rows whose last
+# driver-green is r02/r03 + the three new round-5 rows
+# (kg_export_provenance, graph_triangle_clustering,
+# doc_unigram_logprob) = exactly the 50-row cap; every row below the
+# cap was driver-green in r03/r04
 # (max staleness 2 rounds at rotation time) and remains covered by the
 # local check_oracle twin — the rotation never removes a row's oracle,
 # only its slot in the driver's hash window (round-4 ADVICE item 5:
@@ -2530,6 +2545,7 @@ _DRIVER_ORDER = [
     # rotation: longest-unverified-by-driver first
     "kg_export_provenance",  # last driver-green: r00
     "graph_triangle_clustering",  # last driver-green: r00 (new round 5)
+    "doc_unigram_logprob",  # last driver-green: r00 (new round 5)
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -2565,12 +2581,12 @@ _DRIVER_ORDER = [
     "simhash16",  # last driver-green: r03
     "site_seed_harvest",  # last driver-green: r03
     "two_hop_hub_capped",  # last driver-green: r03
-    "url_file_order",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
-    # (url_normalize_dedup yields its slot to the new round-5 triangle
-    # row; it stays check_oracle-covered, staleness 2 rounds — the
-    # documented window trade-off, BENCH/BASELINE.md)
+    # (url_file_order / url_normalize_dedup yield their slots to the
+    # two new round-5 rows; both stay check_oracle-covered, staleness
+    # 2 rounds — the documented window trade-off, BENCH/BASELINE.md)
+    "url_file_order",  # last driver-green: r03
     "url_normalize_dedup",  # last driver-green: r03
     "alias_edit_distance",  # last driver-green: r04
     "approx_distinct_users_per_type",  # last driver-green: r04

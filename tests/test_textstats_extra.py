@@ -258,3 +258,27 @@ def test_luhn_valid_expression(spark):
                          .alias("ok")).collect())
     for s, expect in cases:
         assert got[s] is expect, s
+
+
+def test_unigram_logprob_known_corpus(spark):
+    """4-doc corpus with hand-computable counts: 'the'x4, 'cat'x2,
+    'sat'x2, hapaxes 'zzyq'/'qqzy' floored at 1/total.  Empty and
+    whitespace-only docs are filtered out entirely."""
+    import math
+
+    rows = [(0, "the cat sat"), (1, "the cat"), (2, "the sat the zzyq"),
+            (3, "qqzy"), (4, ""), (5, "   \n ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textstats.unigram_logprob(df, min_count=2).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    total = 10.0                      # 4+2+2+1+1 token instances
+    lp = lambda c: math.log(c / total)
+    assert got[0].n_tokens == 3
+    assert got[0].avg_logprob == round((lp(4) + lp(2) + lp(2)) / 3, 6)
+    assert got[3].n_tokens == 1
+    assert got[3].avg_logprob == round(lp(1), 6)   # hapax floor
+    assert got[2].avg_logprob == round(
+        (lp(4) + lp(2) + lp(4) + lp(1)) / 4, 6)
+    # common-word prose outranks the hapax doc — the curation signal
+    assert got[0].avg_logprob > got[3].avg_logprob
