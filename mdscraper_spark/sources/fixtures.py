@@ -1140,7 +1140,66 @@ HOSTILE_DOCTYPE_META = """
 <p>content after the close persists</p>
 """
 
+# round-5 fifteenth wave: legacy page *architectures* a crawl still
+# surfaces.  Frameset pages (no <body>; frame fallback lives in
+# <noframes>, whose children html.parser parses as ordinary markup),
+# IE conditional comments (real comments — skipped whole, including
+# the markup inside), downlevel-REVEALED conditionals (<![if !IE]> is
+# a bogus declaration html.parser drops while the INNER markup stays
+# live), a leading BOM (U+FEFF arrives as text data before <html> and
+# must not derail container detection), and <plaintext>/<listing>
+# (html.parser gives them NO raw-text treatment: content keeps
+# parsing as markup — pinned divergence from browsers).
+
+HOSTILE_FRAMESET = """
+<html>
+<head><title>Frameset Page</title></head>
+<frameset cols="20%,80%">
+    <frame src="/nav.html">
+    <frame src="/main.html">
+    <noframes>
+        <body>
+            <div class="content">
+                <h1>No Frames</h1>
+                <p>fallback body for frameless crawlers</p>
+                <p><a href="/main.html">main content link</a></p>
+            </div>
+        </body>
+    </noframes>
+</frameset>
+</html>
+"""
+
+HOSTILE_COND_COMMENTS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Cond Comments</h1>
+        <p>before conditionals</p>
+        <!--[if IE 6]><p>ie6 only markup vanishes</p><![endif]-->
+        <!--[if lt IE 9]>
+        <script src="/html5shiv.js"></script>
+        <![endif]-->
+        <![if !IE]><p>downlevel-revealed stays live</p><![endif]>
+        <p>after conditionals</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_BOM_PLAINTEXT = (
+    "﻿<html>\n<body>\n    <div class=\"content\">\n"
+    "        <h1>Bom Plaintext</h1>\n"
+    "        <p>bom swallowed upstream of the container</p>\n"
+    "        <listing>listing <b>parses</b> as markup</listing>\n"
+    "        <plaintext>plaintext keeps <i>parsing</i> too"
+    " <a href=\"/x.html\">live link</a>\n"
+    "    </div>\n</body>\n</html>\n")
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-frameset": HOSTILE_FRAMESET,
+    "hostile-cond-comments": HOSTILE_COND_COMMENTS,
+    "hostile-bom-plaintext": HOSTILE_BOM_PLAINTEXT,
     "hostile-case-tags": HOSTILE_CASE_TAGS,
     "hostile-rawtext-markup": HOSTILE_RAWTEXT_MARKUP,
     "hostile-doctype-meta": HOSTILE_DOCTYPE_META,

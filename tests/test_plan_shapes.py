@@ -166,3 +166,20 @@ def test_aqe_splits_hub_host_skew(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_triangle_counts_no_cartesian(spark):
+    """Degree-ordered orientation must keep every join keyed (wedge
+    pivot, closing edge, degree lookups) — a cartesian anywhere here
+    is the O(n^3) enumeration the orientation exists to avoid."""
+    plan = plan_of(spark, "graph_triangle_clustering")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_logprob_no_cartesian(spark):
+    """The corpus total is folded in as a literal (driver scalar), so
+    the only join is exploded-tokens ⋈ vocab on the token key."""
+    plan = plan_of(spark, "doc_unigram_logprob")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
