@@ -826,3 +826,79 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM t LEFT JOIN v USING (token)
 GROUP BY doc_id
 """
+
+
+def tfidf_topk(df: DataFrame, k: int = 5,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, token, score, rk): top-``k`` keywords per document by
+    tf-idf over the corpus itself — the per-doc summary signal topic
+    sampling, index building and dedup triage read.  Only alphabetic
+    tokens of length >= 3 are keyword candidates; idf = ln(N/df) with
+    N = documents contributing any token (so stop words present in
+    every doc score 0 and fall out of the head naturally — no
+    hand-curated stop list).
+
+    Scale shape: tf and df are each ONE map-side-combinable groupBy;
+    the tf ⋈ df join is on the Zipf-skewed token key (AQE skew split);
+    the per-doc head is a row_number window partitioned by doc_id —
+    a per-partition top-k, never a global sort.  N is a driver scalar
+    (bounded-.first() contract).  Ranking runs on the ROUNDED score
+    (round 6) with token as the total-order tie-break, the same
+    boundary-determinism rule every top-k row in the registry uses."""
+    from pyspark.sql.window import Window
+
+    from mdscraper_spark.operators.dedup import tokenize, ws_strip
+
+    toks = (df.filter(F.length(ws_strip(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokenize(F.col(text_col))).alias("token")))
+    n = toks.select("doc_id").distinct().count()
+    ft = (toks.filter(F.col("token").rlike(r"^[A-Za-z]{3,}$"))
+          .groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = ft.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (ft.join(dfreq, "token")
+              .select("doc_id", "token",
+                      F.round(F.col("tf")
+                              * F.log(F.lit(float(n)) / F.col("df")), 6)
+                      .alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"),
+                                             F.asc("token"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("doc_id", "token", "score", "rk"))
+
+
+def sql_tfidf_topk(table: str, k: int = 5,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """DuckDB twin of tfidf_topk over ``table``."""
+    from mdscraper_spark.operators.dedup import sql_tokens, sql_ws_strip
+
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, unnest({sql_tokens(text_col)}) AS token
+  FROM {table}
+  WHERE length({sql_ws_strip(text_col)}) > 0
+), ft AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM t WHERE regexp_matches(token, '^[A-Za-z]{{3,}}$')
+  GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM ft GROUP BY token
+), n AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM t
+), s AS (
+  SELECT doc_id, ft.token,
+         round(tf * ln((SELECT n FROM n) / df), 6) AS score
+  FROM ft JOIN dfreq ON dfreq.token = ft.token
+), r AS (
+  SELECT doc_id, token, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, token ASC) AS INT)
+             AS rk
+  FROM s
+)
+SELECT doc_id, token, score, rk FROM r WHERE rk <= {k}
+"""

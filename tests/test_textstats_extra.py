@@ -282,3 +282,34 @@ def test_unigram_logprob_known_corpus(spark):
         (lp(4) + lp(2) + lp(4) + lp(1)) / 4, 6)
     # common-word prose outranks the hapax doc — the curation signal
     assert got[0].avg_logprob > got[3].avg_logprob
+
+
+def test_tfidf_topk_known_corpus(spark):
+    """3-doc corpus: 'apple' is unique to doc 0 (idf ln(3)), 'banana'
+    in two docs (ln 1.5), 'the' everywhere (idf 0 — never a keyword
+    head), sub-3-char and numeric tokens excluded as candidates."""
+    import math
+
+    rows = [(0, "the apple apple banana ok 42"),
+            (1, "the banana pear"),
+            (2, "the pear pear plum")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for docid in by_doc:
+        by_doc[docid].sort(key=lambda r: r.rk)
+    d0 = by_doc[0]
+    assert [r.token for r in d0] == ["apple", "banana"]
+    assert d0[0].score == round(2 * math.log(3.0), 6)
+    assert d0[1].score == round(1 * math.log(1.5), 6)
+    # 'ok' (2 chars) and '42' (numeric) were never candidates
+    assert all(r.token not in ("ok", "42", "the")
+               for rs in by_doc.values() for r in rs)
+    # doc 2: the unique 'plum' (ln 3 ~= 1.10) outranks the repeated
+    # but shared 'pear' (2 * ln 1.5 ~= 0.81)
+    d2 = by_doc[2]
+    assert [r.token for r in d2] == ["plum", "pear"]
+    assert d2[0].score == round(math.log(3.0), 6)
+    assert d2[1].score == round(2 * math.log(1.5), 6)
