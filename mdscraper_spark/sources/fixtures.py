@@ -1196,7 +1196,63 @@ HOSTILE_BOM_PLAINTEXT = (
     " <a href=\"/x.html\">live link</a>\n"
     "    </div>\n</body>\n</html>\n")
 
+# round-5 sixteenth wave: block-context composition and cascade
+# ambiguity.  Deep nesting of BLOCK semantics (pre inside li,
+# blockquote 3 levels deep, a list inside a table cell inside a list,
+# hr inside blockquote) pins the indentation/prefix seams where the
+# renderer's per-context rules interact; the ambiguity page pins the
+# cascade's winner when several candidates qualify at once (two
+# sibling content-class divs, a content div nested INSIDE another,
+# and an id="content" decoy beside them — one deterministic winner,
+# byte-stable under any partitioning).
+
+HOSTILE_BLOCK_COMPOSE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Block Compose</h1>
+        <ul>
+            <li>item with pre:<pre>code line one
+  indented two</pre>tail text</li>
+            <li><blockquote>quoted in item<blockquote>deeper<blockquote>deepest</blockquote></blockquote></blockquote></li>
+        </ul>
+        <blockquote><p>para</p><hr><p>after rule</p></blockquote>
+        <table><tr><td>cell list:<ol><li>first<ul><li>nested bullet</li></ul></li><li>second</li></ol></td></tr></table>
+        <p>after compose</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_CASCADE_AMBIGUITY = """
+<html>
+<body>
+    <div class="content"><p>class candidate earlier in document order</p></div>
+    <div class="content"><p>second class candidate with much much longer body text</p></div>
+    <div id="content"><h1>Id Wins</h1><p>the id stage runs before the class stage even this late in the page</p></div>
+</body>
+</html>
+"""
+
+HOSTILE_CASCADE_SIBLINGS = """
+<html>
+<body>
+    <div class="content"><h1>First Sibling</h1><p>document-order winner</p></div>
+    <div class="content"><p>longer second sibling never considered despite all this extra body text</p></div>
+    <div class="wrapper">
+        <div class="content">
+            <p>outer nested candidate</p>
+            <div class="content"><p>inner nested candidate rides along inside the winner's subtree only if the outer loses</p></div>
+        </div>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-block-compose": HOSTILE_BLOCK_COMPOSE,
+    "hostile-cascade-ambiguity": HOSTILE_CASCADE_AMBIGUITY,
+    "hostile-cascade-siblings": HOSTILE_CASCADE_SIBLINGS,
     "hostile-frameset": HOSTILE_FRAMESET,
     "hostile-cond-comments": HOSTILE_COND_COMMENTS,
     "hostile-bom-plaintext": HOSTILE_BOM_PLAINTEXT,

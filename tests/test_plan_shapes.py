@@ -183,3 +183,14 @@ def test_unigram_logprob_no_cartesian(spark):
     plan = plan_of(spark, "doc_unigram_logprob")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_topk_no_cartesian_no_global_sort(spark):
+    """tf ⋈ df is keyed on token; the per-doc head must be a window
+    (partition-local top-k), never a global Sort over the scored
+    table."""
+    plan = plan_of(spark, "doc_tfidf_keywords")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" not in plan or "Window" in plan
+    assert "Window" in plan
