@@ -902,3 +902,53 @@ WITH t AS (
 )
 SELECT doc_id, token, score, rk FROM r WHERE rk <= {k}
 """
+
+
+def weighted_sample_topk(df: DataFrame, k: int = 100,
+                         weight_col: str = "n_chars",
+                         id_col: str = "doc_id",
+                         salt: str = "wsample-v1") -> DataFrame:
+    """(doc_id, weight, key): deterministic weighted sample WITHOUT
+    replacement via Efraimidis–Spirakis exponential keys — the
+    standard distributed weighted reservoir.  Each row gets
+    key = ln(u)/w with u a deterministic md5-prefix uniform in (0, 1]
+    (same engine-portable coin as balanced_sample) and w its weight;
+    the k LARGEST keys are the sample, with inclusion probability
+    proportional to weight, reproducible across engines, partition
+    layouts and reruns, and re-drawable by changing ``salt``.
+
+    Scale shape: the key is a narrow per-row projection (no shuffle),
+    and the head is orderBy+limit — Spark compiles that to
+    TakeOrderedAndProject, a per-partition k-heap merged on the
+    driver, never a global sort materialization.  Keys are rounded
+    (9 dp) BEFORE ranking with id tie-break, the registry's standard
+    boundary-determinism rule."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+    x = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    u = (x + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key = F.round(F.log(u) / w, 9)
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(weight_col).alias("weight"),
+                      key.alias("key"))
+            .orderBy(F.desc("key"), F.asc("doc_id"))
+            .limit(k))
+
+
+def sql_weighted_sample_topk(table: str, k: int = 100,
+                             weight_col: str = "n_chars",
+                             id_col: str = "doc_id",
+                             salt: str = "wsample-v1") -> str:
+    """DuckDB twin of weighted_sample_topk over ``table``."""
+    return f"""
+SELECT {id_col} AS doc_id, {weight_col} AS weight,
+       round(ln((CAST(('0x' || substr(md5({id_col}::VARCHAR || ':{salt}'),
+                       1, 15)) AS BIGINT) + 1)
+                / 1152921504606846976.0)
+             / greatest(CAST({weight_col} AS DOUBLE), 1.0), 9) AS key
+FROM {table}
+ORDER BY key DESC, doc_id ASC
+LIMIT {k}
+"""

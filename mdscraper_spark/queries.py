@@ -929,6 +929,18 @@ def doc_tfidf_keywords(spark, sf_dir):
         load(spark, sf_dir, "documents", fan_out=True), k=5)
 
 
+@register("weighted_sample_docs",
+          textstats.sql_weighted_sample_topk("documents", k=100))
+def weighted_sample_docs(spark, sf_dir):
+    """Weighted sampling without replacement (round 5): the
+    Efraimidis–Spirakis exponential-key reservoir with a deterministic
+    md5 coin — inclusion odds proportional to n_chars, identical
+    sample across engines/partitionings/reruns, narrow per-row keying
+    + TakeOrdered head (no global sort)."""
+    return textstats.weighted_sample_topk(
+        load(spark, sf_dir, "documents"), k=100)
+
+
 @register("dup_span_stats", dedup.sql_dup_span_stats(f"""(
   SELECT doc_id,
          CASE WHEN doc_id % 4 = 0 THEN '{_SPAN_BOILER} ' || text
@@ -2532,10 +2544,11 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + 34 of the 37 rows whose last
-# driver-green is r02/r03 + the four new round-5 rows
+# Round-5 window: 12 pinned + 33 of the 37 rows whose last
+# driver-green is r02/r03 + the five new round-5 rows
 # (kg_export_provenance, graph_triangle_clustering,
-# doc_unigram_logprob, doc_tfidf_keywords) = exactly the 50-row cap; every row below the
+# doc_unigram_logprob, doc_tfidf_keywords, weighted_sample_docs) =
+# exactly the 50-row cap; every row below the
 # cap was driver-green in r03/r04
 # (max staleness 2 rounds at rotation time) and remains covered by the
 # local check_oracle twin — the rotation never removes a row's oracle,
@@ -2559,6 +2572,7 @@ _DRIVER_ORDER = [
     "graph_triangle_clustering",  # last driver-green: r00 (new round 5)
     "doc_unigram_logprob",  # last driver-green: r00 (new round 5)
     "doc_tfidf_keywords",  # last driver-green: r00 (new round 5)
+    "weighted_sample_docs",  # last driver-green: r00 (new round 5)
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -2591,15 +2605,15 @@ _DRIVER_ORDER = [
     "paragraph_dedup",  # last driver-green: r03
     "relative_url_strip",  # last driver-green: r03
     "simhash16",  # last driver-green: r03
-    "site_seed_harvest",  # last driver-green: r03
     "two_hop_hub_capped",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
-    # (sanitize_slug / url_file_order / url_normalize_dedup yield
-    # their slots to the three new round-5 rows; all stay
-    # check_oracle-covered, staleness 2 rounds — the documented window
-    # trade-off, BENCH/BASELINE.md)
+    # (sanitize_slug / site_seed_harvest / url_file_order /
+    # url_normalize_dedup yield their slots to the four new round-5
+    # rows; all stay check_oracle-covered, staleness 2 rounds — the
+    # documented window trade-off, BENCH/BASELINE.md)
     "sanitize_slug",  # last driver-green: r03
+    "site_seed_harvest",  # last driver-green: r03
     "url_file_order",  # last driver-green: r03
     "url_normalize_dedup",  # last driver-green: r03
     "alias_edit_distance",  # last driver-green: r04

@@ -313,3 +313,31 @@ def test_tfidf_topk_known_corpus(spark):
     assert [r.token for r in d2] == ["plum", "pear"]
     assert d2[0].score == round(math.log(3.0), 6)
     assert d2[1].score == round(2 * math.log(1.5), 6)
+
+
+def test_weighted_sample_topk_deterministic_and_weighted(spark):
+    """Keys replayed exactly in pure Python (same md5 coin), the head
+    matches the hand-ranked order, heavy docs dominate the sample, and
+    a different salt redraws it."""
+    import hashlib
+    import math
+
+    rows = [(i, 10_000 if i < 10 else 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def key(i, w, salt="wsample-v1"):
+        h = hashlib.md5(f"{i}:{salt}".encode()).hexdigest()
+        u = (int(h[:15], 16) + 1) / float(1 << 60)
+        return round(math.log(u) / max(float(w), 1.0), 9)
+
+    expect = sorted(((key(i, w), -i) for i, w in rows), reverse=True)[:20]
+    got = textstats.weighted_sample_topk(
+        df, k=20, weight_col="n_chars").collect()
+    assert [(r.key, -r.doc_id) for r in got] == expect
+    # 10 heavy docs out of 200 (5% of rows, ~98% of mass) must crowd
+    # the head of a weight-proportional sample
+    n_heavy = sum(1 for r in got if r.doc_id < 10)
+    assert n_heavy >= 8
+    redrawn = textstats.weighted_sample_topk(
+        df, k=20, weight_col="n_chars", salt="other-salt").collect()
+    assert {r.doc_id for r in redrawn} != {r.doc_id for r in got}
