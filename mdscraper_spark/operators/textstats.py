@@ -952,3 +952,57 @@ FROM {table}
 ORDER BY key DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def mixture_schedule(df: DataFrame, weight: Column,
+                     source_col: str = "source",
+                     id_col: str = "doc_id",
+                     salt: str = "mix-v1") -> DataFrame:
+    """(doc_id, source, src_rank, mix_key): deterministic multi-source
+    mixing schedule — the data-mixing step that turns per-source
+    corpora into ONE training stream with per-source sampling rates.
+    Each source is internally shuffled by the md5 coin (src_rank), and
+    mix_key = src_rank / weight(source) is the row's arrival time
+    under rate-``weight`` interleaving: streaming the corpus in
+    mix_key order yields source proportions matching the weights at
+    every prefix (the standard deterministic-interleave construction).
+
+    No global sort is materialized here: mix_key is a narrow per-row
+    value; consumers shard by hash and sort shard-locally, exactly the
+    corpus_shuffle discipline.  One shuffle total (the per-source
+    window); a skewed mega-source is one hot partition handled by
+    AQE's skew split at scale.  ``weight`` must be a deterministic
+    expression over the row (replayed verbatim by the SQL oracle)."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+    w = Window.partitionBy(source_col).orderBy(h.asc(),
+                                               F.col(id_col).asc())
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(source_col).alias("source"),
+                      F.row_number().over(w).alias("src_rank"),
+                      weight.cast("double").alias("w"))
+            .select("doc_id", "source", "src_rank",
+                    F.round(F.col("src_rank") / F.col("w"), 9)
+                    .alias("mix_key")))
+
+
+def sql_mixture_schedule(table: str, weight_sql: str,
+                         source_col: str = "source",
+                         id_col: str = "doc_id",
+                         salt: str = "mix-v1") -> str:
+    """DuckDB twin of mixture_schedule; ``weight_sql`` must replay the
+    Spark weight expression verbatim."""
+    return f"""
+WITH r AS (
+  SELECT {id_col} AS doc_id, {source_col} AS source,
+         CAST(row_number() OVER (
+             PARTITION BY {source_col}
+             ORDER BY md5({id_col}::VARCHAR || ':{salt}') ASC,
+                      {id_col} ASC) AS INT) AS src_rank,
+         CAST({weight_sql} AS DOUBLE) AS w
+  FROM {table}
+)
+SELECT doc_id, source, src_rank, round(src_rank / w, 9) AS mix_key
+FROM r
+"""

@@ -941,6 +941,25 @@ def weighted_sample_docs(spark, sf_dir):
         load(spark, sf_dir, "documents"), k=100)
 
 
+_MIX_WEIGHT_SQL = "1.0 + (CAST(substr(source, 4) AS INT) % 4)"
+
+
+@register("corpus_mixture_schedule",
+          textstats.sql_mixture_schedule("documents", _MIX_WEIGHT_SQL))
+def corpus_mixture_schedule(spark, sf_dir):
+    """Deterministic data-mixing schedule (round 5): every source
+    internally shuffled by the md5 coin, then assigned an interleave
+    arrival time src_rank/weight so streaming in mix_key order hits
+    the per-source sampling rates at every prefix.  Weights here are a
+    deterministic function of the source name (1 + srcN % 4), replayed
+    verbatim by the oracle; one per-source window shuffle, no global
+    sort."""
+    weight = (F.lit(1.0)
+              + (F.substring("source", 4, 10).cast("int") % 4))
+    return textstats.mixture_schedule(
+        load(spark, sf_dir, "documents"), weight)
+
+
 @register("dup_span_stats", dedup.sql_dup_span_stats(f"""(
   SELECT doc_id,
          CASE WHEN doc_id % 4 = 0 THEN '{_SPAN_BOILER} ' || text
@@ -2544,11 +2563,11 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + 33 of the 37 rows whose last
-# driver-green is r02/r03 + the five new round-5 rows
+# Round-5 window: 12 pinned + 32 of the 37 rows whose last
+# driver-green is r02/r03 + the six new round-5 rows
 # (kg_export_provenance, graph_triangle_clustering,
-# doc_unigram_logprob, doc_tfidf_keywords, weighted_sample_docs) =
-# exactly the 50-row cap; every row below the
+# doc_unigram_logprob, doc_tfidf_keywords, weighted_sample_docs,
+# corpus_mixture_schedule) = exactly the 50-row cap; every row below the
 # cap was driver-green in r03/r04
 # (max staleness 2 rounds at rotation time) and remains covered by the
 # local check_oracle twin — the rotation never removes a row's oracle,
@@ -2573,6 +2592,7 @@ _DRIVER_ORDER = [
     "doc_unigram_logprob",  # last driver-green: r00 (new round 5)
     "doc_tfidf_keywords",  # last driver-green: r00 (new round 5)
     "weighted_sample_docs",  # last driver-green: r00 (new round 5)
+    "corpus_mixture_schedule",  # last driver-green: r00 (new round 5)
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -2603,15 +2623,15 @@ _DRIVER_ORDER = [
     "minhash_signatures",  # last driver-green: r03
     "pack_utilization",  # last driver-green: r03
     "paragraph_dedup",  # last driver-green: r03
-    "relative_url_strip",  # last driver-green: r03
     "simhash16",  # last driver-green: r03
     "two_hop_hub_capped",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
-    # (sanitize_slug / site_seed_harvest / url_file_order /
-    # url_normalize_dedup yield their slots to the four new round-5
-    # rows; all stay check_oracle-covered, staleness 2 rounds — the
-    # documented window trade-off, BENCH/BASELINE.md)
+    # (relative_url_strip / sanitize_slug / site_seed_harvest /
+    # url_file_order / url_normalize_dedup yield their slots to the
+    # five new round-5 rows; all stay check_oracle-covered, staleness
+    # 2 rounds — the documented window trade-off, BENCH/BASELINE.md)
+    "relative_url_strip",  # last driver-green: r03
     "sanitize_slug",  # last driver-green: r03
     "site_seed_harvest",  # last driver-green: r03
     "url_file_order",  # last driver-green: r03

@@ -341,3 +341,28 @@ def test_weighted_sample_topk_deterministic_and_weighted(spark):
     redrawn = textstats.weighted_sample_topk(
         df, k=20, weight_col="n_chars", salt="other-salt").collect()
     assert {r.doc_id for r in redrawn} != {r.doc_id for r in got}
+
+
+def test_mixture_schedule_rates_and_determinism(spark):
+    """Two sources with weights 3 and 1: streaming in mix_key order
+    must hold a ~3:1 prefix ratio; ranks are a permutation per source;
+    the whole schedule is partition-invariant."""
+    rows = [(i, "heavy" if i < 300 else "light") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weight = F.when(F.col("source") == "heavy", F.lit(3.0)) \
+              .otherwise(F.lit(1.0))
+    out = textstats.mixture_schedule(df, weight).collect()
+    assert len(out) == 400
+    ranks = {}
+    for r in out:
+        ranks.setdefault(r.source, []).append(r.src_rank)
+    assert sorted(ranks["heavy"]) == list(range(1, 301))
+    assert sorted(ranks["light"]) == list(range(1, 101))
+    stream = sorted(out, key=lambda r: (r.mix_key, r.source, r.doc_id))
+    head = stream[:80]
+    n_heavy = sum(1 for r in head if r.source == "heavy")
+    # 3:1 interleave -> 60 of the first 80, exact up to boundary ties
+    assert 55 <= n_heavy <= 65
+    again = textstats.mixture_schedule(
+        df.repartition(7), weight).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
