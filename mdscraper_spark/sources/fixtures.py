@@ -1249,7 +1249,68 @@ HOSTILE_CASCADE_SIBLINGS = """
 </html>
 """
 
+# round-5 seventeenth wave: URL soup, image-attribute edges, and
+# title-selection edges.  Hrefs carry IDN hosts, percent-encodings,
+# raw unicode paths, embedded whitespace and a nested <a> (the inner
+# anchor nests per the no-implied-close DOM contract); images miss
+# src or alt (markdownify renders empty strings for both), carry
+# lazy-loading data-src (ignored — not src), or sit inside links
+# inside figures; the title page pins h1 selection when several
+# compete and when the first h1 lives inside an excluded/stripped
+# node (the exclude variant changes the surviving heading set).
+
+HOSTILE_URL_SOUP = """
+<html>
+<body>
+    <div class="content">
+        <h1>Url Soup</h1>
+        <p><a href="https://bücher.example/straße.html">idn host raw unicode path</a></p>
+        <p><a href="/p%20q/r%2Fs.html?x=1&amp;y=%26#frag%20end">percent soup</a></p>
+        <p><a href="/has space/in path.html">literal spaces kept</a></p>
+        <p><a href="/outer.html">outer <a href="/inner.html">nested anchor</a> tail</a></p>
+        <p><a href="//host.example/proto-relative?q=a+b">plus query</a></p>
+        <p><a href="?only=query">query-only href</a> and <a href="#only-frag">frag-only</a></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_IMG_EDGE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Img Edge</h1>
+        <p><img alt="no src at all"></p>
+        <p><img src="/bare.png"></p>
+        <p><img src="/empty-alt.png" alt=""></p>
+        <p><img src="/titled.png" alt="has title" title="tooltip text"></p>
+        <p><img data-src="/lazy.png" alt="lazy loader"></p>
+        <figure><a href="/full.html"><img src="/thumb.png" alt="linked thumb"></a></figure>
+        <p><img src="/multi.png" alt="multi
+line alt"></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_TITLE_EDGE = """
+<html>
+<head><title>Head Title Decoy</title></head>
+<body>
+    <div class="content">
+        <div id="nav"><h1>Excluded First H1</h1></div>
+        <h1>Second H1 Wins When Nav Stripped</h1>
+        <p>body text</p>
+        <h1>Third H1 Ignored</h1>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-url-soup": HOSTILE_URL_SOUP,
+    "hostile-img-edge": HOSTILE_IMG_EDGE,
+    "hostile-title-edge": HOSTILE_TITLE_EDGE,
     "hostile-block-compose": HOSTILE_BLOCK_COMPOSE,
     "hostile-cascade-ambiguity": HOSTILE_CASCADE_AMBIGUITY,
     "hostile-cascade-siblings": HOSTILE_CASCADE_SIBLINGS,
