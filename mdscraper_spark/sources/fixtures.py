@@ -1307,7 +1307,61 @@ HOSTILE_TITLE_EDGE = """
 </html>
 """
 
+# round-5 eighteenth wave: comment-termination edges and the
+# empty-inline chomp seams.  html.parser's comment scanner (probed
+# directly against the stdlib, this golden pins the same bytes our
+# DOM produces on top of it): `<!-->` / `<!--->` are NOT empty
+# comments — each opens a comment that runs to the NEXT `-->` in the
+# stream (here: the one `<!--->` itself completes), swallowing
+# intervening markup including `</p>` closers; comments cannot nest
+# (the first `-->` wins, a stray inner `<!--` is comment content);
+# `--` inside a comment is fine; and an UNCLOSED trailing comment is
+# flushed as literal DATA at close() — its text (including the
+# `<!--`) SURVIVES into the markdown rather than vanishing.  The
+# inline page pins markdownify's chomp algebra: whitespace-only
+# strong/em render as bare whitespace (no `**` litter), edge
+# whitespace migrates OUTSIDE the markers, empty inline wrappers
+# vanish, and backticks inside code spans pass through verbatim
+# (single-backtick wrap regardless — the pinned markdownify
+# behavior).
+
+HOSTILE_COMMENT_EDGE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Comment Edge</h1>
+        <p>bogus open swallows to next close <!--> gone</p>
+        <p>reopened by <!---> this tail survives</p>
+        <p>first close wins <!-- outer <!-- inner --> tail text</p>
+        <p>comment with dashes <!-- a -- b --> after</p>
+        <p>before the unclosed comment</p>
+        <!-- this trailing comment never closes; html.parser flushes it
+        <p>as literal data at close(), so this text SURVIVES</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_INLINE_EMPTY = """
+<html>
+<body>
+    <div class="content">
+        <h1>Inline Empty</h1>
+        <p>a<strong> </strong>b keeps the gap</p>
+        <p>c<em></em>d collapses clean</p>
+        <p><strong>  padded  </strong>edge space migrates out</p>
+        <p><a href="/x.html">  link pad  </a>stays linked</p>
+        <p>code with <code>back`tick</code> inside</p>
+        <p>empty <code></code> code and blank <code>   </code> code</p>
+        <p><em><strong>nested empty</strong></em> then <em><strong></strong></em>done</p>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-comment-edge": HOSTILE_COMMENT_EDGE,
+    "hostile-inline-empty": HOSTILE_INLINE_EMPTY,
     "hostile-url-soup": HOSTILE_URL_SOUP,
     "hostile-img-edge": HOSTILE_IMG_EDGE,
     "hostile-title-edge": HOSTILE_TITLE_EDGE,
