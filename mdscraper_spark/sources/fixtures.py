@@ -1359,7 +1359,42 @@ HOSTILE_INLINE_EMPTY = """
 </html>
 """
 
+# round-5 nineteenth wave: the embedded-object fallback tail — the
+# plugin/replaced elements a crawl of older pages still carries.
+# <object>/<applet> fallback content and <param> (void-ish, no text)
+# render like any other transparent container; <embed> is void;
+# <map>/<area> image maps keep the map's text children while the void
+# <area> contributes nothing; <canvas> renders its fallback; <meter>/
+# <progress>/<output> surface their text values inline; <keygen> (an
+# obsolete void tag html.parser treats as an ordinary unknown
+# element) must not derail its paragraph.
+
+HOSTILE_OBJECT_FALLBACK = """
+<html>
+<body>
+    <div class="content">
+        <h1>Object Fallback</h1>
+        <object data="/movie.swf" type="application/x-shockwave-flash">
+            <param name="quality" value="high">
+            <p>flash fallback paragraph with <a href="/plain.html">plain link</a></p>
+        </object>
+        <applet code="Old.class" width="100"><p>applet fallback text</p></applet>
+        <p>embed is void: <embed src="/thing.svg" type="image/svg+xml"> after embed</p>
+        <p><img src="/map.png" alt="mapped" usemap="#m"></p>
+        <map name="m">
+            <area shape="rect" coords="0,0,10,10" href="/zone1.html" alt="zone one">
+            map body text
+        </map>
+        <canvas width="300" height="150"><p>canvas fallback content</p></canvas>
+        <p>disk <meter value="0.7">70%</meter> full, job <progress value="3" max="10">30%</progress> done, sum <output>42</output></p>
+        <p>before keygen <keygen name="key"> after keygen</p>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-object-fallback": HOSTILE_OBJECT_FALLBACK,
     "hostile-comment-edge": HOSTILE_COMMENT_EDGE,
     "hostile-inline-empty": HOSTILE_INLINE_EMPTY,
     "hostile-url-soup": HOSTILE_URL_SOUP,
