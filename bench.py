@@ -57,6 +57,18 @@ HEADLINE = (
 )
 
 
+# round-5 registry additions, timed for the record but EXCLUDED from
+# headline_suite_total (same rule as the salt trio: rounds <= 4 had no
+# such entries, and the total must stay comparable round-over-round)
+EXTRAS = (
+    "graph_triangle_clustering",
+    "doc_unigram_logprob",
+    "doc_tfidf_keywords",
+    "weighted_sample_docs",
+    "corpus_mixture_schedule",
+)
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -280,16 +292,24 @@ def main() -> None:
         timings[name] = round(
             timed_min(name, lambda: force(fn(spark, sf_dir)), reps=3), 3)
 
+    # -- round-5 extras: timed, excluded from the comparable total -----
+    for name in EXTRAS:
+        fn, _sql = REGISTRY[name]
+        force(fn(spark, sf_dir))  # warm-up
+        timings[name] = round(
+            timed_min(name, lambda: force(fn(spark, sf_dir))), 3)
+
     # The salt-bench trio times three FORCED placements of one join on
     # a purpose-built skewed workload — evidence, not headline work
     # (two of the three are deliberately wrong placements).  Keep their
-    # per-query walls visible but exclude them from the suite total so
-    # headline_suite_total stays comparable round-over-round (rounds
-    # <= 4 had no salt trio).
+    # per-query walls visible but exclude them AND the round-5 extras
+    # from the suite total so headline_suite_total stays comparable
+    # round-over-round (rounds <= 4 had neither).
     salt_names = ("kg_link_broadcast", "kg_link_skew_shuffle",
                   "kg_link_salted")
+    excluded = set(salt_names) | set(EXTRAS)
     total = round(sum(v for k, v in timings.items()
-                      if k not in salt_names), 3)
+                      if k not in excluded), 3)
     # Weather report (per-rep walls + host-busy fraction around each
     # rep + loadavg at exit) goes on its OWN line, printed FIRST: the
     # driver keeps only the last 2000 chars of stdout and parses the

@@ -24,6 +24,9 @@ def _headline_names() -> list[str]:
     assert m, "HEADLINE tuple not found in bench.py"
     names = re.findall(r'"([^"]+)"', m.group(1))
     assert len(names) >= 20, names
+    me = re.search(r"EXTRAS = \((.*?)\)", src, re.S)
+    assert me, "EXTRAS tuple not found in bench.py"
+    names += re.findall(r'"([^"]+)"', me.group(1))
     # keys timed outside the HEADLINE loop (grep the source so a new
     # timed_min/timings[...] site can't silently outgrow this test)
     extra = set(re.findall(r'timings\["([a-z0-9_]+)"\]', src))
