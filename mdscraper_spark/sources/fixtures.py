@@ -1393,7 +1393,47 @@ HOSTILE_OBJECT_FALLBACK = """
 </html>
 """
 
+# round-5 twentieth wave: modern semantic-layout pages.  The cascade
+# (reference parity) inspects only div id/class, <article>, then
+# largest-div — so a page whose content lives in <main>/<section> with
+# NO qualifying div or article falls through to stage 6: the largest
+# DIV wins even when it is a thin wrapper around the semantic tree
+# (or, with no div at all, extraction reports its no-container error
+# status — pinned by the divless variant).  hgroup/address/search and
+# a sticky <dialog open> render transparently wherever they sit.
+
+HOSTILE_SEMANTIC_PAGE = """
+<html>
+<body>
+    <div class="page-shell">
+        <nav><a href="/home.html">home nav link</a></nav>
+        <main>
+            <hgroup><h1>Semantic Page</h1><p>subtitle line</p></hgroup>
+            <section><h2>Section One</h2><p>main semantic body text, the bulk of the page lives here</p></section>
+            <aside><p>aside pull quote</p></aside>
+            <search><p>search form placeholder</p></search>
+        </main>
+        <dialog open><p>sticky dialog content</p></dialog>
+        <footer><address>1 Example Way<br>Sampletown</address></footer>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_SEMANTIC_DIVLESS = """
+<html>
+<body>
+    <main>
+        <h1>Divless Semantic</h1>
+        <section><p>no div anywhere on this page and no article either</p></section>
+    </main>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-semantic-page": HOSTILE_SEMANTIC_PAGE,
+    "hostile-semantic-divless": HOSTILE_SEMANTIC_DIVLESS,
     "hostile-object-fallback": HOSTILE_OBJECT_FALLBACK,
     "hostile-comment-edge": HOSTILE_COMMENT_EDGE,
     "hostile-inline-empty": HOSTILE_INLINE_EMPTY,
