@@ -1,0 +1,94 @@
+"""Dump formatted physical plans for the engine's flagship queries to
+BENCH/PLANS.md — reviewable evidence that each hot path compiles to
+the plan the 100-TB design calls for (pushed filters, pruned scans,
+broadcast vs shuffle joins placed on purpose, window-based top-k, no
+cartesian anywhere).
+
+Usage: python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import pathlib
+import re
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+SF_DIR = "/root/testdata/sf0.001"
+
+# (registry row, what the plan must show)
+CASES = [
+    ("q3_top_orders",
+     "broadcast joins on the small dims, pushed segment filter, "
+     "TakeOrdered top-k (no global sort)"),
+    ("extract_markdown_docs",
+     "ONE ArrowEvalPython stage over a narrow projected scan — the "
+     "whole extraction front end is a single vectorized pass"),
+    ("kg_flagship",
+     "Arrow mining pass -> broadcast alias join -> size-gated CC -> "
+     "edge aggregation; no shuffle on the big side until the final "
+     "groupBy"),
+    ("near_dedup_groups",
+     "banded LSH self-join on the bucket key (never all-pairs), CC on "
+     "the pair graph only, one corpus left join at the end"),
+    ("graph_triangle_clustering",
+     "degree-ordered orientation: every join keyed (wedge pivot, "
+     "closing edge), no CartesianProduct/BroadcastNestedLoopJoin"),
+    ("doc_tfidf_keywords",
+     "tf and df each one hash aggregate, token-keyed join, Window "
+     "row_number head (partition-local top-k, no global Sort)"),
+    ("doc_unigram_logprob",
+     "token hash aggregate + one token-keyed left join; corpus total "
+     "folded in as a literal"),
+    ("weighted_sample_docs",
+     "narrow per-row keying + TakeOrderedAndProject k-heap head"),
+    ("asof_prior_click",
+     "single union-merge window, join-free"),
+    ("hourly_event_stats",
+     "partial/final hash aggregate pair (map-side combine) over a "
+     "pruned scan"),
+]
+
+
+def main() -> None:
+    from mdscraper_spark.queries import REGISTRY
+    from mdscraper_spark.session import get_spark
+
+    spark = get_spark("plans", master="local[4]", shuffle_partitions=8,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    lines = [
+        "# PLANS — formatted physical plans of the flagship queries",
+        "",
+        f"Captured by `python tools/dump_plans.py` at sf0.001 "
+        "(plan SHAPE is sf-independent; AQE may re-plan sizes at "
+        "runtime).  Each section states what the plan must show — "
+        "the property the matching plan-shape test pins.",
+        "",
+    ]
+    for name, expect in CASES:
+        fn, _ = REGISTRY[name]
+        df = fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # keep the operator tree; drop the verbose per-node detail
+        # sections (the tree itself names the join strategies, scans,
+        # exchanges and codegen spans the review needs)
+        tree = plan.split("\n\n")[0]
+        tree = re.sub(r"#\d+L?", "", tree)       # strip expr ids
+        lines += [f"## {name}", "", f"**Must show:** {expect}", "",
+                  "```", tree.rstrip(), "```", ""]
+    out = REPO / "BENCH" / "PLANS.md"
+    out.write_text("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
