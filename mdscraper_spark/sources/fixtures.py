@@ -1431,7 +1431,39 @@ HOSTILE_SEMANTIC_DIVLESS = """
 </html>
 """
 
+# round-5 twenty-first wave: the error-path statuses as byte goldens.
+# A found container whose render collapses to nothing (only script/
+# style/comments inside) pins the render_empty status sentinel in
+# EVERY variant; the degenerate documents (empty string, whitespace-
+# only, comment-only, bare doctype) pin no_content — per-row error
+# isolation is the north rule's 10^12-document requirement, and these
+# freeze its exact surface (status strings included) rather than just
+# asserting "doesn't crash".
+
+HOSTILE_RENDER_EMPTY = """
+<html>
+<body>
+    <div class="content">
+        <script>var invisible = true;</script>
+        <style>.content { color: red; }</style>
+        <!-- only non-rendering nodes in the container -->
+    </div>
+    <div class="decoy"><p>text outside the detected container</p></div>
+</body>
+</html>
+"""
+
+DEGENERATE_EMPTY = ""
+DEGENERATE_WHITESPACE = "   \n\t  \n"
+DEGENERATE_COMMENT_ONLY = "<!-- a comment and nothing else -->"
+DEGENERATE_DOCTYPE_ONLY = "<!DOCTYPE html>\n"
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-render-empty": HOSTILE_RENDER_EMPTY,
+    "degenerate-empty": DEGENERATE_EMPTY,
+    "degenerate-whitespace": DEGENERATE_WHITESPACE,
+    "degenerate-comment-only": DEGENERATE_COMMENT_ONLY,
+    "degenerate-doctype-only": DEGENERATE_DOCTYPE_ONLY,
     "hostile-semantic-page": HOSTILE_SEMANTIC_PAGE,
     "hostile-semantic-divless": HOSTILE_SEMANTIC_DIVLESS,
     "hostile-object-fallback": HOSTILE_OBJECT_FALLBACK,
