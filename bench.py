@@ -66,6 +66,7 @@ EXTRAS = (
     "doc_tfidf_keywords",
     "weighted_sample_docs",
     "corpus_mixture_schedule",
+    "source_health_rollup",
 )
 
 

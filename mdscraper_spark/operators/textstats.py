@@ -1006,3 +1006,67 @@ WITH r AS (
 SELECT doc_id, source, src_rank, round(src_rank / w, 9) AS mix_key
 FROM r
 """
+
+
+def source_health_rollup(df: DataFrame,
+                         text_col: str = "text",
+                         source_col: str = "source",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(source, n_docs, n_dup_docs, dup_rate, mean_quality,
+    mean_tokens): the per-source crawl-health dashboard — the table an
+    operator reads to decide which feeds to throttle, re-crawl or
+    drop.  A doc is a within-source duplicate when its exact content
+    hash repeats inside the SAME source (mirror feeds self-duplicate
+    long before they collide across feeds); quality and token counts
+    reuse the registry's own scoring columns so the dashboard cannot
+    drift from the per-doc operators.
+
+    Scale shape: one groupBy(source, content_hash) with map-side
+    combine, then one groupBy(source) — both on the (modest) source
+    key space; the per-doc quality/token columns are narrow codegen
+    folds computed in the same pass.  No joins at all."""
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("h"),
+        quality_score(F.col(text_col)).alias("q"),
+        token_count_ws(F.col(text_col)).cast("double").alias("t"))
+    per_hash = (per_doc.groupBy("source", "h")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("q").alias("sq"),
+                     F.sum("t").alias("st")))
+    return (per_hash.groupBy("source")
+            .agg(F.sum("n").alias("n_docs"),
+                 F.sum(F.col("n") - 1).alias("n_dup_docs"),
+                 F.round(F.sum(F.col("n") - 1) / F.sum("n"), 6)
+                 .alias("dup_rate"),
+                 F.round(F.sum("sq") / F.sum("n"), 6)
+                 .alias("mean_quality"),
+                 F.round(F.sum("st") / F.sum("n"), 6)
+                 .alias("mean_tokens")))
+
+
+def sql_source_health_rollup(table: str,
+                             text_col: str = "text",
+                             source_col: str = "source",
+                             id_col: str = "doc_id") -> str:
+    """DuckDB twin of source_health_rollup over ``table``."""
+    return f"""
+WITH per_doc AS (
+  SELECT {source_col} AS source,
+         md5(COALESCE({text_col}, '')) AS h,
+         {sql_quality_score(text_col)} AS q,
+         CAST({sql_token_count_ws(text_col)} AS DOUBLE) AS t
+  FROM {table}
+), per_hash AS (
+  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(q) AS sq, SUM(t) AS st
+  FROM per_doc GROUP BY source, h
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(n - 1) AS BIGINT) AS n_dup_docs,
+       round(SUM(n - 1) / CAST(SUM(n) AS DOUBLE), 6) AS dup_rate,
+       round(SUM(sq) / SUM(n), 6) AS mean_quality,
+       round(SUM(st) / SUM(n), 6) AS mean_tokens
+FROM per_hash GROUP BY source
+"""

@@ -941,6 +941,27 @@ def weighted_sample_docs(spark, sf_dir):
         load(spark, sf_dir, "documents"), k=100)
 
 
+@register("source_health_rollup",
+          textstats.sql_source_health_rollup("""(
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id % 4 = 0
+)"""))
+def source_health_rollup(spark, sf_dir):
+    """Per-source crawl-health dashboard (round 5): doc counts,
+    within-source exact-dup rate, mean quality and mean token count
+    per feed — the throttle/re-crawl/drop decision table.  Two
+    map-side-combined groupBys, zero joins; the corpus gains an exact
+    within-source twin of every fourth doc (built identically in both
+    engines) so the dup columns are non-trivially exercised."""
+    docs = load(spark, sf_dir, "documents", fan_out=True) \
+        .select("doc_id", "text", "source")
+    twins = (docs.filter(F.col("doc_id") % 4 == 0)
+             .select((F.col("doc_id") + 100000).alias("doc_id"),
+                     "text", "source"))
+    return textstats.source_health_rollup(docs.unionByName(twins))
+
+
 _MIX_WEIGHT_SQL = "1.0 + (CAST(substr(source, 4) AS INT) % 4)"
 
 
@@ -2563,11 +2584,12 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + 32 of the 37 rows whose last
-# driver-green is r02/r03 + the six new round-5 rows
+# Round-5 window: 12 pinned + 31 of the 37 rows whose last
+# driver-green is r02/r03 + the seven new round-5 rows
 # (kg_export_provenance, graph_triangle_clustering,
 # doc_unigram_logprob, doc_tfidf_keywords, weighted_sample_docs,
-# corpus_mixture_schedule) = exactly the 50-row cap; every row below the
+# corpus_mixture_schedule, source_health_rollup) = exactly the
+# 50-row cap; every row below the
 # cap was driver-green in r03/r04
 # (max staleness 2 rounds at rotation time) and remains covered by the
 # local check_oracle twin — the rotation never removes a row's oracle,
@@ -2593,6 +2615,7 @@ _DRIVER_ORDER = [
     "doc_tfidf_keywords",  # last driver-green: r00 (new round 5)
     "weighted_sample_docs",  # last driver-green: r00 (new round 5)
     "corpus_mixture_schedule",  # last driver-green: r00 (new round 5)
+    "source_health_rollup",  # last driver-green: r00 (new round 5)
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -2619,7 +2642,6 @@ _DRIVER_ORDER = [
     "lsh_bucket_counts",  # last driver-green: r03
     "lsh_pairs",  # last driver-green: r03
     "lsh_topk",  # last driver-green: r03
-    "md_title_probe",  # last driver-green: r03
     "minhash_signatures",  # last driver-green: r03
     "pack_utilization",  # last driver-green: r03
     "paragraph_dedup",  # last driver-green: r03
@@ -2627,10 +2649,12 @@ _DRIVER_ORDER = [
     "two_hop_hub_capped",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
-    # (relative_url_strip / sanitize_slug / site_seed_harvest /
-    # url_file_order / url_normalize_dedup yield their slots to the
-    # five new round-5 rows; all stay check_oracle-covered, staleness
-    # 2 rounds — the documented window trade-off, BENCH/BASELINE.md)
+    # (md_title_probe / relative_url_strip / sanitize_slug /
+    # site_seed_harvest / url_file_order / url_normalize_dedup yield
+    # their slots to the six new round-5 rows; all stay
+    # check_oracle-covered, staleness 2 rounds — the documented window
+    # trade-off, BENCH/BASELINE.md)
+    "md_title_probe",  # last driver-green: r03
     "relative_url_strip",  # last driver-green: r03
     "sanitize_slug",  # last driver-green: r03
     "site_seed_harvest",  # last driver-green: r03

@@ -366,3 +366,27 @@ def test_mixture_schedule_rates_and_determinism(spark):
     again = textstats.mixture_schedule(
         df.repartition(7), weight).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_source_health_rollup_hand_corpus(spark):
+    """feedA: 3 docs, one exact pair -> dup_rate 1/3; feedB: 2 distinct
+    docs -> 0; the means reuse the registry's own per-doc columns."""
+    rows = [(0, "the cat sat on the mat today", "feedA"),
+            (1, "the cat sat on the mat today", "feedA"),
+            (2, "completely different text body", "feedA"),
+            (3, "one feed b doc", "feedB"),
+            (4, "another feed b doc", "feedB")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in
+           textstats.source_health_rollup(df).collect()}
+    a, b = got["feedA"], got["feedB"]
+    assert (a.n_docs, a.n_dup_docs, a.dup_rate) == (3, 1, round(1 / 3, 6))
+    assert (b.n_docs, b.n_dup_docs, b.dup_rate) == (2, 0, 0.0)
+    per_doc = {r.doc_id: (r.q, r.t) for r in df.select(
+        "doc_id",
+        textstats.quality_score(F.col("text")).alias("q"),
+        textstats.token_count_ws(F.col("text")).alias("t")).collect()}
+    exp_q = round(sum(per_doc[i][0] for i in (0, 1, 2)) / 3, 6)
+    exp_t = round(sum(per_doc[i][1] for i in (0, 1, 2)) / 3, 6)
+    assert abs(a.mean_quality - exp_q) < 1e-9
+    assert a.mean_tokens == exp_t
