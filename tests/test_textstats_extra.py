@@ -390,3 +390,70 @@ def test_source_health_rollup_hand_corpus(spark):
     exp_t = round(sum(per_doc[i][1] for i in (0, 1, 2)) / 3, 6)
     assert abs(a.mean_quality - exp_q) < 1e-9
     assert a.mean_tokens == exp_t
+
+
+def test_unigram_and_tfidf_differential_fuzz(spark):
+    """Seeded-random corpus (Zipf-ish vocab, whitespace noise, empties)
+    vs exact pure-Python replays of both scoring formulas — the
+    distributed groupBy/join/window plans must reproduce the scalar
+    math bit-for-bit at the rounding points."""
+    import math
+    import random
+
+    rng = random.Random("textfuzz-r5")
+    vocab = [f"w{i}" for i in range(30)] + ["ok", "no", "x7", "!"]
+    docs = []
+    for i in range(60):
+        n = rng.randrange(0, 25)
+        toks = [vocab[min(rng.randrange(1, len(vocab)),
+                          rng.randrange(1, len(vocab)))]
+                for _ in range(n)]
+        t = " ".join(toks)
+        if rng.random() < 0.15:
+            t = "  " + t + "\n"
+        if rng.random() < 0.08:
+            t = " "
+        docs.append((i, t))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    toks = {i: t.split() for i, t in docs if t.strip()}
+    counts = {}
+    for ts in toks.values():
+        for w in ts:
+            counts[w] = counts.get(w, 0) + 1
+    total = float(sum(counts.values()))
+
+    got = {r.doc_id: (r.n_tokens, r.avg_logprob) for r in
+           textstats.unigram_logprob(df, min_count=2).collect()}
+    assert set(got) == set(toks)
+    for i, ts in toks.items():
+        lps = [math.log((counts[w] if counts[w] >= 2 else 1) / total)
+               for w in ts]
+        assert got[i] == (len(ts), round(sum(lps) / len(lps), 6)), i
+
+    n_docs = float(len(toks))
+    tf = {i: {} for i in toks}
+    for i, ts in toks.items():
+        for w in ts:
+            if len(w) >= 3 and w.isalpha():
+                tf[i][w] = tf[i].get(w, 0) + 1
+    dfreq = {}
+    for i in tf:
+        for w in tf[i]:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    expect = {}
+    for i in tf:
+        scored = sorted(
+            ((round(c * math.log(n_docs / dfreq[w]), 6), w)
+             for w, c in tf[i].items()),
+            key=lambda sw: (-sw[0], sw[1]))[:5]
+        expect[i] = [(w, s, rk + 1) for rk, (s, w) in enumerate(scored)]
+    got_k = {}
+    for r in textstats.tfidf_topk(df, k=5).collect():
+        got_k.setdefault(r.doc_id, []).append((r.token, r.score, r.rk))
+    for i in got_k:
+        got_k[i].sort(key=lambda x: x[2])
+    assert got_k == {i: v for i, v in expect.items() if v}, \
+        {i: (got_k.get(i), expect.get(i))
+         for i in set(got_k) | set(expect)
+         if got_k.get(i) != (expect.get(i) or None)}
