@@ -748,3 +748,55 @@ def provenance_to_ntriples(prov_edges: DataFrame,
                  _nt_literal(F.col("last_url")), F.lit('" .')),
     )
     return prov_edges.select(F.explode(lines).alias("ntriple"))
+
+
+def pmi_cooccurrence(mentions: DataFrame, cmap: DataFrame) -> DataFrame:
+    """(canon_a, canon_b, n_pair, pmi): pointwise mutual information
+    between canonical entities co-occurring in the same sentence — the
+    statistical edge-weighting layer a KG adds on top of the rule-based
+    triples (high-PMI pairs are relation candidates the SVO patterns
+    missed; near-zero pairs co-occur by chance).
+
+    pmi(a, b) = ln(n_pair * N / (n_a * n_b)) over sentence-level
+    co-occurrence, N = sentences carrying at least one LINKED mention;
+    unlinked surfaces drop out (inner join with the canonical map),
+    and a canon appearing twice in a sentence counts once (distinct).
+
+    Scale shape: the mention->canon hookup is one key join on the
+    surface node id (the map is the CC output — big but
+    join-partitioned); the pair build is a per-sentence self-join
+    whose blow-up is bounded by mentions-per-sentence (single digits
+    in prose — the per-key quadratic is on sentence size, never corpus
+    size); singles/pairs are map-side-combined groupBys; N is one
+    bounded-.first() scalar (pagerank's dangling-mass contract).
+    Rounded to 6 so both engines' double ln agrees at the hash."""
+    s_node = F.concat(F.lit("s:"), _norm_col(F.col("surface")))
+    linked = (mentions.select("url", "sent_id", s_node.alias("node_id"))
+              .join(cmap, "node_id")
+              .select("url", "sent_id", "canon_id")
+              .distinct())
+    n_sent = linked.select("url", "sent_id").distinct().count()
+    if n_sent == 0:
+        return linked.select(
+            F.col("canon_id").alias("canon_a"),
+            F.col("canon_id").alias("canon_b"),
+            F.lit(0).cast("long").alias("n_pair"),
+            F.lit(0.0).alias("pmi"))
+    singles = linked.groupBy("canon_id").agg(
+        F.count(F.lit(1)).alias("n_single"))
+    a = linked.select("url", "sent_id", F.col("canon_id").alias("canon_a"))
+    b = linked.select("url", "sent_id", F.col("canon_id").alias("canon_b"))
+    pairs = (a.join(b, ["url", "sent_id"])
+             .filter(F.col("canon_a") < F.col("canon_b"))
+             .groupBy("canon_a", "canon_b")
+             .agg(F.count(F.lit(1)).alias("n_pair")))
+    sa = singles.select(F.col("canon_id").alias("canon_a"),
+                        F.col("n_single").alias("n_a"))
+    sb = singles.select(F.col("canon_id").alias("canon_b"),
+                        F.col("n_single").alias("n_b"))
+    return (pairs.join(sa, "canon_a").join(sb, "canon_b")
+            .select("canon_a", "canon_b", "n_pair",
+                    F.round(F.log(F.col("n_pair").cast("double")
+                                  * F.lit(float(n_sent))
+                                  / (F.col("n_a") * F.col("n_b"))), 6)
+                    .alias("pmi")))

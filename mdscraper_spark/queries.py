@@ -2433,6 +2433,28 @@ def kg_pagerank(spark, sf_dir):
     return pagerank(_flagship_edges(spark, sf_dir))
 
 
+@register("kg_pmi_cooccurrence", """
+SELECT canon_a, canon_b, n_pair, pmi
+FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_pmi_*.parquet')
+WHERE corpus_sig = (SELECT CAST(bit_xor(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || COALESCE(text,'')), 1, 15)) AS BIGINT)) AS VARCHAR)
+                        || ':' ||
+                        CAST(bit_xor(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || COALESCE(text,'')), 16, 15)) AS BIGINT)) AS VARCHAR)
+                    FROM documents)
+""")
+def kg_pmi_cooccurrence(spark, sf_dir):
+    """Sentence-level PMI between canonical entities (round 5): the
+    statistical edge-weighting layer over the same mentions + CC map
+    the rule-based triples use — high-PMI pairs are relation
+    candidates the SVO patterns missed.  Verified against the frozen
+    single-threaded replay (tools/freeze_kg_oracle.py) over the same
+    corpus signature; the per-sentence pair build's blow-up is bounded
+    by mentions-per-sentence, never corpus size."""
+    from mdscraper_spark.operators.kg import pmi_cooccurrence
+
+    docs, mentions, aliases, cmap = _kg_pipeline_parts(spark, sf_dir)
+    return pmi_cooccurrence(mentions, cmap)
+
+
 @register("kg_edge_provenance", """
 SELECT src, pred, dst, n_support, n_docs, first_url, last_url
 FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_prov_*.parquet')
@@ -2584,12 +2606,12 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + 31 of the 37 rows whose last
-# driver-green is r02/r03 + the seven new round-5 rows
+# Round-5 window: 12 pinned + 30 of the 37 rows whose last
+# driver-green is r02/r03 + the eight new round-5 rows
 # (kg_export_provenance, graph_triangle_clustering,
 # doc_unigram_logprob, doc_tfidf_keywords, weighted_sample_docs,
-# corpus_mixture_schedule, source_health_rollup) = exactly the
-# 50-row cap; every row below the
+# corpus_mixture_schedule, source_health_rollup,
+# kg_pmi_cooccurrence) = exactly the 50-row cap; every row below the
 # cap was driver-green in r03/r04
 # (max staleness 2 rounds at rotation time) and remains covered by the
 # local check_oracle twin — the rotation never removes a row's oracle,
@@ -2616,6 +2638,7 @@ _DRIVER_ORDER = [
     "weighted_sample_docs",  # last driver-green: r00 (new round 5)
     "corpus_mixture_schedule",  # last driver-green: r00 (new round 5)
     "source_health_rollup",  # last driver-green: r00 (new round 5)
+    "kg_pmi_cooccurrence",  # last driver-green: r00 (new round 5)
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -2632,7 +2655,6 @@ _DRIVER_ORDER = [
     "doc_split_assignment",  # last driver-green: r03
     "doc_token_stats",  # last driver-green: r03
     "domain_quota_sample",  # last driver-green: r03
-    "glob_exclude_filter",  # last driver-green: r03
     "graph_shared_suppliers",  # last driver-green: r03
     "greedy_token_packing",  # last driver-green: r03
     "heading_space_insert",  # last driver-green: r03
@@ -2649,11 +2671,12 @@ _DRIVER_ORDER = [
     "two_hop_hub_capped",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
-    # (md_title_probe / relative_url_strip / sanitize_slug /
-    # site_seed_harvest / url_file_order / url_normalize_dedup yield
-    # their slots to the six new round-5 rows; all stay
-    # check_oracle-covered, staleness 2 rounds — the documented window
-    # trade-off, BENCH/BASELINE.md)
+    # (glob_exclude_filter / md_title_probe / relative_url_strip /
+    # sanitize_slug / site_seed_harvest / url_file_order /
+    # url_normalize_dedup yield their slots to the seven new round-5
+    # rows; all stay check_oracle-covered, staleness 2 rounds — the
+    # documented window trade-off, BENCH/BASELINE.md)
+    "glob_exclude_filter",  # last driver-green: r03
     "md_title_probe",  # last driver-green: r03
     "relative_url_strip",  # last driver-green: r03
     "sanitize_slug",  # last driver-green: r03

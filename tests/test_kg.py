@@ -334,3 +334,32 @@ def test_kg_build_records_cc_round_lineage(spark, tmp_path):
     assert sorted(map(tuple, tables["kg_edges"].collect())) == \
         sorted(map(tuple, t2["kg_edges"].collect()))
     assert t2["lineage"].filter(F.col("stage") == "cc_round").count() == 0
+
+
+def test_pmi_cooccurrence_hand_graph(spark):
+    """3 sentences: (A,B) together twice, (A,C) once, D unlinked.
+    N=3 linked sentences; pmi(A,B)=ln(2*3/(3*2)), pmi(A,C)=ln(1*3/(3*1))
+    = 0; the unlinked surface never reaches the pair table and a canon
+    repeated within one sentence counts once."""
+    import math
+
+    from mdscraper_spark.operators.kg import pmi_cooccurrence
+
+    mentions = spark.createDataFrame(
+        [("u1", 0, 0, 1, "Alpha", "ORG"), ("u1", 0, 5, 6, "Beta", "ORG"),
+         ("u1", 0, 9, 10, "alpha", "ORG"),          # same canon, same sent
+         ("u1", 1, 0, 1, "Alpha", "ORG"), ("u1", 1, 5, 6, "Beta", "ORG"),
+         ("u2", 0, 0, 1, "Alpha", "ORG"), ("u2", 0, 5, 6, "Gamma", "ORG"),
+         ("u2", 0, 9, 10, "Unlinked", "ORG")],
+        "url string, sent_id int, span_start int, span_end int, "
+        "surface string, mtype string")
+    cmap = spark.createDataFrame(
+        [("s:alpha", "cA"), ("s:beta", "cB"), ("s:gamma", "cC"),
+         ("e:1", "cA")],
+        "node_id string, canon_id string")
+    got = {(r.canon_a, r.canon_b): (r.n_pair, r.pmi)
+           for r in pmi_cooccurrence(mentions, cmap).collect()}
+    assert got == {
+        ("cA", "cB"): (2, round(math.log(2 * 3 / (3 * 2)), 6)),
+        ("cA", "cC"): (1, round(math.log(1 * 3 / (3 * 1)), 6)),
+    }

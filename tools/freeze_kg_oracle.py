@@ -129,6 +129,43 @@ def freeze(sf_dir: str) -> None:
          for s, p, d, n, nd, fu, lu in derived["kg_edge_prov"]])
     con.execute(f"COPY pv TO '{out_prov}' (FORMAT PARQUET)")
 
+    # sentence-level PMI co-occurrence, replayed single-threaded from
+    # the SAME mentions + canonical map (for kg_pmi_cooccurrence):
+    # unlinked surfaces drop out, a canon twice in one sentence counts
+    # once, N = sentences with >= 1 linked mention
+    import math
+    from collections import defaultdict
+
+    from mdscraper_spark.kg import rules
+
+    canon_of = dict(derived["canonical_map"])
+    sent_nodes = defaultdict(set)
+    for url, sid, _start, _end, surface, _t in derived["mentions"]:
+        node = rules.surface_node(surface)
+        if node in canon_of:
+            sent_nodes[(url, sid)].add(canon_of[node])
+    n_sent = float(len(sent_nodes))
+    n_single: dict = defaultdict(int)
+    n_pair: dict = defaultdict(int)
+    for nodes in sent_nodes.values():
+        for c in nodes:
+            n_single[c] += 1
+        snodes = sorted(nodes)
+        for i, ca in enumerate(snodes):
+            for cb in snodes[i + 1:]:
+                n_pair[(ca, cb)] += 1
+    pmi_rows = sorted(
+        (ca, cb, n,
+         round(math.log(n * n_sent / (n_single[ca] * n_single[cb])), 6))
+        for (ca, cb), n in n_pair.items())
+    out_pmi = OUT_DIR / f"kg_pmi_{fsig}.parquet"
+    con.execute("CREATE TABLE pm (canon_a VARCHAR, canon_b VARCHAR, "
+                "n_pair BIGINT, pmi DOUBLE, corpus_sig VARCHAR)")
+    con.executemany("INSERT INTO pm VALUES (?, ?, ?, ?, ?)",
+                    [(ca, cb, int(n), p, sig)
+                     for ca, cb, n, p in pmi_rows])
+    con.execute(f"COPY pm TO '{out_pmi}' (FORMAT PARQUET)")
+
     # PageRank expected values, replayed single-threaded over the
     # SAME frozen edges (for the kg_pagerank oracle row)
     pr = py_pagerank([(s, d) for s, _p, d, _n in edges])
