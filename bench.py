@@ -67,6 +67,7 @@ EXTRAS = (
     "weighted_sample_docs",
     "corpus_mixture_schedule",
     "source_health_rollup",
+    "kg_pmi_cooccurrence",
 )
 
 
