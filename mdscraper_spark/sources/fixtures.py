@@ -1458,6 +1458,114 @@ DEGENERATE_WHITESPACE = "   \n\t  \n"
 DEGENERATE_COMMENT_ONLY = "<!-- a comment and nothing else -->"
 DEGENERATE_DOCTYPE_ONLY = "<!DOCTYPE html>\n"
 
+# round-5 twenty-second wave: phrasing/annotation surfaces no earlier
+# family touches.  ruby/rt/rp annotation trees (rt/rp render inline —
+# pinning whether furigana leaks into the text), image maps (<area> is
+# a VOID link-bearing element: no_links and relative-URL rewrite must
+# treat it consistently with <a>), <base href> (parsed but — reference
+# parity — NOT consulted by the rewrite, which keys on the page URL;
+# the golden pins that non-behavior so a future "fix" is a deliberate
+# byte-contract change), custom/namespaced elements (hyphenated tags,
+# svg:rect-style prefixes, unknown tags mid-paragraph render
+# transparently), newline-convention soup (CR / CRLF normalize to LF
+# and newline runs collapse to ONE intra-paragraph newline, while
+# FF / VT / NEL / U+2028 / U+2029 are NOT in the ASCII collapse class
+# and pass through as literal text bytes), and the inline semantic set
+# (q/abbr/dfn/time/data/var/samp/kbd/sub/sup) whose tags strip to
+# their text without inserting breaks.
+
+HOSTILE_RUBY_ANNO = """
+<html>
+<body>
+    <div class="content">
+        <h1>Ruby <ruby>注<rt>ちゅう</rt></ruby> Annotations</h1>
+        <p>Plain <ruby>漢字<rp>(</rp><rt>かんじ</rt><rp>)</rp></ruby> in a sentence.</p>
+        <p><a href="/kanji.html"><ruby>東京<rt>とうきょう</rt></ruby></a> as link text.</p>
+        <p>Nested base: <ruby><ruby>字<rt>じ</rt></ruby>引<rt>びき</rt></ruby> end.</p>
+        <p>Bare rt outside ruby: <rt>orphan reading</rt> tail.</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_MAP_AREA = """
+<html>
+<body>
+    <div class="content">
+        <h1>Image Map</h1>
+        <img src="chart.png" alt="clickable chart" usemap="#regions">
+        <map name="regions">
+            <area shape="rect" coords="0,0,50,50" href="north.html" alt="north region">
+            <area shape="circle" coords="75,75,20" href="/abs/south.html" alt="south region">
+            <area shape="default" alt="no href area">
+        </map>
+        <p>after the map</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_BASE_HREF = """
+<html>
+<head>
+    <title>Base Href</title>
+    <base href="https://cdn.example.org/assets/" target="_blank">
+    <base href="https://second-base.example/ignored/">
+</head>
+<body>
+    <div class="content">
+        <h1>Base Interaction</h1>
+        <p><a href="rel/page.html">document-relative link</a></p>
+        <p><a href="/root/page.html">root-relative link</a></p>
+        <p><img src="pic.png" alt="relative image"></p>
+        <p><a href="https://absolute.example/x.html">absolute link</a></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_CUSTOM_ELEMENTS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Custom Elements</h1>
+        <my-card><p>paragraph inside an autonomous custom element</p></my-card>
+        <p>inline <my-badge>badge text</my-badge> continues.</p>
+        <svg:rect width="5"><p>prefixed-tag interior</p></svg:rect>
+        <unknowntag>unknown block-ish tag text</unknowntag>
+        <p>word<wbr>break<wbr>opportunities stay glued.</p>
+        <is-void-looking />after a self-closed unknown tag.
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_NEWLINE_SOUP = (
+    "<html>\r\n<body>\r<div class=\"content\">\r\n"
+    "<h1>Newline\rSoup</h1>\r\n"
+    "<p>carriage\rreturn only</p>\r"
+    "<p>form\x0cfeed and vertical\x0btab inside</p>\n"
+    "<p>NEL\x85separated and LS separated and PS separated</p>\r\n"
+    "<p>mixed\r\n\rrun\n\r\ntail</p>\r\n"
+    "</div>\r\n</body>\r\n</html>\r\n"
+)
+
+HOSTILE_INLINE_SEMANTICS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Inline Semantics</h1>
+        <p>She said <q>nested <q>inner quote</q> outer</q> plainly.</p>
+        <p><abbr title="HyperText Markup Language">HTML</abbr> and <dfn id="d">definition term</dfn>.</p>
+        <p>Meeting at <time datetime="2026-08-19T10:00">ten</time>, build <data value="42">forty-two</data>.</p>
+        <p>Use <var>x</var> with <samp>out.log</samp> via <kbd>Ctrl+C</kbd>.</p>
+        <p>H<sub>2</sub>O and E=mc<sup>2</sup> mid-word.</p>
+        <p><bdi>user123</bdi> scored <bdo dir="rtl">reversed run</bdo> points.</p>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
     "degenerate-empty": DEGENERATE_EMPTY,
@@ -1536,6 +1644,12 @@ FIXTURE_CASES: Dict[str, str] = {
     "title-fallback-none": TITLE_FALLBACK_NONE,
     "quirks": QUIRKS,
     "custom-container": CUSTOM_CONTAINER,
+    "hostile-ruby-anno": HOSTILE_RUBY_ANNO,
+    "hostile-map-area": HOSTILE_MAP_AREA,
+    "hostile-base-href": HOSTILE_BASE_HREF,
+    "hostile-custom-elements": HOSTILE_CUSTOM_ELEMENTS,
+    "hostile-newline-soup": HOSTILE_NEWLINE_SOUP,
+    "hostile-inline-semantics": HOSTILE_INLINE_SEMANTICS,
 }
 
 # option variants (FIXTURES.md §1.2)
