@@ -68,6 +68,7 @@ EXTRAS = (
     "corpus_mixture_schedule",
     "source_health_rollup",
     "kg_pmi_cooccurrence",
+    "anchor_text_rollup",
 )
 
 

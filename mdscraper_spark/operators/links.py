@@ -353,6 +353,126 @@ GROUP BY target_url
 """
 
 
+ANCHOR_TEXT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("href", StringType(), False),
+    StructField("anchor", StringType(), False),
+])
+
+
+def harvest_anchor_texts(pages: DataFrame) -> DataFrame:
+    """(url, href, anchor): every ``<a href>`` on every page with its
+    rendered link text — the anchor corpus.  Web-scale KGs mine it as
+    the primary entity-NAMING signal (what the web calls the thing a
+    URL denotes), and search/crawl stacks read it as off-page document
+    description; this is the harvest half.
+
+    Anchor text is the REAL parsed subtree text (nested markup
+    flattened, entities decoded by the parser) with runs of whitespace
+    collapsed to single spaces; ``<a>`` without an href and anchors
+    that collapse to the empty string yield no row — a link with no
+    words names nothing.  Per-page parse failures drop that page's
+    rows only (per-row error isolation).
+
+    Scale shape: one narrow Arrow ``mapInPandas`` pass — no shuffle;
+    row expansion is bounded by links-per-page."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mdscraper_spark.htmlcore.dom import parse_html
+
+        for pdf in batches:
+            rows = {"url": [], "href": [], "anchor": []}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = (bytes(html).decode("utf-8", errors="replace")
+                        if html is not None else "")
+                try:
+                    root = parse_html(text)
+                except Exception:
+                    continue
+                for a in root.find_all("a"):
+                    href = a.attrs.get("href", "")
+                    anchor = " ".join(a.get_text(separator=" ").split())
+                    if href and anchor:
+                        rows["url"].append(url)
+                        rows["href"].append(href)
+                        rows["anchor"].append(anchor)
+            yield pd.DataFrame(rows)
+
+    return pages.select("url", "html").mapInPandas(run, ANCHOR_TEXT_SCHEMA)
+
+
+def anchor_text_rollup(links_df: DataFrame, href_col: str = "href",
+                       anchor_col: str = "anchor") -> DataFrame:
+    """(target_url, n_links, n_anchors, top_anchor, top_anchor_n):
+    anchor-text aggregation per CANONICAL link target — the rollup half
+    of the anchor corpus.  ``top_anchor`` is the plurality name the web
+    gives each target (ties broken to the lexicographically smallest
+    anchor, deterministic in both engines); ``n_anchors`` counts
+    distinct surface names, a homonymy/popularity signal gazetteer
+    builders threshold on.
+
+    Targets go through :func:`normalize_url` so spelling noise cannot
+    split a target's anchor mass; unidentifiable hrefs (relative,
+    mailto:, garbage -> NULL) contribute nothing.
+
+    Scale shape: one map-side-combinable groupBy on
+    (target, anchor) — the heavy reduction happens against raw link
+    volume here — then one hash shuffle of the already-aggregated
+    (target, anchor) rows for the per-target windows (plurality pick +
+    totals share the single partition key).  Hub targets are bounded
+    by their DISTINCT anchor vocabulary after the first combine, not
+    by raw in-link count, so the window partition for a 10^6-inlink
+    homepage holds only its distinct names."""
+    from pyspark.sql import Window
+
+    d = (links_df
+         .select(normalize_url(F.col(href_col)).alias("target_url"),
+                 F.col(anchor_col).alias("anchor"))
+         .filter(F.col("target_url").isNotNull()))
+    counts = (d.groupBy("target_url", "anchor")
+              .agg(F.count(F.lit(1)).alias("n")))
+    per_tgt = Window.partitionBy("target_url")
+    ranked = Window.partitionBy("target_url") \
+                   .orderBy(F.desc("n"), F.asc("anchor"))
+    return (counts
+            .select("target_url", "anchor", "n",
+                    F.sum("n").over(per_tgt).alias("n_links"),
+                    F.count(F.lit(1)).over(per_tgt).alias("n_anchors"),
+                    F.row_number().over(ranked).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("target_url", "n_links", "n_anchors",
+                    F.col("anchor").alias("top_anchor"),
+                    F.col("n").alias("top_anchor_n")))
+
+
+def sql_anchor_rollup(table: str) -> str:
+    """DuckDB twin of :func:`anchor_text_rollup` over ``table`` (rows
+    of one (href, anchor) each): same normalization, same counts, same
+    (n DESC, anchor ASC) plurality tie-break.  SUM over BIGINT widens
+    to HUGEINT in DuckDB, hence the explicit casts."""
+    target = sql_normalize_url("href")
+    return f"""
+WITH e AS (
+  SELECT {target} AS target_url, anchor FROM {table}
+), c AS (
+  SELECT target_url, anchor, COUNT(*) AS n
+  FROM e WHERE target_url IS NOT NULL
+  GROUP BY target_url, anchor
+), r AS (
+  SELECT target_url, anchor, n,
+         CAST(SUM(n) OVER (PARTITION BY target_url) AS BIGINT) AS n_links,
+         CAST(COUNT(*) OVER (PARTITION BY target_url) AS BIGINT)
+             AS n_anchors,
+         ROW_NUMBER() OVER (PARTITION BY target_url
+                            ORDER BY n DESC, anchor ASC) AS rn
+  FROM c
+)
+SELECT target_url, n_links, n_anchors, anchor AS top_anchor,
+       CAST(n AS BIGINT) AS top_anchor_n
+FROM r WHERE rn = 1
+"""
+
+
 def crawl_policy_filter(urls: DataFrame, rules: DataFrame,
                         url_col: str = "url") -> DataFrame:
     """(url, host, path, allowed): robots-style disallow filtering —

@@ -31,7 +31,8 @@ from mdscraper_spark.operators import (dedup, kg as kg_ops, links,
 from mdscraper_spark.operators.extract_udfs import extract_markdown
 from mdscraper_spark.operators.multimodal import decode_binary_docs
 from mdscraper_spark.sources.fixtures import alias_rows
-from mdscraper_spark.sources.pages_from_docs import (docs_to_census_pages,
+from mdscraper_spark.sources.pages_from_docs import (docs_to_anchor_pages,
+                                                     docs_to_census_pages,
                                                      docs_to_kg_pages,
                                                      docs_to_pages)
 
@@ -1010,6 +1011,41 @@ def dup_span_stats(spark, sf_dir):
              .select((did + 100000).alias("doc_id"), "text"))
     return dedup.dup_span_stats(base.unionByName(twins),
                                 window=20, stride=20)
+
+
+@register("anchor_text_rollup", links.sql_anchor_rollup("""(
+  SELECT 'https://site' || (doc_id % 5) || '.example.com/t/'
+             || (doc_id % 40) AS href,
+         'Topic ' || (doc_id % 80) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'HTTPS://Site' || (doc_id % 5) || '.Example.com:443/t/'
+             || ((doc_id * 3) % 40) || '?utm_x=1',
+         'Hot topic ' || ((doc_id * 3) % 40)
+  FROM documents
+  UNION ALL
+  SELECT 'http://site' || (doc_id % 5) || '.example.com:80/t/'
+             || ((doc_id + 7) % 40) || '#frag',
+         'R & D ' || (doc_id % 10)
+  FROM documents
+  UNION ALL
+  SELECT 'mailto:u' || doc_id || '@e.com', 'mail text'
+  FROM documents)"""))
+def anchor_text_rollup_q(spark, sf_dir):
+    """Anchor-text corpus (J36b): harvest every <a href> with its
+    rendered link text by REAL HTML parsing, then aggregate per
+    canonical target — the web's entity-naming signal (plurality
+    anchor = what the web calls each URL; distinct-anchor count =
+    homonymy/popularity).  Generator-vs-parser differential: pages
+    carry four links per doc derived from doc_id (nested markup +
+    newline the parser must flatten, an &amp; entity it must decode,
+    a mailto dropped by normalization, plus a whitespace-only anchor
+    and an href-less <a> the harvest must skip), and DuckDB recomputes
+    the expected (href, anchor) rows from the generating expressions
+    without any parsing."""
+    pages = docs_to_anchor_pages(load(spark, sf_dir, "documents",
+                                      fan_out=True))
+    return links.anchor_text_rollup(links.harvest_anchor_texts(pages))
 
 
 @register("inlink_stats", links.sql_inlink_counts("""(
@@ -2639,6 +2675,7 @@ _DRIVER_ORDER = [
     "corpus_mixture_schedule",  # last driver-green: r00 (new round 5)
     "source_health_rollup",  # last driver-green: r00 (new round 5)
     "kg_pmi_cooccurrence",  # last driver-green: r00 (new round 5)
+    "anchor_text_rollup",  # last driver-green: r00 (new round 5)
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -2668,14 +2705,15 @@ _DRIVER_ORDER = [
     "pack_utilization",  # last driver-green: r03
     "paragraph_dedup",  # last driver-green: r03
     "simhash16",  # last driver-green: r03
-    "two_hop_hub_capped",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
     # (glob_exclude_filter / md_title_probe / relative_url_strip /
     # sanitize_slug / site_seed_harvest / url_file_order /
     # url_normalize_dedup yield their slots to the seven new round-5
-    # rows; all stay check_oracle-covered, staleness 2 rounds — the
-    # documented window trade-off, BENCH/BASELINE.md)
+    # rows, and two_hop_hub_capped yields its slot to the late-round-5
+    # anchor_text_rollup; all stay check_oracle-covered, staleness
+    # 2 rounds — the documented window trade-off, BENCH/BASELINE.md)
+    "two_hop_hub_capped",  # last driver-green: r03
     "glob_exclude_filter",  # last driver-green: r03
     "md_title_probe",  # last driver-green: r03
     "relative_url_strip",  # last driver-green: r03

@@ -78,6 +78,49 @@ def docs_to_census_pages(docs: DataFrame) -> DataFrame:
         F.col("lang"))
 
 
+def docs_to_anchor_pages(docs: DataFrame) -> DataFrame:
+    """Pages carrying a deterministic LINK surface so the anchor-text
+    harvest has a generator-vs-parser differential oracle: four ``<a>``
+    tags per doc whose hrefs/anchors derive from doc_id — one plain,
+    one with nested markup + newline inside the anchor (the parser
+    must flatten and collapse it), one with an entity (``&amp;``) the
+    parser must decode, one mailto (harvested, then dropped by URL
+    normalization) — plus a whitespace-only anchor and an href-less
+    ``<a>`` that the harvest itself must skip.  DuckDB recomputes the
+    expected (href, anchor) rows straight from the same expressions."""
+    doc_id = F.col("doc_id")
+
+    def s(col):
+        return col.cast("string")
+
+    t1 = F.concat(F.lit("https://site"), s(doc_id % 5),
+                  F.lit(".example.com/t/"), s(doc_id % 40))
+    t2 = F.concat(F.lit("HTTPS://Site"), s(doc_id % 5),
+                  F.lit(".Example.com:443/t/"), s((doc_id * 3) % 40),
+                  F.lit("?utm_x=1"))
+    t3 = F.concat(F.lit("http://site"), s(doc_id % 5),
+                  F.lit(".example.com:80/t/"), s((doc_id + 7) % 40),
+                  F.lit("#frag"))
+    html = F.concat(
+        F.lit('<html><head><title>Doc</title></head><body>'
+              '<div class="content"><h1>Links '), s(doc_id),
+        F.lit('</h1><p><a href="'), t1, F.lit('">Topic '),
+        s(doc_id % 80), F.lit('</a></p><p><a href="'), t2,
+        F.lit('"><b>Hot</b>\n   topic '), s((doc_id * 3) % 40),
+        F.lit('</a></p><p><a href="'), t3, F.lit('">R &amp; D '),
+        s(doc_id % 10),
+        F.lit('</a></p><p><a href="'), t1, F.lit('">   </a>'
+              '<a name="x">no href here</a>'
+              '<a href="mailto:u'), s(doc_id),
+        F.lit('@e.com">mail text</a></p></div></body></html>'))
+    return docs.select(
+        F.concat(F.lit("https://docs.test/"), doc_id).alias("url"),
+        F.to_timestamp(F.lit("2025-06-14 00:00:00")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"))
+
+
 def docs_to_kg_pages(docs: DataFrame) -> DataFrame:
     doc_id = F.col("doc_id")
     relation = F.concat(person_col(doc_id), F.lit(" works for "),

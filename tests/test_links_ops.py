@@ -120,3 +120,78 @@ def test_div_attr_census_counts_pages_not_occurrences(spark):
     rows = div_attr_census(pages).collect()
     assert {(r.kind, r.value): r.n_pages for r in rows} == {
         ("class", "content"): 1}      # one PAGE, however many repeats
+
+
+def _anchor_pages(spark, rows):
+    """(url, html_str) rows -> pages DataFrame."""
+    import datetime
+    data = [(u, datetime.datetime(2025, 6, 14), h.encode(), None, "en")
+            for u, h in rows]
+    return spark.createDataFrame(data, PAGES_SCHEMA)
+
+
+def test_harvest_anchor_texts_parse_edges(spark):
+    from mdscraper_spark.operators.links import harvest_anchor_texts
+
+    html = """<html><body><div class="content">
+      <p><a href="/a">plain text</a></p>
+      <p><a href="/b"><b>Deep</b>
+         nested   run</a></p>
+      <p><a href="/c">R &amp; D</a></p>
+      <p><a href="/d">   </a></p>
+      <p><a name="x">no href</a></p>
+      <p><a href="">empty href</a></p>
+    </div></body></html>"""
+    rows = harvest_anchor_texts(
+        _anchor_pages(spark, [("https://t.test/p", html)])).collect()
+    got = {(r.href, r.anchor) for r in rows}
+    # whitespace-only anchor, href-less and empty-href <a> all skipped;
+    # nested markup flattened + collapsed; entity decoded by the parser
+    assert got == {("/a", "plain text"),
+                   ("/b", "Deep nested run"),
+                   ("/c", "R & D")}
+
+
+def test_harvest_anchor_texts_row_isolation(spark):
+    """An unparseable page drops its own rows only (the None-html row
+    must not poison the batch)."""
+    from mdscraper_spark.operators.links import harvest_anchor_texts
+
+    import datetime
+    data = [("https://t.test/ok", datetime.datetime(2025, 6, 14),
+             b'<a href="/x">good</a>', None, "en"),
+            ("https://t.test/null", datetime.datetime(2025, 6, 14),
+             None, None, "en")]
+    df = spark.createDataFrame(data, PAGES_SCHEMA)
+    rows = harvest_anchor_texts(df).collect()
+    assert [(r.url, r.href, r.anchor) for r in rows] == [
+        ("https://t.test/ok", "/x", "good")]
+
+
+def test_anchor_text_rollup_plurality_and_normalization(spark):
+    from mdscraper_spark.operators.links import (anchor_text_rollup,
+                                                 harvest_anchor_texts)
+
+    # three spellings of ONE target; anchors 2x "Beta" / 1x "Alpha";
+    # tie on a second target broken lexicographically; mailto and
+    # relative hrefs contribute nothing
+    html = """<html><body><div class="content">
+      <p><a href="https://site.example/page">Alpha</a></p>
+      <p><a href="HTTPS://Site.Example:443/page/">Beta</a></p>
+      <p><a href="https://site.example/page?utm_source=x#f">Beta</a></p>
+      <p><a href="https://other.example/t">aaa</a></p>
+      <p><a href="https://other.example/t">bbb</a></p>
+      <p><a href="mailto:u@e.com">mail</a></p>
+      <p><a href="rel/x.html">relative</a></p>
+    </div></body></html>"""
+    out = {r.target_url: r for r in anchor_text_rollup(
+        harvest_anchor_texts(
+            _anchor_pages(spark, [("https://t.test/p", html)]))).collect()}
+    assert set(out) == {"https://site.example/page",
+                        "https://other.example/t"}
+    main = out["https://site.example/page"]
+    assert (main.n_links, main.n_anchors) == (3, 2)
+    assert (main.top_anchor, main.top_anchor_n) == ("Beta", 2)
+    tie = out["https://other.example/t"]
+    assert (tie.n_links, tie.n_anchors) == (2, 2)
+    assert (tie.top_anchor, tie.top_anchor_n) == ("aaa", 1)
