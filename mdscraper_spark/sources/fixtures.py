@@ -1566,6 +1566,112 @@ HOSTILE_INLINE_SEMANTICS = """
 </html>
 """
 
+# round-5 twenty-third wave: three more MACRO composition pages — the
+# realistic page architectures a web-scale crawl actually hits, each
+# stressing a different cascade outcome.  The news front page has NO
+# div named content/article (module soup -> largest-div wins the river
+# of repeated story cards); the product page finds `div.content` amid
+# commerce chrome (gallery, price block, spec table, review widgets);
+# the wiki page pairs `div#content` with a floated infobox table and
+# citation superscripts (the [1]-style footnote markers must survive
+# as link text).
+
+REALISTIC_NEWS = """
+<!DOCTYPE html>
+<html lang="en">
+<head>
+    <title>The Daily Example — Front Page</title>
+    <script async src="/js/ads.js"></script>
+</head>
+<body>
+    <div class="masthead"><h1>The Daily Example</h1>
+        <ul class="edition-picker"><li>US</li><li>World</li></ul></div>
+    <div class="nav-strip"><a href="/politics">Politics</a> <a href="/tech">Tech</a> <a href="/sport">Sport</a></div>
+    <div class="river">
+        <div class="story-card lead">
+            <h2><a href="/story/1">Major Event Unfolds in Capital</a></h2>
+            <p class="standfirst">Officials responded on Tuesday to the developing situation.</p>
+            <span class="byline">By A. Reporter</span> <time>2 hours ago</time>
+        </div>
+        <div class="story-card">
+            <h3><a href="/story/2">Markets Edge Higher</a></h3>
+            <p>Shares rose for a third session as earnings beat forecasts.</p>
+        </div>
+        <div class="story-card">
+            <h3><a href="/story/3">New Stadium Opens</a></h3>
+            <p>Fans queued overnight for the opening fixture.</p>
+        </div>
+        <div class="story-card promo"><p>Subscribe for unlimited access</p></div>
+        <div class="story-card">
+            <h3><a href="/story/4">Science: Probe Reaches Orbit</a></h3>
+            <p>The mission entered its mapping phase on schedule.</p>
+        </div>
+    </div>
+    <div class="rail"><div class="widget weather">Partly cloudy, 21°</div>
+        <div class="widget most-read"><ol><li><a href="/story/2">Markets Edge Higher</a></li><li><a href="/story/4">Probe Reaches Orbit</a></li></ol></div></div>
+    <div class="page-footer"><small>© The Daily Example</small></div>
+</body>
+</html>
+"""
+
+REALISTIC_PRODUCT = """
+<html>
+<head><title>UltraWidget 3000 — ShopExample</title></head>
+<body>
+    <div id="site-chrome"><a href="/">ShopExample</a> <input placeholder="Search products"> <span class="cart">Cart (2)</span></div>
+    <div class="breadcrumbs"><a href="/tools">Tools</a> › <a href="/tools/widgets">Widgets</a> › UltraWidget 3000</div>
+    <div class="content product-page">
+        <h1>UltraWidget 3000</h1>
+        <div class="gallery"><img src="/img/uw3000-front.jpg" alt="UltraWidget 3000 front view"><img src="/img/uw3000-side.jpg" alt="side view"></div>
+        <p class="price"><del>$49.99</del> <strong>$39.99</strong> <span class="badge">20% off</span></p>
+        <p class="stock">In stock — ships in <b>24h</b>.</p>
+        <h2>Overview</h2>
+        <p>The UltraWidget 3000 combines a reinforced housing with a quiet drive, rated for continuous duty.</p>
+        <h2>Specifications</h2>
+        <table>
+            <tr><th>Weight</th><td>1.2 kg</td></tr>
+            <tr><th>Power</th><td>65 W</td></tr>
+            <tr><th>Warranty</th><td>2 years</td></tr>
+        </table>
+        <h2>Reviews</h2>
+        <div class="review"><p><strong>5/5</strong> — Solid build, quieter than my old unit.</p></div>
+        <div class="review"><p><strong>4/5</strong> — Good value; the cable could be longer.</p></div>
+    </div>
+    <div class="also-bought"><h3>Customers also bought</h3><ul><li><a href="/p/78">WidgetOil</a></li><li><a href="/p/79">Carry Case</a></li></ul></div>
+</body>
+</html>
+"""
+
+REALISTIC_WIKI = """
+<html>
+<head><title>Exampleton - Encyclopedia</title></head>
+<body>
+    <div id="sidebar"><ul><li><a href="/wiki/Main">Main page</a></li><li><a href="/wiki/Random">Random</a></li></ul></div>
+    <div id="content">
+        <h1>Exampleton</h1>
+        <table class="infobox">
+            <tr><th colspan="2">Exampleton</th></tr>
+            <tr><th>Country</th><td>Examplia</td></tr>
+            <tr><th>Population</th><td>52,400 (2020)</td></tr>
+            <tr><th>Founded</th><td>1741</td></tr>
+        </table>
+        <p><b>Exampleton</b> is a river town in western <a href="/wiki/Examplia">Examplia</a>, known for its
+           mills.<sup class="reference"><a href="#cite1">[1]</a></sup> It grew rapidly after the
+           railway arrived in 1862.<sup class="reference"><a href="#cite2">[2]</a></sup></p>
+        <h2>History</h2>
+        <p>Founded as a crossing post, the town chartered its first mill in 1745.</p>
+        <h2>See also</h2>
+        <ul><li><a href="/wiki/List_of_towns">List of towns in Examplia</a></li></ul>
+        <h2>References</h2>
+        <ol class="references">
+            <li id="cite1">Smith, A. <i>Towns of the West</i>. Example Press, 1990.</li>
+            <li id="cite2">Jones, B. "Rail and river". <i>Journal of Examplia</i>, 2004.</li>
+        </ol>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
     "degenerate-empty": DEGENERATE_EMPTY,
@@ -1650,6 +1756,9 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-custom-elements": HOSTILE_CUSTOM_ELEMENTS,
     "hostile-newline-soup": HOSTILE_NEWLINE_SOUP,
     "hostile-inline-semantics": HOSTILE_INLINE_SEMANTICS,
+    "realistic-news": REALISTIC_NEWS,
+    "realistic-product": REALISTIC_PRODUCT,
+    "realistic-wiki": REALISTIC_WIKI,
 }
 
 # option variants (FIXTURES.md §1.2)
