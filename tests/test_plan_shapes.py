@@ -194,3 +194,18 @@ def test_tfidf_topk_no_cartesian_no_global_sort(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" not in plan or "Window" in plan
     assert "Window" in plan
+
+
+def test_anchor_rollup_two_exchanges_with_top1_pushdown(spark):
+    """The anchor corpus rollup pays exactly two exchanges — the
+    map-side-combined (target, anchor) groupBy and the shared
+    per-target window shuffle — and the plurality pick must stay a
+    WindowGroupLimit top-1 pushdown (rank-then-filter materializing
+    every ranked row would regress hub targets)."""
+    plan = plan_of(spark, "anchor_text_rollup")
+    # formatted plans carry the partitioning in the detail section;
+    # the third Exchange is the fan_out round-robin on the input scan
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan          # map-side combine survives
+    assert "CartesianProduct" not in plan
