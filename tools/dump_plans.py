@@ -51,6 +51,10 @@ CASES = [
     ("hourly_event_stats",
      "partial/final hash aggregate pair (map-side combine) over a "
      "pruned scan"),
+    ("anchor_text_rollup",
+     "one Arrow harvest pass, map-side-combined (target, anchor) "
+     "aggregate, ONE shared per-target window exchange with a "
+     "WindowGroupLimit top-1 pushdown for the plurality pick"),
 ]
 
 
