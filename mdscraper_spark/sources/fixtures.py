@@ -1566,6 +1566,104 @@ HOSTILE_INLINE_SEMANTICS = """
 </html>
 """
 
+# round-5 twenty-fourth wave: the modern ANNOTATION layer — markup a
+# 2020s crawl carries on almost every commercial page but that renders
+# to nothing (or must NOT render to nothing) in a text pipeline.
+# hostile-annotation-layer pins: JSON-LD <script type="application/
+# ld+json"> blocks strip with every other script (their text must
+# never leak into the Markdown); schema.org microdata attributes
+# (itemscope/itemtype/itemprop) and ARIA attributes (role,
+# aria-hidden, aria-label, tabindex) are attribute-level noise the
+# reference never consults — an aria-hidden="true" subtree therefore
+# STILL RENDERS (reference parity: bs4/markdownify see only tags, so a
+# "fix" that hides it would be a byte-contract change); lazy-load
+# images (src="" + data-src, loading="lazy", or data-src with no src
+# at all) render with whatever `src` holds — ![alt]() for the
+# srcless forms, pinning that data-src is NOT consulted.
+# hostile-invisible-chars pins the zero-width/formatting tail: soft
+# hyphen, ZWSP/ZWNJ/ZWJ, word joiner, ZWNBSP mid-text, non-breaking
+# hyphen, and a combining accent — none are ASCII/Unicode whitespace,
+# so clean_text's collapse must pass every one through byte-intact.
+# realistic-consent-overlay is the macro case: a cookie-consent
+# dialog, skeleton-loader placeholders, and toast/ARIA-live regions
+# wrap a real article in div.content — content-class detection must
+# outrank the (textually fatter) overlay soup, so NONE of the consent/
+# toast/paywall chrome reaches the Markdown; the goldens pin that the
+# output is the article alone, identical across default and exclude
+# (the .ads block sits outside the detected container, so the
+# selector pass has nothing left to prune).
+
+HOSTILE_ANNOTATION_LAYER = """
+<html>
+<head>
+    <title>Annotation Layer</title>
+    <meta property="og:title" content="OG title must not render">
+    <meta name="twitter:card" content="summary">
+    <link rel="preload" href="/fonts/a.woff2" as="font">
+    <script type="application/ld+json">
+    {"@context": "https://schema.org", "@type": "Article",
+     "headline": "JSON-LD headline must never leak",
+     "author": {"@type": "Person", "name": "Leaky McLeakface"}}
+    </script>
+</head>
+<body>
+    <div class="content" itemscope itemtype="https://schema.org/Article">
+        <h1 itemprop="headline">Annotated Article</h1>
+        <script type="application/ld+json">{"@type": "BreadcrumbList", "name": "body json-ld also strips"}</script>
+        <p itemprop="articleBody">Microdata attributes are invisible; this <span itemprop="about" itemscope itemtype="https://schema.org/Thing"><span itemprop="name">annotated span</span></span> reads as plain text.</p>
+        <p role="note" aria-label="label text never renders" tabindex="0">A note with <a href="/ref.html" role="doc-noteref" aria-describedby="fn1">an annotated link</a> inside.</p>
+        <div aria-hidden="true"><p>aria-hidden text still renders: the reference never consults ARIA.</p></div>
+        <p>Lazy images: <img src="" data-src="/img/lazy1.jpg" alt="empty src" loading="lazy"> and <img data-src="/img/lazy2.jpg" alt="srcless"> and an eager <img src="/img/eager.jpg" alt="eager" loading="lazy">.</p>
+        <p hidden>the hidden attribute is also unconsulted and renders.</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_INVISIBLE_CHARS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Invisible Characters</h1>
+        <p>soft&shy;hyphen&shy;ated word survives with U+00AD intact.</p>
+        <p>zero&#8203;width&#8203;space and zero&zwnj;width&zwnj;non&zwnj;joiner and a zw&zwj;j ligature hint.</p>
+        <p>word&#8288;joiner glues, ZWNBSP&#65279;mid-text passes, non&#8209;breaking hyphen stays.</p>
+        <p>combining: cafe&#769; versus caf&eacute; — NFC is NOT applied.</p>
+        <p>&#8203;&shy;&#8288;</p>
+    </div>
+</body>
+</html>
+"""
+
+REALISTIC_CONSENT_OVERLAY = """
+<html>
+<head><title>Overlaid Article — ExampleApp</title></head>
+<body>
+    <div id="app-shell">
+        <div class="cookie-consent" role="dialog" aria-modal="true">
+            <h2>We value your privacy</h2>
+            <p>We and our 847 partners store cookies on your device.</p>
+            <button>Accept all</button> <button>Reject all</button>
+            <div class="ads"><p>consent-wall sponsor message</p></div>
+        </div>
+        <div class="skeleton-loader" aria-hidden="true">
+            <div class="skeleton-line"></div>
+            <div class="skeleton-line"></div>
+        </div>
+        <div class="content">
+            <h1>The Actual Article</h1>
+            <p class="dek">Everything around this block is app chrome.</p>
+            <p>Body paragraph one: the cascade must land here, not on the consent dialog or the toast rail, because content-class detection outranks size.</p>
+            <h2>Details</h2>
+            <p>Body paragraph two with a <a href="/more.html">relative link</a> and an <img src="/img/fig.png" alt="figure"> inline.</p>
+        </div>
+        <div class="toast-region" role="status" aria-live="polite"><p>Saved to reading list</p></div>
+        <div class="paywall-meter"><p>2 free articles left this month</p></div>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 twenty-third wave: three more MACRO composition pages — the
 # realistic page architectures a web-scale crawl actually hits, each
 # stressing a different cascade outcome.  The news front page has NO
@@ -1759,6 +1857,9 @@ FIXTURE_CASES: Dict[str, str] = {
     "realistic-news": REALISTIC_NEWS,
     "realistic-product": REALISTIC_PRODUCT,
     "realistic-wiki": REALISTIC_WIKI,
+    "hostile-annotation-layer": HOSTILE_ANNOTATION_LAYER,
+    "hostile-invisible-chars": HOSTILE_INVISIBLE_CHARS,
+    "realistic-consent-overlay": REALISTIC_CONSENT_OVERLAY,
 }
 
 # option variants (FIXTURES.md §1.2)
