@@ -69,6 +69,8 @@ EXTRAS = (
     "source_health_rollup",
     "kg_pmi_cooccurrence",
     "anchor_text_rollup",
+    "mirror_shingle_overlap",
+    "kg_component_sizes",
 )
 
 

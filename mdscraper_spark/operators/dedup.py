@@ -297,6 +297,102 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# cross-source mirror detection
+# ---------------------------------------------------------------------------
+
+MIRROR_SHINGLE_K = 5    # long enough that cross-source sharing means
+                        # copied prose, not vocabulary coincidence
+MIRROR_MAX_SOURCES = 8  # boilerplate guard: a shingle on more sources
+                        # than this is chrome/legalese, not a mirror
+
+
+def mirror_shingle_overlap(df: DataFrame, text_col: str = "text",
+                           source_col: str = "source",
+                           k: int = MIRROR_SHINGLE_K,
+                           max_sources: int = MIRROR_MAX_SOURCES
+                           ) -> DataFrame:
+    """(s1, s2, n_shared, overlap): mirror-site detection at the
+    source/host level — for every source pair, the count of distinct
+    ``k``-word shingles both carry and the overlap coefficient
+    ``n_shared / min(|A|, |B|)`` (1.0 = the smaller source is a full
+    mirror of the larger).  The host-level twin of document near-dup:
+    a crawl curator reads this to drop mirrored hosts wholesale
+    before paying per-document dedup.
+
+    Scale shape (10^12 docs, 10^8 hosts): one shuffle builds the
+    distinct (source, shingle) posting set; shingles present on more
+    than ``max_sources`` sources are boilerplate (cookie banners,
+    license text) and are dropped by a broadcast anti-join BEFORE the
+    self-join — the same count-pass + stop-key cap as
+    ngram_jaccard_pairs, so per-shingle pair fan-out is bounded by
+    max_sources^2 regardless of how viral a phrase is.  Per-source
+    totals join back as a plain (AQE-decided) join: one row per host
+    is NOT driver-sized at web scale, so no forced broadcast."""
+    toks = (df.filter(F.col(text_col).isNotNull())
+            .select(F.col(source_col).alias("source"),
+                    tokenize(F.col(text_col)).alias("toks")))
+    sh = (toks.select("source",
+                      F.explode(shingles_from_tokens(F.col("toks"), k))
+                      .alias("shingle"))
+          .distinct())
+    hot = (sh.groupBy("shingle")
+           .agg(F.count(F.lit(1)).alias("n_src"))
+           .filter(F.col("n_src") > max_sources)
+           .select("shingle"))
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    totals = (kept.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_sh")))
+    a = kept.select(F.col("source").alias("s1"), "shingle")
+    b = kept.select(F.col("source").alias("s2"), "shingle")
+    shared = (a.join(b, "shingle")
+              .filter(F.col("s1") < F.col("s2"))
+              .groupBy("s1", "s2")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    ta = totals.select(F.col("source").alias("s1"),
+                       F.col("n_sh").alias("n1"))
+    tb = totals.select(F.col("source").alias("s2"),
+                       F.col("n_sh").alias("n2"))
+    return (shared.join(ta, "s1").join(tb, "s2")
+            .select("s1", "s2", "n_shared",
+                    F.round(F.col("n_shared").cast("double")
+                            / F.least("n1", "n2"), 6).alias("overlap")))
+
+
+def sql_mirror_shingle_overlap(table: str, text_col: str = "text",
+                               source_col: str = "source",
+                               k: int = MIRROR_SHINGLE_K,
+                               max_sources: int = MIRROR_MAX_SOURCES
+                               ) -> str:
+    """DuckDB twin of mirror_shingle_overlap (replays the identical
+    tokenization, shingling, and boilerplate cap)."""
+    return f"""
+WITH toks AS (
+  SELECT {source_col} AS source, {sql_tokens(text_col)} AS t
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT source, unnest({sql_word_shingles('t', k)}) AS shingle
+  FROM toks
+),
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {max_sources}
+),
+kept AS (
+  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+tot AS (SELECT source, COUNT(*) AS n_sh FROM kept GROUP BY source)
+SELECT a.source AS s1, b.source AS s2,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       round(CAST(COUNT(*) AS DOUBLE) / least(ta.n_sh, tb.n_sh), 6)
+           AS overlap
+FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.source < b.source
+JOIN tot ta ON ta.source = a.source
+JOIN tot tb ON tb.source = b.source
+GROUP BY a.source, b.source, ta.n_sh, tb.n_sh
+"""
+
+
+# ---------------------------------------------------------------------------
 # near-dup group resolution (LSH pairs -> components -> survivors)
 # ---------------------------------------------------------------------------
 

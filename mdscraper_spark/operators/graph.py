@@ -39,6 +39,37 @@ def degree_stats(edges: DataFrame) -> DataFrame:
                     .alias("n_support_out")))
 
 
+def component_sizes(edges: DataFrame) -> DataFrame:
+    """(comp_id, n_nodes, n_edges): weakly-connected-component census
+    of the KG — the graph-health row a production build watches (a
+    collapsing giant component means over-merged entities; a dust of
+    singleton pairs means linking recall fell off a cliff).
+
+    ``comp_id`` is the component's minimum node id under UTF8 binary
+    order — byte-identical to ``connected_components``' canonical
+    labels, so the census is directly joinable against the canonical
+    map.  Scale shape: CC reuses the size-gated union-find / hash-
+    partitioned min-label propagation from ``operators.kg`` (the same
+    code path the canonicalization stage runs at 10^12 documents);
+    the census itself is one groupBy(canon) for node counts plus one
+    join+groupBy for edge counts, with the canonical map broadcast
+    only when the size gate proved it driver-sized."""
+    from mdscraper_spark.operators.kg import (_maybe_broadcast,
+                                              connected_components)
+
+    cmap = connected_components(edges.select("src", "dst"))
+    nodes = (cmap.groupBy(F.col("canon_id").alias("comp_id"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    e_cnt = (edges.join(_maybe_broadcast(cmap),
+                        edges.src == cmap.node_id)
+             .groupBy(F.col("canon_id").alias("comp_id"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    return (nodes.join(e_cnt, "comp_id", "left")
+            .select("comp_id", "n_nodes",
+                    F.coalesce(F.col("n_edges"), F.lit(0))
+                    .cast("long").alias("n_edges")))
+
+
 def hub_hop_nodes(edges: DataFrame, max_hub_degree: int) -> DataFrame:
     """(node, in_deg, out_deg): hop nodes whose fan-in or fan-out
     exceeds ``max_hub_degree`` — the nodes whose in×out intermediate

@@ -1697,6 +1697,20 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents", fan_out=True))
 
 
+@register("mirror_shingle_overlap",
+          dedup.sql_mirror_shingle_overlap("documents"))
+def mirror_shingle_overlap_q(spark, sf_dir):
+    """Host-level mirror detection: per source pair, shared distinct
+    5-gram shingles + overlap coefficient, boilerplate shingles
+    (> MIRROR_MAX_SOURCES sources) capped out before pairing — the
+    crawl-curation step that drops mirrored hosts wholesale before
+    per-document dedup is paid (operators/dedup.py
+    mirror_shingle_overlap; the oracle replays tokenize/shingle/cap
+    verbatim)."""
+    return dedup.mirror_shingle_overlap(
+        load(spark, sf_dir, "documents", fan_out=True))
+
+
 # ===========================================================================
 # similarity
 # ===========================================================================
@@ -2297,6 +2311,38 @@ def kg_degree_stats(spark, sf_dir):
     return degree_stats(_flagship_edges(spark, sf_dir))
 
 
+@register("kg_component_sizes", f"""
+WITH RECURSIVE
+e AS (SELECT src, dst FROM {_FROZEN_EDGES}),
+u AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM u)
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN u ON r.b = u.a
+),
+comp AS (SELECT a AS node, MIN(b) AS comp_id FROM reach GROUP BY a),
+nodes AS (SELECT comp_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM comp GROUP BY 1),
+ecnt AS (SELECT c.comp_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+         FROM e JOIN comp c ON c.node = e.src GROUP BY 1)
+SELECT nodes.comp_id, n_nodes,
+       COALESCE(n_edges, CAST(0 AS BIGINT)) AS n_edges
+FROM nodes LEFT JOIN ecnt ON ecnt.comp_id = nodes.comp_id
+""")
+def kg_component_sizes(spark, sf_dir):
+    """Weakly-connected-component census of the full-pipeline KG:
+    (comp_id, n_nodes, n_edges) per component, comp_id = component
+    min node id.  This pins the DISTRIBUTED connected-components
+    operator's component structure against an exact transitive-closure
+    oracle (DuckDB recursive CTE over the frozen single-threaded
+    edges) — a stronger check than label equality alone, and the
+    graph-health dashboard row a production build watches for
+    over-merge (one giant component) or recall collapse (all dust)."""
+    from mdscraper_spark.operators.graph import component_sizes
+
+    return component_sizes(_flagship_edges(spark, sf_dir))
+
+
 _HUB_CAP = 54  # drops the top ~10% hub suppliers at sf0.01 (in-deg 36..59)
 
 
@@ -2642,12 +2688,13 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + 30 of the 37 rows whose last
-# driver-green is r02/r03 + the eight new round-5 rows
+# Round-5 window: 12 pinned + 28 of the 37 rows whose last
+# driver-green is r02/r03 + the ten new round-5 rows
 # (kg_export_provenance, graph_triangle_clustering,
 # doc_unigram_logprob, doc_tfidf_keywords, weighted_sample_docs,
-# corpus_mixture_schedule, source_health_rollup,
-# kg_pmi_cooccurrence) = exactly the 50-row cap; every row below the
+# corpus_mixture_schedule, source_health_rollup, kg_pmi_cooccurrence,
+# anchor_text_rollup, mirror_shingle_overlap, kg_component_sizes)
+# = exactly the 50-row cap; every row below the
 # cap was driver-green in r03/r04
 # (max staleness 2 rounds at rotation time) and remains covered by the
 # local check_oracle twin — the rotation never removes a row's oracle,
@@ -2676,6 +2723,8 @@ _DRIVER_ORDER = [
     "source_health_rollup",  # last driver-green: r00 (new round 5)
     "kg_pmi_cooccurrence",  # last driver-green: r00 (new round 5)
     "anchor_text_rollup",  # last driver-green: r00 (new round 5)
+    "mirror_shingle_overlap",  # last driver-green: r00 (new round 5)
+    "kg_component_sizes",  # last driver-green: r00 (new round 5)
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -2703,16 +2752,18 @@ _DRIVER_ORDER = [
     "lsh_topk",  # last driver-green: r03
     "minhash_signatures",  # last driver-green: r03
     "pack_utilization",  # last driver-green: r03
-    "paragraph_dedup",  # last driver-green: r03
-    "simhash16",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
     # (glob_exclude_filter / md_title_probe / relative_url_strip /
     # sanitize_slug / site_seed_harvest / url_file_order /
     # url_normalize_dedup yield their slots to the seven new round-5
-    # rows, and two_hop_hub_capped yields its slot to the late-round-5
-    # anchor_text_rollup; all stay check_oracle-covered, staleness
-    # 2 rounds — the documented window trade-off, BENCH/BASELINE.md)
+    # rows; two_hop_hub_capped, paragraph_dedup, and simhash16 yield
+    # theirs to the late-round-5 anchor_text_rollup /
+    # mirror_shingle_overlap / kg_component_sizes; all stay
+    # check_oracle-covered, staleness 2 rounds — the documented window
+    # trade-off, BENCH/BASELINE.md)
+    "paragraph_dedup",  # last driver-green: r03
+    "simhash16",  # last driver-green: r03
     "two_hop_hub_capped",  # last driver-green: r03
     "glob_exclude_filter",  # last driver-green: r03
     "md_title_probe",  # last driver-green: r03
