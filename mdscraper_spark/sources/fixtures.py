@@ -1664,6 +1664,86 @@ REALISTIC_CONSENT_OVERLAY = """
 </html>
 """
 
+# round-5 twenty-fifth wave: charref termination edges and the email-
+# layout macro page.  hostile-charref-nosemi pins html.parser's
+# convert_charrefs semantics for NAMED references missing their
+# semicolon (probed against the stdlib): the longest semicolon-less
+# legacy entity prefix converts (&notit; -> "¬it;", &copy 2025 ->
+# "© 2025", &ampx -> "&x", &lt3 -> "<3", &times2 -> "×2") while a
+# name outside the legacy table stays literal (&unknownthing); and —
+# the pinned html.parser-vs-browser DIVERGENCE — the SAME aggressive
+# conversion applies inside attribute values, where HTML5 would keep
+# a ref followed by '='/alnum literal: href="/q?a=1&not=2&copy=3"
+# becomes "/q?a=1¬=2©=3".  The reference (bs4 on html.parser,
+# convert_charrefs on) inherits exactly this, so the goldens pin
+# reference parity, not browser behavior.  realistic-newsletter is
+# the macro case a crawl of newsletter/mailing-list archives hits:
+# 1999-style table layout (center + nested layout tables with
+# width/bgcolor soup, spacer gifs, font tags), mso conditional
+# comments (true comments -> vanish whole), inline styles everywhere,
+# and no content-named div — the cascade falls through to largest-div
+# election over the wrapper div, and every table flattens through the
+# cell seam rules.
+
+HOSTILE_CHARREF_NOSEMI = """
+<html>
+<body>
+    <div class="content">
+        <h1>Charref Termination</h1>
+        <p>longest match: &notit; and &notin; differ by one table row.</p>
+        <p>legacy no-semi: &copy 2025 Example Corp &middot press &para now.</p>
+        <p>prefix chomp: &ampx &amp; &lt3 &gt9000 &times2 &divide2.</p>
+        <p>not in the table: &unknownthing and &customref; stay literal.</p>
+        <p><a href="/q?a=1&not=2&copy=3&amp=4&sect=5">query soup link</a></p>
+        <p><img src="/i.png?w=100&cent=0&pound=1" alt="attr refs"></p>
+        <p>trailing amp ends the document: money &amp savings &</p>
+    </div>
+</body>
+</html>
+"""
+
+REALISTIC_NEWSLETTER = """
+<html>
+<head><title>Weekly Digest #42 - Example Letter</title></head>
+<body bgcolor="#f4f4f4">
+<!--[if mso]><style>.mso-only { display: block; }</style><![endif]-->
+<center>
+<table width="600" border="0" cellpadding="0" cellspacing="0" bgcolor="#ffffff">
+  <tr><td align="center" style="padding: 12px;">
+    <img src="https://cdn.example.com/logo.png" alt="Example Letter" width="120">
+  </td></tr>
+  <tr><td>
+    <table width="100%" border="0" cellpadding="8" cellspacing="0">
+      <tr><td>
+        <div class="wrapper">
+          <font face="Georgia" size="4"><b>This week in infrastructure</b></font>
+          <p style="margin: 8px 0;">Hello reader, here is issue
+          <b>#42</b> of the digest you subscribed to.</p>
+          <table border="0" cellpadding="4"><tr>
+            <td width="1"><img src="spacer.gif" width="1" height="1" alt=""></td>
+            <td><p><a href="https://example.com/a1">Postgres 18 ships
+            incremental view maintenance</a> &mdash; the headline feature
+            explained in nine minutes.</p></td>
+          </tr><tr>
+            <td width="1"><img src="spacer.gif" width="1" height="1" alt=""></td>
+            <td><p><a href="https://example.com/a2">A tour of columnar
+            shuffle formats</a> &mdash; Arrow, ORC, and the in-between.</p></td>
+          </tr></table>
+          <p><font color="#888888" size="2">You receive this because you
+          signed up at example.com. <a href="https://example.com/unsub?u=1&amp;c=9">
+          Unsubscribe</a> &middot; <a href="https://example.com/archive">View
+          in browser</a></font></p>
+        </div>
+      </td></tr>
+    </table>
+  </td></tr>
+  <tr><td align="center"><p><small>&copy 2026 Example Letter, 1 Demo Way</small></p></td></tr>
+</table>
+</center>
+</body>
+</html>
+"""
+
 # round-5 twenty-third wave: three more MACRO composition pages — the
 # realistic page architectures a web-scale crawl actually hits, each
 # stressing a different cascade outcome.  The news front page has NO
@@ -1860,6 +1940,8 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-annotation-layer": HOSTILE_ANNOTATION_LAYER,
     "hostile-invisible-chars": HOSTILE_INVISIBLE_CHARS,
     "realistic-consent-overlay": REALISTIC_CONSENT_OVERLAY,
+    "hostile-charref-nosemi": HOSTILE_CHARREF_NOSEMI,
+    "realistic-newsletter": REALISTIC_NEWSLETTER,
 }
 
 # option variants (FIXTURES.md §1.2)
