@@ -93,3 +93,15 @@ def test_component_sizes_local_and_distributed_paths_agree(spark):
             kg_ops.connected_components = orig
 
     assert census(2_000_000) == census(0)
+
+
+def test_mirror_plan_shape(spark):
+    """The boilerplate cap must be a broadcast anti-join and the pair
+    build an equi-join on shingle — never a cartesian expansion."""
+    df = _docs(spark, [(i, f"one two three four five six{i}", f"h{i}")
+                       for i in range(4)])
+    plan = mirror_shingle_overlap(df)._jdf.queryExecution() \
+                                     .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
