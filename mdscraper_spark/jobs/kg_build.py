@@ -192,22 +192,27 @@ class KgBuildJob:
         # The driver-sized local union-find path has no rounds and
         # records nothing.
         cc_rounds: list = []
+        t_round = [time.monotonic()]
 
         def record_cc_round(round_idx: int, n_changed: int,
                             n_nodes: int) -> None:
-            cc_rounds.append((round_idx, n_changed))
+            # per-ROUND wall, not the cumulative stage wall: the whole
+            # point of the trajectory is seeing WHICH rounds were slow
+            now_s = time.monotonic()
+            cc_rounds.append(
+                (round_idx, n_changed, int((now_s - t_round[0]) * 1000)))
+            t_round[0] = now_s
 
         cmap = kg_ops.connected_components(
             kg_ops.coreference_edges(links),
             local_solve_threshold=self.cc_local_solve_threshold,
             on_round=record_cc_round)
         if cc_rounds:
-            wall_cc = int((time.monotonic() - t0) * 1000)
             now = datetime.datetime.now()
             self._append_lineage([
                 (run_id, int(rnd), "cc_round", "ok", int(n_changed),
-                 wall_cc, now)
-                for rnd, n_changed in cc_rounds])
+                 wall_round, now)
+                for rnd, n_changed, wall_round in cc_rounds])
         self.wh.write_table(cmap, "canonical_map")
         cmap = self.wh.read_table("canonical_map")
         nodes = kg_ops.build_kg_nodes(cmap, mentions, self.aliases)

@@ -307,6 +307,13 @@ def link_entities(mentions: DataFrame, aliases: DataFrame,
 
     if salt is None:
         joined = m.join(F.broadcast(a), m.surface_norm == a.alias_norm, "inner")
+    elif salt == 1:
+        # the "plain shuffle, AQE handles skew" placement: a salt of 1
+        # is algebraically a no-op (pmod(x,1)=0 both sides), so skip
+        # the per-row hash, the dict explode, and the widened join key
+        # entirely — the join IS the plain sort-merge join the
+        # decide_salt docstring promises
+        joined = m.join(a, m.surface_norm == a.alias_norm, "inner")
     else:
         m = m.withColumn("salt_key",
                          F.pmod(F.xxhash64("url"), F.lit(salt)).cast("int"))
@@ -468,9 +475,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
                              .cast("long")), F.lit(0)).alias("n_changed"),
             F.count(F.lit(1)).alias("n_nodes"))
         labels = observed.select("node_id", "label")
-        labels.count()  # the round's action; fills obs
+        # ONE action per round.  On checkpoint rounds the (eager)
+        # localCheckpoint IS that action — it executes the plan once,
+        # fills obs, and materializes the result; running count()
+        # first and checkpointing after would execute the round's
+        # join+agg (plus up to checkpoint_every rounds of uncut
+        # lineage) twice.
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint()
+        else:
+            labels.count()  # fills obs
         n_changed = obs.get["n_changed"]
         if on_round is not None:
             on_round(i, int(n_changed), int(obs.get["n_nodes"]))
@@ -767,14 +781,17 @@ def pmi_cooccurrence(mentions: DataFrame, cmap: DataFrame) -> DataFrame:
     join-partitioned); the pair build is a per-sentence self-join
     whose blow-up is bounded by mentions-per-sentence (single digits
     in prose — the per-key quadratic is on sentence size, never corpus
-    size); singles/pairs are map-side-combined groupBys; N is one
-    bounded-.first() scalar (pagerank's dangling-mass contract).
+    size); singles/pairs are map-side-combined groupBys.  The linked
+    set feeds FOUR consumers (the N count, singles, and both pair
+    sides), so it is localCheckpoint-ed once — the join+distinct runs
+    a single time instead of once per consumer.
     Rounded to 6 so both engines' double ln agrees at the hash."""
     s_node = F.concat(F.lit("s:"), _norm_col(F.col("surface")))
     linked = (mentions.select("url", "sent_id", s_node.alias("node_id"))
               .join(cmap, "node_id")
               .select("url", "sent_id", "canon_id")
-              .distinct())
+              .distinct()
+              .localCheckpoint())
     n_sent = linked.select("url", "sent_id").distinct().count()
     if n_sent == 0:
         return linked.select(

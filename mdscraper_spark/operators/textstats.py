@@ -791,8 +791,11 @@ def unigram_logprob(df: DataFrame, min_count: int = 2,
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c")).first()[0]
     if not total:
-        return toks.select("doc_id", F.lit(0).alias("n_tokens"),
-                           F.lit(0.0).alias("avg_logprob"))
+        # cast matches the normal path's schema exactly (count -> long,
+        # round(avg(...)) -> double) so an empty corpus unions cleanly
+        return toks.select("doc_id",
+                           F.lit(0).cast("long").alias("n_tokens"),
+                           F.lit(0.0).cast("double").alias("avg_logprob"))
     vocab = counts.filter(F.col("c") >= min_count)
     return (toks.join(vocab, "token", "left")
             .groupBy("doc_id")

@@ -2688,12 +2688,12 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + 28 of the 37 rows whose last
-# driver-green is r02/r03 + the ten new round-5 rows
+# Round-5 window: 12 pinned + the ELEVEN new round-5 rows
 # (kg_export_provenance, graph_triangle_clustering,
 # doc_unigram_logprob, doc_tfidf_keywords, weighted_sample_docs,
 # corpus_mixture_schedule, source_health_rollup, kg_pmi_cooccurrence,
 # anchor_text_rollup, mirror_shingle_overlap, kg_component_sizes)
+# + 27 of the 37 rows whose last driver-green is r02/r03
 # = exactly the 50-row cap; every row below the
 # cap was driver-green in r03/r04
 # (max staleness 2 rounds at rotation time) and remains covered by the

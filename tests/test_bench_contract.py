@@ -27,6 +27,11 @@ def _headline_names() -> list[str]:
     me = re.search(r"EXTRAS = \((.*?)\)", src, re.S)
     assert me, "EXTRAS tuple not found in bench.py"
     names += re.findall(r'"([^"]+)"', me.group(1))
+    ms = re.search(r"SALT_TRIO = \((.*?)\)", src, re.S)
+    assert ms, "SALT_TRIO tuple not found in bench.py"
+    salt_names = re.findall(r'"([^"]+)"', ms.group(1))
+    assert len(salt_names) == 3, salt_names
+    names += salt_names
     # keys timed outside the HEADLINE loop (grep the source so a new
     # timed_min/timings[...] site can't silently outgrow this test)
     extra = set(re.findall(r'timings\["([a-z0-9_]+)"\]', src))

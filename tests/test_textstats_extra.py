@@ -401,7 +401,12 @@ def test_unigram_and_tfidf_differential_fuzz(spark):
     import random
 
     rng = random.Random("textfuzz-r5")
-    vocab = [f"w{i}" for i in range(30)] + ["ok", "no", "x7", "!"]
+    # the alphabetic >=3-char words are ESSENTIAL: they are the only
+    # tokens passing tfidf_topk's ^[A-Za-z]{3,}$ candidate filter —
+    # without them the tf-idf half of this fuzz compares {} == {}
+    vocab = ([f"w{i}" for i in range(30)] + ["ok", "no", "x7", "!"]
+             + ["alpha", "beta", "gamma", "delta", "epsilon",
+                "zeta", "theta", "kappa", "sigma", "omega"])
     docs = []
     for i in range(60):
         n = rng.randrange(0, 25)

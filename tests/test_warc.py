@@ -165,9 +165,32 @@ def test_reader_ignores_inprogress_tmp(spark, tmp_path):
     # strict (lenient=False) read: would raise if the temp were listed
     rows = warc.read_warc(spark, str(out)).collect()
     assert len(rows) == 3
-    # and the temp name can never match the reader glob
+    # and the temp name can never match the glob the readers ACTUALLY
+    # use — pulled from the source so a reader-glob change re-tests
+    # the contract instead of pinning a stale pattern
     import fnmatch
-    assert not fnmatch.fnmatch(torn.name, "*.warc*")
+    import pathlib
+    import re
+
+    src_dir = pathlib.Path(warc.__file__).resolve().parents[1]
+    globs = set()
+    for mod in ("sources/warc.py", "streaming/incremental.py"):
+        text = (src_dir / mod).read_text()
+        globs |= set(re.findall(
+            r'"pathGlobFilter",\s*"([^"]+)"', text))
+    assert globs, "no pathGlobFilter found in readers"
+
+    def expand(g):  # {a,b} brace alternation (fnmatch has none)
+        m = re.fullmatch(r"(.*)\{([^}]*)\}(.*)", g)
+        return ([m.group(1) + alt + m.group(3)
+                 for alt in m.group(2).split(",")] if m else [g])
+
+    alts = [alt for g in globs for alt in expand(g)]
+    assert not any(fnmatch.fnmatch(torn.name, alt) for alt in alts), \
+        (torn.name, sorted(globs))
+    # and the published shard names must still match
+    assert any(fnmatch.fnmatch("shard-00000.warc", alt) for alt in alts)
+    assert any(fnmatch.fnmatch("shard-00000.warc.gz", alt) for alt in alts)
 
 
 def test_failed_write_leaves_no_tmp(tmp_path):
