@@ -1664,6 +1664,71 @@ REALISTIC_CONSENT_OVERLAY = """
 </html>
 """
 
+# round-5 twenty-sixth wave: the forum-thread macro page — the last
+# major page architecture a web crawl hits that no existing macro
+# covers: REPEATED post structure (header / body / signature x N)
+# with nested reply-quote chains (blockquote inside blockquote with
+# attribution lines — the composition that stresses the '>' prefix
+# seams at depth inside a repeating unit), inline code in posts,
+# @-mention links, an edit-note in small, signature blocks separated
+# by hr, and pagination chrome.  The thread lives in div.content
+# amid forum chrome (breadcrumbs, moderation banner, reply box,
+# pagination) that the cascade must exclude only where it sits
+# outside the container: the reply-form and pagination sit INSIDE
+# div.content on real forums and therefore render — pinning that the
+# extractor's unit of selection is the container, not a semantic
+# notion of "the posts".
+
+REALISTIC_FORUM_THREAD = """
+<html>
+<head><title>Kernel panic after resume - HelpForum</title></head>
+<body>
+    <nav class="breadcrumbs"><a href="/">Home</a> &raquo; <a href="/c/linux">Linux</a> &raquo; Kernel panic after resume</nav>
+    <div class="mod-banner"><p>This thread is archived. New replies are disabled.</p></div>
+    <div class="content">
+        <h1>Kernel panic after resume</h1>
+        <div class="post" id="post-1">
+            <p class="post-meta"><b>gnarlybit</b> wrote on 2024-11-02:</p>
+            <p>After suspending, resume gives me a panic in <code>iwlwifi</code>.
+            Full trace below. Anyone seen this on 6.11?</p>
+            <pre><code>BUG: kernel NULL pointer dereference, address: 0000000000000038
+RIP: 0010:iwl_mvm_mac_stop+0x4a/0x160 [iwlmvm]</code></pre>
+            <hr>
+            <p><small>Sent from my thinkpad &middot; dotfiles at <a href="https://example.com/~gnarly">~gnarly</a></small></p>
+        </div>
+        <div class="post" id="post-2">
+            <p class="post-meta"><b>driverdev</b> wrote on 2024-11-03:</p>
+            <blockquote>
+                <p><b>gnarlybit</b> wrote:</p>
+                <p>resume gives me a panic in <code>iwlwifi</code>.</p>
+            </blockquote>
+            <p>Known regression, see <a href="/t/9915">this thread</a>.
+            Try <code>modprobe -r iwlmvm</code> before suspend as a workaround.</p>
+            <p><small>edited 2024-11-03: added workaround</small></p>
+        </div>
+        <div class="post" id="post-3">
+            <p class="post-meta"><b>gnarlybit</b> wrote on 2024-11-04:</p>
+            <blockquote>
+                <p><b>driverdev</b> wrote:</p>
+                <blockquote>
+                    <p><b>gnarlybit</b> wrote:</p>
+                    <p>resume gives me a panic in <code>iwlwifi</code>.</p>
+                </blockquote>
+                <p>Try <code>modprobe -r iwlmvm</code> before suspend.</p>
+            </blockquote>
+            <p>That fixed it, thanks @<a href="/u/driverdev">driverdev</a>!
+            Marking solved.</p>
+        </div>
+        <div class="reply-form">
+            <p>Log in to reply. <a href="/login?next=/t/10021">Log in</a></p>
+        </div>
+        <div class="pagination"><p>Page 1 of 1</p></div>
+    </div>
+    <footer class="site-footer"><p>HelpForum &copy; 2024</p></footer>
+</body>
+</html>
+"""
+
 # round-5 twenty-fifth wave: charref termination edges and the email-
 # layout macro page.  hostile-charref-nosemi pins html.parser's
 # convert_charrefs semantics for NAMED references missing their
@@ -1942,6 +2007,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "realistic-consent-overlay": REALISTIC_CONSENT_OVERLAY,
     "hostile-charref-nosemi": HOSTILE_CHARREF_NOSEMI,
     "realistic-newsletter": REALISTIC_NEWSLETTER,
+    "realistic-forum-thread": REALISTIC_FORUM_THREAD,
 }
 
 # option variants (FIXTURES.md §1.2)
