@@ -1,0 +1,100 @@
+"""Differential fuzz for the round-5 tail operators: seeded random
+corpora vs exact pure-Python replays (the repo's J-family convention —
+the distributed plan must reproduce the scalar math bit-for-bit at the
+rounding points)."""
+
+import random
+
+from mdscraper_spark.operators.dedup import mirror_shingle_overlap
+from mdscraper_spark.operators.graph import component_sizes
+
+
+def test_mirror_overlap_differential_fuzz(spark):
+    """Zipf-ish vocab with deliberate cross-host copying and a viral
+    boilerplate sentence, vs a pure-Python replay of tokenize →
+    5-gram shingle → distinct posting → hot-cap → pair counts →
+    overlap coefficient."""
+    rng = random.Random("mirror-fuzz-r5")
+    vocab = [f"t{i}" for i in range(40)]
+    banner = "this website stores cookies on your computer okay"
+    k, cap = 5, 8
+    docs, did = [], 0
+    for host in range(14):
+        for _ in range(rng.randrange(1, 4)):
+            n = rng.randrange(0, 30)
+            toks = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+            text = " ".join(toks)
+            if rng.random() < 0.5:
+                text = banner + " " + text      # viral boilerplate
+            docs.append((did, text, f"host{host}"))
+            did += 1
+            if rng.random() < 0.3 and docs:     # cross-host mirror copy
+                src_text = docs[rng.randrange(len(docs))][1]
+                docs.append((did, src_text, f"host{(host + 7) % 14}"))
+                did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+
+    # pure-Python replay
+    posting = {}                                 # shingle -> set(source)
+    for _i, text, src in docs:
+        toks = text.split()
+        for j in range(max(0, len(toks) - k + 1)):
+            posting.setdefault(" ".join(toks[j:j + k]), set()).add(src)
+    kept = {sh: ss for sh, ss in posting.items() if len(ss) <= cap}
+    totals = {}
+    for ss in kept.values():
+        for s in ss:
+            totals[s] = totals.get(s, 0) + 1
+    pair_n = {}
+    for ss in kept.values():
+        srcs = sorted(ss)
+        for x in range(len(srcs)):
+            for y in range(x + 1, len(srcs)):
+                pair_n[(srcs[x], srcs[y])] = \
+                    pair_n.get((srcs[x], srcs[y]), 0) + 1
+    expect = {p: (n, round(n / min(totals[p[0]], totals[p[1]]), 6))
+              for p, n in pair_n.items()}
+
+    got = {(r.s1, r.s2): (r.n_shared, r.overlap)
+           for r in mirror_shingle_overlap(df, max_sources=cap).collect()}
+    assert got == expect
+    assert got, "fuzz corpus produced no mirror pairs — vacuous"
+
+
+def test_component_sizes_differential_fuzz(spark):
+    """Random sparse multigraphs vs a pure-Python union-find census
+    (min-label components, node counts, edge-ROW counts)."""
+    rng = random.Random("census-fuzz-r5")
+    for trial in range(3):
+        n_nodes = rng.randrange(6, 40)
+        n_edges = rng.randrange(3, 60)
+        rows = []
+        for e in range(n_edges):
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            rows.append((f"v{a}", f"p{e % 3}", f"v{b}", 1))
+        df = spark.createDataFrame(
+            rows, "src string, pred string, dst string, n_support long")
+
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, _p, b, _s in rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {x for a, _p, b, _s in rows for x in (a, b)}
+        comp = {x: find(x) for x in nodes}
+        expect = {}
+        for x, c in comp.items():
+            expect.setdefault(c, [0, 0])[0] += 1
+        for a, _p, _b, _s in rows:
+            expect[comp[a]][1] += 1
+        got = {r.comp_id: [r.n_nodes, r.n_edges]
+               for r in component_sizes(df).collect()}
+        assert got == expect, trial
