@@ -322,12 +322,20 @@ def mirror_shingle_overlap(df: DataFrame, text_col: str = "text",
     Scale shape (10^12 docs, 10^8 hosts): one shuffle builds the
     distinct (source, shingle) posting set; shingles present on more
     than ``max_sources`` sources are boilerplate (cookie banners,
-    license text) and are dropped by a broadcast anti-join BEFORE the
-    self-join — the same count-pass + stop-key cap as
-    ngram_jaccard_pairs, so per-shingle pair fan-out is bounded by
-    max_sources^2 regardless of how viral a phrase is.  Per-source
-    totals join back as a plain (AQE-decided) join: one row per host
-    is NOT driver-sized at web scale, so no forced broadcast."""
+    license text).  Unlike ngram_jaccard's stop-shingle cap — where
+    the hot set is the tiny top of a Zipf curve and broadcasts — the
+    boilerplate set here is NOT driver-sized at web scale (at cap=8
+    over 10^8 hosts, most of the common-phrase vocabulary exceeds
+    it), so the per-shingle source count joins BACK on the shingle
+    key instead: the same hash partitioning the count shuffle just
+    produced, which AQE/Catalyst co-partitions with no broadcast and
+    no driver-side set anywhere.  Singleton shingles (n_src == 1)
+    cannot produce a pair and are pruned before the self-join — but
+    AFTER the per-source totals, which count every non-boilerplate
+    shingle so the overlap denominator keeps its meaning.  Per-shingle
+    pair fan-out is bounded by max_sources^2 regardless of how viral
+    a phrase is; per-source totals join back AQE-decided (one row per
+    host is not driver-sized either)."""
     toks = (df.filter(F.col(text_col).isNotNull())
             .select(F.col(source_col).alias("source"),
                     tokenize(F.col(text_col)).alias("toks")))
@@ -335,15 +343,15 @@ def mirror_shingle_overlap(df: DataFrame, text_col: str = "text",
                       F.explode(shingles_from_tokens(F.col("toks"), k))
                       .alias("shingle"))
           .distinct())
-    hot = (sh.groupBy("shingle")
-           .agg(F.count(F.lit(1)).alias("n_src"))
-           .filter(F.col("n_src") > max_sources)
-           .select("shingle"))
-    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    counts = (sh.groupBy("shingle")
+              .agg(F.count(F.lit(1)).alias("n_src")))
+    kept = (sh.join(counts, "shingle")
+            .filter(F.col("n_src") <= max_sources))
     totals = (kept.groupBy("source")
               .agg(F.count(F.lit(1)).alias("n_sh")))
-    a = kept.select(F.col("source").alias("s1"), "shingle")
-    b = kept.select(F.col("source").alias("s2"), "shingle")
+    pairable = kept.filter(F.col("n_src") >= 2)
+    a = pairable.select(F.col("source").alias("s1"), "shingle")
+    b = pairable.select(F.col("source").alias("s2"), "shingle")
     shared = (a.join(b, "shingle")
               .filter(F.col("s1") < F.col("s2"))
               .groupBy("s1", "s2")
@@ -364,7 +372,10 @@ def sql_mirror_shingle_overlap(table: str, text_col: str = "text",
                                max_sources: int = MIRROR_MAX_SOURCES
                                ) -> str:
     """DuckDB twin of mirror_shingle_overlap (replays the identical
-    tokenization, shingling, and boilerplate cap)."""
+    tokenization, shingling, and boilerplate cap).  The operator's
+    singleton prune (n_src >= 2 before the self-join) is invisible to
+    the output — a one-source shingle can never produce a pair — so
+    the twin keeps the simpler NOT-IN-hot form."""
     return f"""
 WITH toks AS (
   SELECT {source_col} AS source, {sql_tokens(text_col)} AS t
