@@ -5,6 +5,8 @@ rounding points)."""
 
 import random
 
+import pytest
+
 from mdscraper_spark.operators.dedup import mirror_shingle_overlap
 from mdscraper_spark.operators.graph import component_sizes
 
@@ -98,3 +100,54 @@ def test_component_sizes_differential_fuzz(spark):
         got = {r.comp_id: [r.n_nodes, r.n_edges]
                for r in component_sizes(df).collect()}
         assert got == expect, trial
+
+
+@pytest.mark.slow
+def test_mirror_cap_bounds_pairs_at_20k_docs(spark):
+    """The no-broadcast boilerplate cap at meaningful scale: 20k docs
+    across 400 hosts where EVERY doc opens with one of 5 viral banner
+    sentences.  Uncapped, each banner shingle pairs ~400 hosts ->
+    ~80k pair-rows per shingle; with the cap the banners vanish and
+    only the deliberate cross-host mirrors (2% of docs copied to one
+    other host) survive.  Pins: (a) every reported pair involves a
+    genuine copy, (b) pair count is bounded by the planted mirrors,
+    (c) the job completes without any driver-side set (the plan is
+    already asserted broadcast-free in test_mirror_components)."""
+    from pyspark.sql import functions as F
+
+    banners = [
+        "this website stores cookies on your computer to improve experience",
+        "we and our partners process personal data for measurement insights",
+        "sign in to your account to continue reading premium member content",
+        "subscribe to the newsletter for weekly updates delivered every morning",
+        "all trademarks are property of their respective owners worldwide today",
+    ]
+    base = (spark.range(20_000, numPartitions=32)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.element_at(F.array(*[F.lit(b) for b in banners]),
+                                 (F.col("id") % 5 + 1).cast("int")),
+                    F.lit(" body "),
+                    # 12 doc-unique tokens -> host-unique shingles
+                    F.concat_ws(" ", *[
+                        F.concat(F.lit(f"tok{j}x"), F.col("id"))
+                        for j in range(12)])).alias("text"),
+                F.concat(F.lit("host"), (F.col("id") % 400)).alias("source")))
+    mirrors = (base.filter(F.col("doc_id") % 50 == 0)   # 2% copied
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       "text",
+                       F.concat(F.lit("host"),
+                                ((F.col("doc_id") + 199) % 400))
+                       .alias("source")))
+    df = base.unionByName(mirrors)
+    pairs = mirror_shingle_overlap(df).collect()
+    n_mirror_docs = 20_000 // 50
+    assert 0 < len(pairs) <= n_mirror_docs
+    # every pair must be a planted copy pair: hosts 200 apart minus
+    # the +199 shift — i.e. (h, (h+199) % 400) for some mirrored doc
+    for r in pairs:
+        h1 = int(r.s1.removeprefix("host"))
+        h2 = int(r.s2.removeprefix("host"))
+        assert (h1 + 199) % 400 == h2 or (h2 + 199) % 400 == h1, (r.s1, r.s2)
+        assert r.n_shared >= 1
