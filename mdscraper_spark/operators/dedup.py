@@ -480,6 +480,65 @@ def resolve_dedup_groups(ids: DataFrame, pairs: DataFrame,
         (canon == F.col(id_col)).alias("keep"))
 
 
+def quality_survivors(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      n_bands: int = N_BANDS,
+                      cc_max_iter: int = 25) -> DataFrame:
+    """(doc_id, canonical_id, group_size, survivor_id, keep): near-dup
+    group resolution that elects the HIGHEST-QUALITY member of each
+    group as the survivor (quality ties broken by minimum doc_id) —
+    the RefinedWeb/CCNet-style "which duplicate to keep" decision,
+    where min-id election (``near_dedup_groups``) throws away the best
+    copy whenever a low-id mirror happens to be the truncated one.
+
+    Scale shape: same banded-LSH front and pair-graph-only CC as
+    ``resolve_dedup_groups``; the election is a ``max_by`` over a
+    TOTAL order key (quality desc, doc_id asc), so partial map-side
+    aggregation collapses group members before the shuffle and the
+    winner is partition-invariant.  The group-level aggregation runs on
+    grouped docs only (pair-graph-sized after the semi filter); the
+    corpus pays two narrow-scan joins against small maps (assignment,
+    winners) — never a corpus-keyed groupBy.  Quality is the registry's
+    own rounded heuristic (textstats.quality_score), so the SQL twin
+    replays the identical double math.
+    """
+    from mdscraper_spark.operators.kg import (_maybe_broadcast,
+                                              connected_components)
+    from mdscraper_spark.operators.textstats import quality_score
+
+    sigs = minhash_signatures(df, text_col, id_col, n_bands)
+    pairs = lsh_candidate_pairs(sigs)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), _PAD_W, "0")
+    cmap = connected_components(
+        pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst")),
+        max_iter=cc_max_iter)
+    assigned = cmap.select(
+        F.col("node_id").cast("bigint").alias(id_col),
+        F.col("canon_id").cast("bigint").alias("canonical_id"))
+    assigned._mdscraper_local = getattr(cmap, "_mdscraper_local", False)
+    scored = df.select(F.col(id_col),
+                       quality_score(F.col(text_col)).alias("quality"))
+    merged = scored.join(_maybe_broadcast(assigned), id_col, "left")
+    # election + sizing on GROUPED docs only (pair-graph-sized input)
+    grp = (merged.where(F.col("canonical_id").isNotNull())
+           .groupBy("canonical_id")
+           .agg(F.count(F.lit(1)).alias("group_size"),
+                F.max_by(F.col(id_col),
+                         F.struct(F.col("quality"),
+                                  (-F.col(id_col)).alias("tie")))
+                 .alias("survivor_id")))
+    grp._mdscraper_local = getattr(cmap, "_mdscraper_local", False)
+    out = merged.join(_maybe_broadcast(grp), "canonical_id", "left")
+    canon = F.coalesce("canonical_id", F.col(id_col))
+    survivor = F.coalesce("survivor_id", F.col(id_col))
+    return out.select(
+        id_col,
+        canon.alias("canonical_id"),
+        F.coalesce("group_size", F.lit(1).cast("bigint")).alias("group_size"),
+        survivor.alias("survivor_id"),
+        (survivor == F.col(id_col)).alias("keep"))
+
+
 # ---------------------------------------------------------------------------
 # corpus-wide paragraph dedup (CCNet-style; SURVEY J32)
 # ---------------------------------------------------------------------------

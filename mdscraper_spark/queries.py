@@ -1976,6 +1976,55 @@ def near_dedup_groups(spark, sf_dir):
     return dedup.near_dedup_groups(load(spark, sf_dir, "documents", fan_out=True))
 
 
+@register("dedup_quality_survivors", _LSH_PAIRS_CTE.replace(
+    "WITH t AS", "WITH RECURSIVE t AS", 1) + f"""
+, e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+), canon AS (
+  SELECT a AS doc_id, least(a, MIN(b)) AS canonical_id
+  FROM reach GROUP BY a
+), member_q AS (
+  SELECT c.doc_id, c.canonical_id,
+         {textstats.sql_quality_score('d.text')} AS quality
+  FROM canon c JOIN documents d ON c.doc_id = d.doc_id
+), grp AS (
+  SELECT canonical_id, group_size, survivor_id FROM (
+    SELECT canonical_id, doc_id AS survivor_id,
+           COUNT(*) OVER (PARTITION BY canonical_id) AS group_size,
+           row_number() OVER (PARTITION BY canonical_id
+                              ORDER BY quality DESC, doc_id ASC) AS rn
+    FROM member_q
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+       COALESCE(g.group_size, 1) AS group_size,
+       COALESCE(g.survivor_id, d.doc_id) AS survivor_id,
+       COALESCE(g.survivor_id, d.doc_id) = d.doc_id AS keep
+FROM documents d
+LEFT JOIN canon c ON d.doc_id = c.doc_id
+LEFT JOIN grp g ON c.canonical_id = g.canonical_id
+""")
+def dedup_quality_survivors(spark, sf_dir):
+    """Quality-aware survivor election (round 5): same banded-LSH
+    groups as near_dedup_groups, but each group keeps its HIGHEST-
+    quality member (registry's own rounded heuristic; ties -> min
+    doc_id) instead of the minimum id — the RefinedWeb/CCNet "which
+    duplicate to keep" decision.  max_by over a total order key, so
+    the election is partition-invariant and map-side combinable; the
+    oracle replays the closure with the shared recursive pair CTE and
+    the identical rounded quality math, so pair, group, and election
+    semantics can never drift apart."""
+    return dedup.quality_survivors(
+        load(spark, sf_dir, "documents", fan_out=True))
+
+
 @register("doc_size_kb", """
 SELECT doc_id, round(octet_length(encode(text)) / 1024.0, 6) AS size_kb
 FROM documents
@@ -2688,12 +2737,13 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + the ELEVEN new round-5 rows
+# Round-5 window: 12 pinned + the TWELVE new round-5 rows
 # (kg_export_provenance, graph_triangle_clustering,
 # doc_unigram_logprob, doc_tfidf_keywords, weighted_sample_docs,
 # corpus_mixture_schedule, source_health_rollup, kg_pmi_cooccurrence,
-# anchor_text_rollup, mirror_shingle_overlap, kg_component_sizes)
-# + 27 of the 37 rows whose last driver-green is r02/r03
+# anchor_text_rollup, mirror_shingle_overlap, kg_component_sizes,
+# dedup_quality_survivors)
+# + 26 of the 37 rows whose last driver-green is r02/r03
 # = exactly the 50-row cap; every row below the
 # cap was driver-green in r03/r04
 # (max staleness 2 rounds at rotation time) and remains covered by the
@@ -2714,17 +2764,18 @@ _DRIVER_ORDER = [
     "ivf_kmeans_recall",  # last driver-green: r04
     "curation_funnel",  # last driver-green: r04
     # rotation: longest-unverified-by-driver first
+    "anchor_text_rollup",  # last driver-green: r00
+    "corpus_mixture_schedule",  # last driver-green: r00
+    "dedup_quality_survivors",  # last driver-green: r00
+    "doc_tfidf_keywords",  # last driver-green: r00
+    "doc_unigram_logprob",  # last driver-green: r00
+    "graph_triangle_clustering",  # last driver-green: r00
+    "kg_component_sizes",  # last driver-green: r00
     "kg_export_provenance",  # last driver-green: r00
-    "graph_triangle_clustering",  # last driver-green: r00 (new round 5)
-    "doc_unigram_logprob",  # last driver-green: r00 (new round 5)
-    "doc_tfidf_keywords",  # last driver-green: r00 (new round 5)
-    "weighted_sample_docs",  # last driver-green: r00 (new round 5)
-    "corpus_mixture_schedule",  # last driver-green: r00 (new round 5)
-    "source_health_rollup",  # last driver-green: r00 (new round 5)
-    "kg_pmi_cooccurrence",  # last driver-green: r00 (new round 5)
-    "anchor_text_rollup",  # last driver-green: r00 (new round 5)
-    "mirror_shingle_overlap",  # last driver-green: r00 (new round 5)
-    "kg_component_sizes",  # last driver-green: r00 (new round 5)
+    "kg_pmi_cooccurrence",  # last driver-green: r00
+    "mirror_shingle_overlap",  # last driver-green: r00
+    "source_health_rollup",  # last driver-green: r00
+    "weighted_sample_docs",  # last driver-green: r00
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -2741,6 +2792,7 @@ _DRIVER_ORDER = [
     "doc_split_assignment",  # last driver-green: r03
     "doc_token_stats",  # last driver-green: r03
     "domain_quota_sample",  # last driver-green: r03
+    "glob_exclude_filter",  # last driver-green: r03
     "graph_shared_suppliers",  # last driver-green: r03
     "greedy_token_packing",  # last driver-green: r03
     "heading_space_insert",  # last driver-green: r03
@@ -2750,26 +2802,17 @@ _DRIVER_ORDER = [
     "lsh_bucket_counts",  # last driver-green: r03
     "lsh_pairs",  # last driver-green: r03
     "lsh_topk",  # last driver-green: r03
-    "minhash_signatures",  # last driver-green: r03
-    "pack_utilization",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
-    # (glob_exclude_filter / md_title_probe / relative_url_strip /
-    # sanitize_slug / site_seed_harvest / url_file_order /
-    # url_normalize_dedup yield their slots to the seven new round-5
-    # rows; two_hop_hub_capped, paragraph_dedup, and simhash16 yield
-    # theirs to the late-round-5 anchor_text_rollup /
-    # mirror_shingle_overlap / kg_component_sizes; all stay
-    # check_oracle-covered, staleness 2 rounds — the documented window
-    # trade-off, BENCH/BASELINE.md)
-    "paragraph_dedup",  # last driver-green: r03
-    "simhash16",  # last driver-green: r03
-    "two_hop_hub_capped",  # last driver-green: r03
-    "glob_exclude_filter",  # last driver-green: r03
     "md_title_probe",  # last driver-green: r03
+    "minhash_signatures",  # last driver-green: r03
+    "pack_utilization",  # last driver-green: r03
+    "paragraph_dedup",  # last driver-green: r03
     "relative_url_strip",  # last driver-green: r03
     "sanitize_slug",  # last driver-green: r03
+    "simhash16",  # last driver-green: r03
     "site_seed_harvest",  # last driver-green: r03
+    "two_hop_hub_capped",  # last driver-green: r03
     "url_file_order",  # last driver-green: r03
     "url_normalize_dedup",  # last driver-green: r03
     "alias_edit_distance",  # last driver-green: r04
