@@ -792,6 +792,70 @@ HOSTILE_TEMPLATE_SLOT = """
 </html>
 """
 
+# HTML integration points inside foreign content (wave 27): the HTML5
+# tree builder re-enters "in body" parsing inside svg <foreignObject> /
+# <desc> / <title> and MathML <annotation-xml encoding="text/html"> —
+# html.parser (and this engine's DOM) never switch namespace at all, so
+# the golden pins that both sides flatten the foreign wrapper and render
+# the embedded HTML islands as ordinary flow content.  Camel-case
+# foreignObject also exercises tag-name lowercasing on an SVG-only name.
+HOSTILE_INTEGRATION_POINTS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Integration Points</h1>
+        <p>before the chart</p>
+        <svg viewBox="0 0 100 100">
+            <desc>A <b>described</b> chart</desc>
+            <foreignObject x="0" y="0" width="100" height="50">
+                <p>island paragraph with <em>emphasis</em> and
+                <a href="/island.html">an island link</a></p>
+                <ul><li>island item</li></ul>
+            </foreignObject>
+            <text x="0" y="80">bare svg text</text>
+        </svg>
+        <math>
+            <semantics>
+                <mrow><mi>E</mi><mo>=</mo><mi>mc</mi><mn>2</mn></mrow>
+                <annotation-xml encoding="text/html">
+                    <p>html annotation <code>E = mc^2</code></p>
+                </annotation-xml>
+                <annotation encoding="application/x-tex">E = mc^2</annotation>
+            </semantics>
+        </math>
+        <p>after the math</p>
+    </div>
+</body>
+</html>
+"""
+
+# Legacy remnant tags (wave 27): isindex / nobr / spacer / multicol and
+# the <image> alias for <img> — all dropped from modern HTML but alive
+# in archived pages.  html.parser treats every one as an unknown
+# element (no <image> -> <img> token rewrite: that is a tree-builder
+# rule); the golden pins that their text survives as flow content, the
+# void-like ones contribute nothing, and <image src> does NOT become a
+# Markdown image.
+HOSTILE_LEGACY_REMNANTS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Legacy Remnants</h1>
+        <isindex prompt="Search the archive:">
+        <p>words<nobr>glued by nobr</nobr>more words</p>
+        <spacer type="horizontal" size="20">
+        <multicol cols="2">
+            <p>first column paragraph</p>
+            <p>second column paragraph</p>
+        </multicol>
+        <p>an <image src="/old-alias.gif" alt="old image alias"> inline alias</p>
+        <blink>do not blink</blink>
+        <p>after the remnants</p>
+    </div>
+</body>
+</html>
+"""
+
 HOSTILE_SRCDOC_IFRAME = """
 <html>
 <body>
@@ -1949,6 +2013,8 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-table-sections": HOSTILE_TABLE_SECTIONS,
     "hostile-inline-oddities": HOSTILE_INLINE_ODDITIES,
     "hostile-template-slot": HOSTILE_TEMPLATE_SLOT,
+    "hostile-integration-points": HOSTILE_INTEGRATION_POINTS,
+    "hostile-legacy-remnants": HOSTILE_LEGACY_REMNANTS,
     "hostile-srcdoc-iframe": HOSTILE_SRCDOC_IFRAME,
     "hostile-xml-prolog": HOSTILE_XML_PROLOG,
     "hostile-head-content": HOSTILE_HEAD_CONTENT,
