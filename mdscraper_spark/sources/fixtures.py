@@ -1979,6 +1979,95 @@ REALISTIC_WIKI = """
 </html>
 """
 
+# round-5 twenty-eighth wave: the non-Latin web.  Most of a real
+# Common-Crawl shard is not English; these pin whole-document behavior
+# for the two scripts that stress the renderer differently.  The CJK
+# article has NO inter-word spaces, full-width punctuation (、。「」：
+# ！), and CJK link/heading text — pinning that whitespace collapse,
+# heading-space insertion, and Markdown link syntax never invent or eat
+# characters inside unsegmented runs.  The Arabic page is dir="rtl" at
+# the <html> level with Arabic-Indic digits (٠١٢), a tatweel-stretched
+# word, and an embedded LTR English brand + URL — pinning that the
+# pipeline is direction-agnostic byte plumbing (no reordering, no
+# stripping of RTL codepoints) while the cascade still lands on
+# div.content amid same-script chrome.
+REALISTIC_ZH_ARTICLE = """
+<!DOCTYPE html>
+<html lang="zh-CN">
+<head>
+    <title>示例日报 — 河畔小镇的新桥落成</title>
+    <meta charset="utf-8">
+</head>
+<body>
+    <div class="site-nav"><a href="/shouye">首页</a> <a href="/guonei">国内</a> <a href="/keji">科技</a></div>
+    <div class="content">
+        <h1>河畔小镇的新桥落成</h1>
+        <p class="byline">记者：王小明　发布时间：2026年8月19日</p>
+        <p>经过三年建设，示例镇的新大桥于本周二正式通车。桥长约一千二百米，双向四车道，是该地区首座斜拉桥。</p>
+        <p>镇长在仪式上说：「这座桥把河两岸连成了一个社区。」随后市民代表剪彩，现场响起掌声。</p>
+        <h2>工程数据</h2>
+        <ul>
+            <li>总投资：３.２亿元（约合4500万美元）</li>
+            <li>主跨：480米</li>
+            <li>参建单位：<a href="/gongsi/qiaoliang">示例桥梁集团</a></li>
+        </ul>
+        <p>更多报道请见<a href="/zhuanti/xinqiao">新桥专题</a>。英文版见 <a href="/en/bridge">English edition</a>。</p>
+    </div>
+    <div class="page-footer"><small>© 示例日报　版权所有</small></div>
+</body>
+</html>
+"""
+
+REALISTIC_AR_RTL = """
+<!DOCTYPE html>
+<html lang="ar" dir="rtl">
+<head>
+    <title>مدونة المثال — رحلة إلى الواحة</title>
+    <meta charset="utf-8">
+</head>
+<body>
+    <div class="site-nav"><a href="/">الرئيسية</a> <a href="/safar">سفر</a> <a href="/tiqniya">تقنية</a></div>
+    <div class="content">
+        <h1>رحلة إلى الواحة</h1>
+        <p>انطلقنا فجر يوم الجمعة من المدينة باتجاه الواحة، وقطعنا نحو ٢٤٠ كيلومترًا عبر طريق صحراوي مستقيم.</p>
+        <p>توقفنا عند استراحة صغيرة اسمها «الكـــثيب» — اسم ممدود بالتطويل على اللافتة — وشربنا شايًا بالنعناع.</p>
+        <h2>ملاحظات عملية</h2>
+        <ul>
+            <li>أفضل وقت للزيارة: من نوفمبر إلى مارس.</li>
+            <li>التطبيق المستخدم للخرائط: <a href="https://maps.example.com/oasis">maps.example.com</a> (واجهة إنجليزية: Example Maps).</li>
+            <li>تكلفة الوقود: ١٥٠ ريالًا تقريبًا.</li>
+        </ul>
+        <p>التفاصيل الكاملة في <a href="/safar/waha-2026">تدوينة الواحة</a>.</p>
+    </div>
+    <div class="page-footer"><small>جميع الحقوق محفوظة © مدونة المثال</small></div>
+</body>
+</html>
+"""
+
+# Numeric charrefs at the plane boundaries (wave 28): lone surrogates
+# (&#xD800; — html.unescape yields U+FFFD), U+FFFF noncharacter and
+# C0 controls (both swept by clean_text's control strip), the HTML5
+# windows-1252 C1 remap table (&#x85; -> U+2026, &#x92; -> U+2019),
+# &#0; -> U+FFFD, and real supplementary-plane codepoints (emoji,
+# CJK-ext-B han) that must round-trip untouched through the DOM,
+# renderer, parquet, and golden files.  Complements HOSTILE_ENTITY_RUNS
+# (overflow refs) with the in-range-but-unassignable cases.
+HOSTILE_CHARREF_PLANES = """
+<html>
+<body>
+    <div class="content">
+        <h1>Charref Planes</h1>
+        <p>lone surrogates: hex &#xD800; dec &#56320; end</p>
+        <p>swept: U+FFFF [&#xFFFF;] C0 [&#x01;&#x08;&#x1F;] end</p>
+        <p>c1 remap: ellipsis &#x85; quote &#x92; dagger &#x86; euro &#x80;</p>
+        <p>null byte: [&#0;] and [&#x00;]</p>
+        <p>astral: emoji &#x1F600; han-ext-b &#x2A6D6; literal 😀𪛖</p>
+        <p>bmp edge: &#xFFFD; and max bmp &#xFFFC;</p>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
     "degenerate-empty": DEGENERATE_EMPTY,
@@ -2074,6 +2163,9 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-charref-nosemi": HOSTILE_CHARREF_NOSEMI,
     "realistic-newsletter": REALISTIC_NEWSLETTER,
     "realistic-forum-thread": REALISTIC_FORUM_THREAD,
+    "realistic-zh-article": REALISTIC_ZH_ARTICLE,
+    "realistic-ar-rtl": REALISTIC_AR_RTL,
+    "hostile-charref-planes": HOSTILE_CHARREF_PLANES,
 }
 
 # option variants (FIXTURES.md §1.2)
