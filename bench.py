@@ -71,6 +71,8 @@ EXTRAS = (
     "anchor_text_rollup",
     "mirror_shingle_overlap",
     "kg_component_sizes",
+    "gopher_rules_filter",
+    "ccnet_quality_buckets",
 )
 
 # the skew/salt evidence trio (three forced placements of one join);

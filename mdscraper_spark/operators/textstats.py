@@ -1073,3 +1073,250 @@ SELECT source,
        round(SUM(st) / SUM(n), 6) AS mean_tokens
 FROM per_hash GROUP BY source
 """
+
+
+# Gopher / MassiveText rule-filter stop words (Rae et al. 2021,
+# appendix A): a doc must contain at least two of these as whole
+# (lowercased) tokens to pass the stop-word rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 50,
+                 max_words: int = 100_000) -> DataFrame:
+    """Per-document Gopher/MassiveText rule-filter breakdown — unlike
+    the scalar ``quality_score``, curation pipelines need the PER-RULE
+    booleans (which rule killed a doc drives threshold tuning and
+    corpus forensics).  Rules, with the published thresholds as
+    defaults: word count in [min_words, max_words]; mean word length
+    in [3, 10]; symbol-to-word ratio ('#' plus '...'/'…' ellipses)
+    <= 0.1; <= 90% of non-empty lines bullet-led ('- ', '* ', '•');
+    <= 30% of non-empty lines ellipsis-terminated; >= 80% of words
+    containing an alphabetic character; >= 2 distinct GOPHER_STOPWORDS
+    present as whole tokens.  ``gopher_pass`` is the AND of all seven.
+
+    Every rule compares against the ROUNDED fraction it also emits, so
+    the SQL twin (``sql_gopher_rules``) agrees at rule boundaries by
+    construction — the booleans and their evidence columns cannot
+    diverge.
+
+    Scale shape: a narrow per-row projection — no shuffle, no join, no
+    UDF; token and line arrays are bound once per stage (interpreted-
+    HOF rule: an inline split() inside a lambda re-splits per
+    element)."""
+    from mdscraper_spark.operators.dedup import tokenize, ws_strip
+
+    stripped = ws_strip(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.when(F.length(stripped) == 0,
+               F.array().cast("array<string>"))
+         .otherwise(tokenize(F.col(text_col))).alias("toks"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), r"\n"),
+                        lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")),
+            lambda x: F.length(x) > 0).alias("lines"))
+    s2 = base.select(
+        "doc_id", "_t", "lines",
+        F.size("toks").cast("long").alias("n_words"),
+        F.transform("toks", lambda t: F.lower(t)).alias("ltoks"),
+        F.size(F.filter("toks", lambda t: t.rlike("[A-Za-z]")))
+         .cast("long").alias("n_alpha"),
+        F.length(F.concat_ws("", F.col("toks"))).cast("long")
+         .alias("sum_len"))
+    n = F.col("n_words")
+    nd = n.cast("double")
+    n_lines = F.size("lines").cast("long")
+    nld = n_lines.cast("double")
+    n_sym = (F.regexp_count(F.col("_t"), F.lit("#"))
+             + F.regexp_count(F.col("_t"), F.lit(r"\.{3}"))
+             + F.regexp_count(F.col("_t"), F.lit("…")))
+    n_bullet = F.size(F.filter(
+        "lines", lambda x: (x.startswith("- ") | x.startswith("* ")
+                            | x.startswith("•"))))
+    n_ell = F.size(F.filter(
+        "lines", lambda x: x.endswith("...") | x.endswith("…")))
+    n_stop = sum(
+        F.array_contains("ltoks", w).cast("int")
+        for w in GOPHER_STOPWORDS).cast("long")
+    s3 = s2.select(
+        "doc_id", "n_words",
+        F.round(F.when(n > 0, F.col("sum_len") / nd)
+                 .otherwise(F.lit(0.0)), 4).alias("mean_word_len"),
+        F.round(F.when(n > 0, n_sym / nd)
+                 .otherwise(F.lit(0.0)), 6).alias("symbol_ratio"),
+        F.round(F.when(n_lines > 0, n_bullet / nld)
+                 .otherwise(F.lit(0.0)), 6).alias("bullet_frac"),
+        F.round(F.when(n_lines > 0, n_ell / nld)
+                 .otherwise(F.lit(0.0)), 6).alias("ellipsis_line_frac"),
+        F.round(F.when(n > 0, F.col("n_alpha") / nd)
+                 .otherwise(F.lit(0.0)), 6).alias("alpha_frac"),
+        n_stop.alias("n_stop_hits"))
+    rules = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+                         & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= 3.0)
+                            & (F.col("mean_word_len") <= 10.0),
+        "ok_symbol_ratio": F.col("symbol_ratio") <= 0.1,
+        "ok_bullet_lines": F.col("bullet_frac") <= 0.9,
+        "ok_ellipsis_lines": F.col("ellipsis_line_frac") <= 0.3,
+        "ok_alpha_words": F.col("alpha_frac") >= 0.8,
+        "ok_stopwords": F.col("n_stop_hits") >= 2,
+    }
+    out = s3.select(
+        "*", *[c.alias(name) for name, c in rules.items()])
+    passed = rules["ok_word_count"]
+    for name in list(rules)[1:]:
+        passed = passed & F.col(name)
+    return out.withColumn("gopher_pass", passed)
+
+
+def sql_gopher_rules(table: str, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     min_words: int = 50,
+                     max_words: int = 100_000) -> str:
+    """DuckDB twin of gopher_rules over ``table``."""
+    from mdscraper_spark.operators.dedup import sql_tokens, sql_ws_strip
+
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(ltoks, '{w}') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {text_col} AS _t,
+         CASE WHEN length({sql_ws_strip(text_col)}) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE {sql_tokens(text_col)} END AS toks,
+         list_filter(
+           list_transform(regexp_split_to_array({text_col}, '\\n'),
+                          x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+           x -> length(x) > 0) AS lines
+  FROM {table}
+), s2 AS (
+  SELECT doc_id, _t, lines,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         list_transform(toks, t -> lower(t)) AS ltoks,
+         CAST(len(list_filter(toks,
+              t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         CAST(length(array_to_string(toks, '')) AS BIGINT) AS sum_len
+  FROM base
+), s3 AS (
+  SELECT doc_id, n_words,
+         round(CASE WHEN n_words > 0
+               THEN sum_len / CAST(n_words AS DOUBLE)
+               ELSE 0.0 END, 4) AS mean_word_len,
+         round(CASE WHEN n_words > 0
+               THEN (len(regexp_extract_all(_t, '#'))
+                     + len(regexp_extract_all(_t, '\\.{{3}}'))
+                     + len(regexp_extract_all(_t, '…')))
+                    / CAST(n_words AS DOUBLE)
+               ELSE 0.0 END, 6) AS symbol_ratio,
+         round(CASE WHEN len(lines) > 0
+               THEN len(list_filter(lines,
+                    x -> starts_with(x, '- ') OR starts_with(x, '* ')
+                         OR starts_with(x, '•')))
+                    / CAST(len(lines) AS DOUBLE)
+               ELSE 0.0 END, 6) AS bullet_frac,
+         round(CASE WHEN len(lines) > 0
+               THEN len(list_filter(lines,
+                    x -> ends_with(x, '...') OR ends_with(x, '…')))
+                    / CAST(len(lines) AS DOUBLE)
+               ELSE 0.0 END, 6) AS ellipsis_line_frac,
+         round(CASE WHEN n_words > 0
+               THEN n_alpha / CAST(n_words AS DOUBLE)
+               ELSE 0.0 END, 6) AS alpha_frac,
+         CAST({stop_sum} AS BIGINT) AS n_stop_hits
+  FROM s2
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_line_frac, alpha_frac, n_stop_hits,
+       (n_words >= {min_words} AND n_words <= {max_words})
+           AS ok_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+           AS ok_mean_word_len,
+       (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+       (bullet_frac <= 0.9) AS ok_bullet_lines,
+       (ellipsis_line_frac <= 0.3) AS ok_ellipsis_lines,
+       (alpha_frac >= 0.8) AS ok_alpha_words,
+       (n_stop_hits >= 2) AS ok_stopwords,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3 AND alpha_frac >= 0.8
+        AND n_stop_hits >= 2) AS gopher_pass
+FROM s3
+"""
+
+
+def ccnet_quality_buckets(df: DataFrame, min_count: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang, avg_logprob, bucket): CCNet-style per-language
+    quality tertiles — docs are ranked per detected language by the
+    corpus-unigram-LM score (``unigram_logprob``, the perplexity
+    proxy) and cut into head/middle/tail thirds, the exact
+    head/middle/tail split CCNet publishes its corpus in.  Bucket
+    boundaries are rank arithmetic (rn*3 <= cnt), not interpolated
+    percentiles, with (score DESC, doc_id ASC) as the total order —
+    deterministic across engines and partitionings, replayed verbatim
+    in the SQL twin.
+
+    Scale shape: the LM scoring is unigram_logprob's one token groupBy
+    + one skew-handled join; lang detection is a narrow fold joined on
+    the co-keyed doc_id.  The tertile cut is a per-language window —
+    a per-partition external sort (spill-bounded, like every window
+    row here) whose partition count is the language count; at
+    10^12-doc production scale this is the one place exactness costs a
+    sort per language, and the documented swap is per-language
+    approx-percentile thresholds + a broadcast threshold join
+    (trading the oracle-exact boundary for a bounded aggregate).
+    Whitespace-only docs carry no LM score and are absent, matching
+    unigram_logprob."""
+    from pyspark.sql.window import Window
+
+    lp = unigram_logprob(df, min_count=min_count,
+                         text_col=text_col, id_col=id_col)
+    langs = df.select(F.col(id_col).alias("doc_id"),
+                      lang_guess(F.col(text_col)).alias("lang"))
+    j = lp.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"),
+                                           F.asc("doc_id"))
+    wn = Window.partitionBy("lang")
+    ranked = j.select("doc_id", "lang", "avg_logprob",
+                      F.row_number().over(w).alias("rn"),
+                      F.count(F.lit(1)).over(wn).alias("cnt"))
+    return ranked.select(
+        "doc_id", "lang", "avg_logprob",
+        F.when(F.col("rn") * 3 <= F.col("cnt"), F.lit("head"))
+         .when(F.col("rn") * 3 <= 2 * F.col("cnt"), F.lit("middle"))
+         .otherwise(F.lit("tail")).alias("bucket"))
+
+
+def sql_ccnet_quality_buckets(table: str, min_count: int = 2,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> str:
+    """DuckDB twin of ccnet_quality_buckets over ``table``."""
+    return f"""
+WITH lp AS ({sql_unigram_logprob(table, min_count=min_count,
+                                 text_col=text_col, id_col=id_col)}),
+l AS (
+  SELECT {id_col} AS doc_id, {sql_lang_guess(text_col)} AS lang
+  FROM {table}
+), j AS (
+  SELECT lp.doc_id, l.lang, lp.avg_logprob
+  FROM lp JOIN l USING (doc_id)
+), r AS (
+  SELECT doc_id, lang, avg_logprob,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY avg_logprob DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM j
+)
+SELECT doc_id, lang, avg_logprob,
+       CASE WHEN rn * 3 <= cnt THEN 'head'
+            WHEN rn * 3 <= 2 * cnt THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+"""

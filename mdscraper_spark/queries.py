@@ -930,6 +930,33 @@ def doc_tfidf_keywords(spark, sf_dir):
         load(spark, sf_dir, "documents", fan_out=True), k=5)
 
 
+@register("gopher_rules_filter", textstats.sql_gopher_rules("documents"))
+def gopher_rules_filter(spark, sf_dir):
+    """Gopher/MassiveText rule-filter breakdown (round 5): the
+    per-rule booleans curation forensics needs (which rule killed a
+    doc), published thresholds, every rule compared against the
+    rounded fraction it also emits so the oracle agrees at rule
+    boundaries by construction.  Narrow per-row projection — zero
+    shuffle."""
+    return textstats.gopher_rules(
+        load(spark, sf_dir, "documents", fan_out=True))
+
+
+@register("ccnet_quality_buckets",
+          textstats.sql_ccnet_quality_buckets("documents"))
+def ccnet_quality_buckets_q(spark, sf_dir):
+    """CCNet head/middle/tail quality tertiles per detected language
+    (round 5): rank by the corpus-unigram-LM score inside each
+    language, cut by rank arithmetic (rn*3 <= cnt) with doc_id as the
+    total-order tie-break — the deterministic twin of CCNet's
+    perplexity-sorted corpus split.  LM scoring pays unigram_logprob's
+    one token groupBy + skew-handled join; the cut is a per-language
+    window (per-partition external sort; production swap documented in
+    the operator docstring)."""
+    return textstats.ccnet_quality_buckets(
+        load(spark, sf_dir, "documents", fan_out=True))
+
+
 @register("weighted_sample_docs",
           textstats.sql_weighted_sample_topk("documents", k=100))
 def weighted_sample_docs(spark, sf_dir):
@@ -2737,13 +2764,13 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + the TWELVE new round-5 rows
+# Round-5 window: 12 pinned + the FOURTEEN new round-5 rows
 # (kg_export_provenance, graph_triangle_clustering,
 # doc_unigram_logprob, doc_tfidf_keywords, weighted_sample_docs,
 # corpus_mixture_schedule, source_health_rollup, kg_pmi_cooccurrence,
 # anchor_text_rollup, mirror_shingle_overlap, kg_component_sizes,
-# dedup_quality_survivors)
-# + 26 of the 37 rows whose last driver-green is r02/r03
+# dedup_quality_survivors, gopher_rules_filter, ccnet_quality_buckets)
+# + 24 of the 37 rows whose last driver-green is r02/r03
 # = exactly the 50-row cap; every row below the
 # cap was driver-green in r03/r04
 # (max staleness 2 rounds at rotation time) and remains covered by the
@@ -2765,10 +2792,12 @@ _DRIVER_ORDER = [
     "curation_funnel",  # last driver-green: r04
     # rotation: longest-unverified-by-driver first
     "anchor_text_rollup",  # last driver-green: r00
+    "ccnet_quality_buckets",  # last driver-green: r00
     "corpus_mixture_schedule",  # last driver-green: r00
     "dedup_quality_survivors",  # last driver-green: r00
     "doc_tfidf_keywords",  # last driver-green: r00
     "doc_unigram_logprob",  # last driver-green: r00
+    "gopher_rules_filter",  # last driver-green: r00
     "graph_triangle_clustering",  # last driver-green: r00
     "kg_component_sizes",  # last driver-green: r00
     "kg_export_provenance",  # last driver-green: r00
@@ -2800,10 +2829,10 @@ _DRIVER_ORDER = [
     "ivf_topk",  # last driver-green: r03
     "lang_balanced_sample",  # last driver-green: r03
     "lsh_bucket_counts",  # last driver-green: r03
-    "lsh_pairs",  # last driver-green: r03
-    "lsh_topk",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "lsh_pairs",  # last driver-green: r03
+    "lsh_topk",  # last driver-green: r03
     "md_title_probe",  # last driver-green: r03
     "minhash_signatures",  # last driver-green: r03
     "pack_utilization",  # last driver-green: r03

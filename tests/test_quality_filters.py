@@ -1,0 +1,145 @@
+"""Gopher rule filter and CCNet quality buckets (round 5, J44/J45).
+
+The Gopher rules are the published MassiveText thresholds (Rae et al.
+2021 appendix A) with the per-rule boolean breakdown curation
+forensics needs; CCNet buckets are per-language tertiles over the
+corpus-unigram-LM score.  Cases here pin every rule's boundary
+behavior and the bucket cut arithmetic; the engine-vs-DuckDB value
+parity is covered by the registry oracle (tests/test_queries_oracle.py
+SUBSET + tools/check_oracle.py).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdscraper_spark.operators import textstats
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then it "
+        "sat down to rest with a book that it did not have before "
+        "because reading is of great value to every fox who wants "
+        "to be wise and calm about life in the woods every single "
+        "day of the year")
+
+
+def _rules(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.gopher_rules(df, **kw).collect()
+    return {r["doc_id"]: r.asDict() for r in out}
+
+
+def test_gopher_pass_and_rule_booleans(spark):
+    rows = [
+        (1, GOOD),                                   # passes everything
+        (2, "too short to pass"),                    # word count
+        (3, "### # ## " + GOOD),                     # symbol ratio
+        (4, "\n".join(["- item " + str(i) for i in range(20)])),  # bullets
+        (5, "\n".join([f"line {i} trails off..." for i in range(10)])),
+        (6, " ".join(["12345"] * 60)),               # no alpha words
+        (7, " ".join(["lorem"] * 60)),               # no stop words
+    ]
+    got = _rules(spark, rows)
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["ok_word_count"] is False and not got[2]["gopher_pass"]
+    assert got[3]["ok_symbol_ratio"] is False
+    assert got[4]["ok_bullet_lines"] is False
+    assert got[5]["ok_ellipsis_lines"] is False
+    assert got[6]["ok_alpha_words"] is False
+    assert got[7]["ok_stopwords"] is False and got[7]["n_stop_hits"] == 0
+
+
+def test_gopher_empty_and_whitespace_docs(spark):
+    got = _rules(spark, [(1, ""), (2, " \n\t ")])
+    for r in got.values():
+        assert r["n_words"] == 0
+        assert r["mean_word_len"] == 0.0
+        assert r["alpha_frac"] == 0.0
+        assert not r["gopher_pass"]
+        # ratio rules over an empty doc are vacuously satisfied; the
+        # word-count floor is what rejects it
+        assert r["ok_symbol_ratio"] and r["ok_bullet_lines"]
+        assert not r["ok_word_count"]
+
+
+def test_gopher_stopword_rule_counts_distinct_words(spark):
+    # 'the' repeated 60x is ONE distinct stop word -> fails; adding a
+    # single 'and' makes two -> passes the stop-word rule
+    got = _rules(spark, [(1, " ".join(["the"] * 60)),
+                         (2, " ".join(["the"] * 59) + " and")])
+    assert got[1]["n_stop_hits"] == 1 and not got[1]["ok_stopwords"]
+    assert got[2]["n_stop_hits"] == 2 and got[2]["ok_stopwords"]
+
+
+def test_gopher_word_count_boundaries(spark):
+    # the rule is inclusive on both ends of [min_words, max_words]
+    mk = lambda n: "the and " + " ".join(["word"] * (n - 2))
+    got = _rules(spark, [(1, mk(50)), (2, mk(49))],
+                 min_words=50, max_words=100)
+    assert got[1]["n_words"] == 50 and got[1]["ok_word_count"]
+    assert got[2]["n_words"] == 49 and not got[2]["ok_word_count"]
+
+
+def test_gopher_mean_word_length_bounds(spark):
+    # 60 two-char words -> mean 2.0 < 3 fails; 60 eleven-char words
+    # -> mean 11.0 > 10 fails
+    got = _rules(spark, [(1, " ".join(["ab"] * 60)),
+                         (2, " ".join(["abcdefghijk"] * 60))])
+    assert got[1]["mean_word_len"] == 2.0
+    assert not got[1]["ok_mean_word_len"]
+    assert got[2]["mean_word_len"] == 11.0
+    assert not got[2]["ok_mean_word_len"]
+
+
+def test_gopher_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    plan = textstats.gopher_rules(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ccnet_tertiles_per_language(spark):
+    # 6 docs per language with strictly ordered LM scores -> exactly
+    # 2 head / 2 middle / 2 tail inside EACH language
+    rows = []
+    did = 0
+    for lang_word in ("the", "el"):   # en vs es stopword carriers
+        for i in range(6):
+            # vary rare-word mix so avg_logprob strictly decreases
+            text = (f"{lang_word} " * (10 - i)
+                    + " ".join(f"rare{did}x{j}" for j in range(i + 1)))
+            rows.append((did, text))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.ccnet_quality_buckets(df, min_count=2).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "es"}
+    for lang, rs in by_lang.items():
+        buckets = sorted(r["bucket"] for r in rs)
+        assert buckets == ["head", "head", "middle", "middle",
+                           "tail", "tail"], (lang, buckets)
+        # scores must not increase as buckets go head -> tail
+        order = {"head": 0, "middle": 1, "tail": 2}
+        rs = sorted(rs, key=lambda r: (-r["avg_logprob"], r["doc_id"]))
+        assert [order[r["bucket"]] for r in rs] == sorted(
+            order[r["bucket"]] for r in rs)
+
+
+def test_ccnet_uneven_count_puts_remainder_in_later_buckets(spark):
+    # 4 docs in one language: rank arithmetic gives 1 head
+    # (rn*3 <= 4 only for rn=1), 1 middle (rn*3 <= 8 for rn=2), 2 tail
+    rows = [(i, "the " * (8 - i) + " ".join(
+        f"zz{i}q{j}" for j in range(i + 1))) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.ccnet_quality_buckets(df, min_count=2).collect()
+    from collections import Counter
+    assert Counter(r["bucket"] for r in out) == {
+        "head": 1, "middle": 1, "tail": 2}
+
+
+def test_ccnet_skips_whitespace_only_docs(spark):
+    rows = [(1, "the and of that fox"), (2, "   \n  "),
+            (3, "the and of that dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.ccnet_quality_buckets(df, min_count=1).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]

@@ -46,6 +46,8 @@ SUBSET = [
     "benchmark_contamination",
     "greedy_token_packing",
     "curation_funnel",
+    "gopher_rules_filter",
+    "ccnet_quality_buckets",
 ]
 
 
