@@ -932,6 +932,40 @@ def _stress_10k_html() -> str:
 
 STRESS_10K = _stress_10k_html()
 
+# round-5 twenty-ninth wave: the nesting-depth envelope.  The DOM
+# parser walks an explicit stack (htmlcore/dom.py) so parse depth is
+# unbounded, but the renderer recurses — fine to ~800 levels under
+# CPython's default 1000-frame limit, beyond which the per-row error
+# contract (G6) must catch the RecursionError and emit a status=error
+# row, never a task failure.  stress-deep-750 pins the deep-but-
+# renderable side byte-exactly; stress-deep-overflow (3000 levels,
+# past any plausible limit) pins the graceful-degradation bytes (the
+# error sentinel) for every option variant.  Real Common-Crawl pages
+# do reach pathological depth (auto-generated markup, unclosed-tag
+# repair cascades), and a recursion crash inside an Arrow batch would
+# kill the whole task — this wave is the regression fence for that
+# seam (probed live: depths 100-800 render, 2000+ degrade to error).
+
+
+def _deep_spine_html(depth: int) -> str:
+    """Deterministic depth-``depth`` nested-div page with variant
+    hooks (link, image, excludable ads div) above and below the
+    spine."""
+    return (
+        '<html><head><title>Deep Spine</title></head><body>'
+        '<div class="ads">DEEP SPONSOR</div>'
+        f'<div class="content"><h1>Depth {depth}</h1>'
+        '<p>before the spine with <a href="/deep/pre.html">a pre link</a>'
+        ' and <img src="/img/pre.png" alt="pre alt"></p>'
+        + '<div>' * depth
+        + '<p>the bottom of the well</p>'
+        + '</div>' * depth
+        + '<h2>After</h2><p>after the spine</p></div></body></html>')
+
+
+STRESS_DEEP_750 = _deep_spine_html(750)
+STRESS_DEEP_OVERFLOW = _deep_spine_html(3000)
+
 # round-5 tenth wave: the legacy/obsolete tail and table sectioning.
 # <xmp> is NOT rawtext under html.parser (only script/style are), so
 # markup inside it renders — the bs4-model behavior this engine pins;
@@ -2166,6 +2200,8 @@ FIXTURE_CASES: Dict[str, str] = {
     "realistic-zh-article": REALISTIC_ZH_ARTICLE,
     "realistic-ar-rtl": REALISTIC_AR_RTL,
     "hostile-charref-planes": HOSTILE_CHARREF_PLANES,
+    "stress-deep-750": STRESS_DEEP_750,
+    "stress-deep-overflow": STRESS_DEEP_OVERFLOW,
 }
 
 # option variants (FIXTURES.md §1.2)
