@@ -73,6 +73,7 @@ EXTRAS = (
     "kg_component_sizes",
     "gopher_rules_filter",
     "ccnet_quality_buckets",
+    "winnowing_fingerprints",
 )
 
 # the skew/salt evidence trio (three forced placements of one join);

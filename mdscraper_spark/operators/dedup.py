@@ -730,3 +730,113 @@ SELECT doc_id, count(*) AS n_windows,
 FROM spans JOIN c USING (h)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# winnowing document fingerprints (SURVEY J46)
+# ---------------------------------------------------------------------------
+
+def winnowing_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_grams, n_fingerprints, fp_digest): winnowing local
+    fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+    algorithm) over dedup-canonical text: hash every ``k``-char gram,
+    slide a window of ``w`` consecutive hashes, select each window's
+    MINIMUM hash taking the RIGHTMOST on ties, and keep the distinct
+    selected (hash, position) pairs.  The winnowing guarantee: any two
+    documents sharing a canonical substring of at least ``k + w - 1``
+    characters share at least one fingerprint — the local-selection
+    property strided windows (dup_span_stats) lack, with density 2/(w+1)
+    instead of all-grams.
+
+    Emitted per doc: gram count, fingerprint count, and an
+    order-insensitive md5 digest of the selected set ("hash:pos"
+    strings, sorted) — equal digests mean byte-equal fingerprint sets,
+    so the row pins selection (min + rightmost-tie + dedup) exactly.
+    Exposing the exploded (doc, hash) posting list for cross-doc
+    matching is the same posting-list shape as lsh_pairs and reuses
+    that path when needed.
+
+    Scale shape: narrow per-row array expressions — no shuffle, no
+    join, no UDF; cost is O(chars·w) per doc inside one projection.
+    Hashes are the same 60-bit md5-prefix fold the corpus signature
+    uses, so the DuckDB twin reproduces them bit-exactly."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     canonical_text(F.col(text_col)).alias("_c"))
+    m = (F.length("_c") - F.lit(k) + 1).cast("int")
+    gram_hash = lambda i: F.conv(
+        F.substring(F.md5(F.col("_c").substr(i, F.lit(k))), 1, 15),
+        16, 10).cast("long")
+    hashed = base.select(
+        "doc_id",
+        F.greatest(m, F.lit(0)).cast("long").alias("n_grams"),
+        F.when(m >= 1,
+               F.transform(F.sequence(F.lit(1), m), gram_hash))
+         .otherwise(F.array().cast("array<bigint>")).alias("hs"))
+    mm = F.size("hs")
+    n_win = F.when(mm >= w, mm - F.lit(w) + 1) \
+             .when(mm >= 1, F.lit(1)).otherwise(F.lit(0))
+    win_len = F.least(mm, F.lit(w))
+
+    def pick(j):
+        sl = F.slice("hs", j, win_len)
+        minh = F.array_min(sl)
+        rpos = F.array_position(F.reverse(sl), minh)
+        pos = j.cast("long") + win_len.cast("long") - rpos
+        return F.concat(minh.cast("string"), F.lit(":"),
+                        pos.cast("string"))
+
+    fps = F.when(
+        n_win >= 1,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n_win), pick))
+    ).otherwise(F.array().cast("array<string>"))
+    return hashed.select(
+        "doc_id", "n_grams",
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort(fps), ",")).alias("fp_digest"))
+
+
+def sql_winnowing_fingerprints(table: str, k: int = 8, w: int = 4,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    """DuckDB twin of winnowing_fingerprints over ``table``: identical
+    canonicalization, 60-bit md5-prefix gram hashes, min-with-
+    rightmost-tie window selection, distinct set, sorted-join digest."""
+    sl = f"hs[j : j + L - 1]"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {sql_canonical_text(text_col)} AS _c
+  FROM {table}
+), g AS (
+  SELECT doc_id,
+         CAST(greatest(length(_c) - {k} + 1, 0) AS BIGINT) AS n_grams,
+         CASE WHEN length(_c) >= {k}
+              THEN [CAST(('0x' || substr(md5(substr(_c, i, {k})), 1, 15))
+                         AS BIGINT)
+                    FOR i IN range(1, length(_c) - {k} + 2)]
+              ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM base
+), wdef AS (
+  SELECT doc_id, n_grams, hs,
+         CASE WHEN len(hs) >= {w} THEN len(hs) - {w} + 1
+              WHEN len(hs) >= 1 THEN 1 ELSE 0 END AS n_win,
+         least(len(hs), {w}) AS L
+  FROM g
+), sel AS (
+  SELECT doc_id, n_grams,
+         list_distinct([
+           CAST(list_min({sl}) AS VARCHAR) || ':' ||
+           CAST(j + L - list_position(list_reverse({sl}),
+                                      list_min({sl})) AS VARCHAR)
+           FOR j IN range(1, n_win + 1)]) AS fps
+  FROM wdef
+)
+SELECT doc_id, n_grams,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       md5(COALESCE(array_to_string(list_sort(fps), ','), ''))
+           AS fp_digest
+FROM sel
+"""

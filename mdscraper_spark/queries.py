@@ -930,6 +930,19 @@ def doc_tfidf_keywords(spark, sf_dir):
         load(spark, sf_dir, "documents", fan_out=True), k=5)
 
 
+@register("winnowing_fingerprints",
+          dedup.sql_winnowing_fingerprints("documents"))
+def winnowing_fingerprints_q(spark, sf_dir):
+    """Winnowing (MOSS) local fingerprints per document (round 5):
+    k-gram md5-prefix hashes, min-of-window with rightmost tie, the
+    2/(w+1)-density selection whose guarantee is that any shared
+    canonical substring of >= k+w-1 chars shares a fingerprint.  The
+    emitted sorted-set digest pins selection exactly; narrow per-row
+    array expressions, zero shuffle."""
+    return dedup.winnowing_fingerprints(
+        load(spark, sf_dir, "documents", fan_out=True))
+
+
 @register("gopher_rules_filter", textstats.sql_gopher_rules("documents"))
 def gopher_rules_filter(spark, sf_dir):
     """Gopher/MassiveText rule-filter breakdown (round 5): the
@@ -2764,13 +2777,14 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + the FOURTEEN new round-5 rows
+# Round-5 window: 12 pinned + the FIFTEEN new round-5 rows
 # (kg_export_provenance, graph_triangle_clustering,
 # doc_unigram_logprob, doc_tfidf_keywords, weighted_sample_docs,
 # corpus_mixture_schedule, source_health_rollup, kg_pmi_cooccurrence,
 # anchor_text_rollup, mirror_shingle_overlap, kg_component_sizes,
-# dedup_quality_survivors, gopher_rules_filter, ccnet_quality_buckets)
-# + 24 of the 37 rows whose last driver-green is r02/r03
+# dedup_quality_survivors, gopher_rules_filter, ccnet_quality_buckets,
+# winnowing_fingerprints)
+# + 23 of the 37 rows whose last driver-green is r02/r03
 # = exactly the 50-row cap; every row below the
 # cap was driver-green in r03/r04
 # (max staleness 2 rounds at rotation time) and remains covered by the
@@ -2805,6 +2819,7 @@ _DRIVER_ORDER = [
     "mirror_shingle_overlap",  # last driver-green: r00
     "source_health_rollup",  # last driver-green: r00
     "weighted_sample_docs",  # last driver-green: r00
+    "winnowing_fingerprints",  # last driver-green: r00
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -2828,9 +2843,9 @@ _DRIVER_ORDER = [
     "ivf_cell_sizes",  # last driver-green: r03
     "ivf_topk",  # last driver-green: r03
     "lang_balanced_sample",  # last driver-green: r03
-    "lsh_bucket_counts",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "lsh_bucket_counts",  # last driver-green: r03
     "lsh_pairs",  # last driver-green: r03
     "lsh_topk",  # last driver-green: r03
     "md_title_probe",  # last driver-green: r03

@@ -48,6 +48,7 @@ SUBSET = [
     "curation_funnel",
     "gopher_rules_filter",
     "ccnet_quality_buckets",
+    "winnowing_fingerprints",
 ]
 
 
