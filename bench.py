@@ -74,6 +74,7 @@ EXTRAS = (
     "gopher_rules_filter",
     "ccnet_quality_buckets",
     "winnowing_fingerprints",
+    "winnowing_shared_pairs",
 )
 
 # the skew/salt evidence trio (three forced placements of one join);

@@ -762,6 +762,18 @@ def winnowing_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
     join, no UDF; cost is O(chars·w) per doc inside one projection.
     Hashes are the same 60-bit md5-prefix fold the corpus signature
     uses, so the DuckDB twin reproduces them bit-exactly."""
+    sel = _winnow_selected(df, k, w, text_col, id_col)
+    return sel.select(
+        "doc_id", "n_grams",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort("fps"), ",")).alias("fp_digest"))
+
+
+def _winnow_selected(df: DataFrame, k: int, w: int,
+                     text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, n_grams, fps): the winnowing selection as an array of
+    distinct "hash:pos" strings — shared front end of the per-doc
+    digest row and the cross-doc pair generator."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
     base = df.select(F.col(id_col).alias("doc_id"),
@@ -793,10 +805,62 @@ def winnowing_fingerprints(df: DataFrame, k: int = 8, w: int = 4,
         n_win >= 1,
         F.array_distinct(F.transform(F.sequence(F.lit(1), n_win), pick))
     ).otherwise(F.array().cast("array<string>"))
-    return hashed.select(
-        "doc_id", "n_grams",
-        F.size(fps).cast("long").alias("n_fingerprints"),
-        F.md5(F.array_join(F.array_sort(fps), ",")).alias("fp_digest"))
+    return hashed.select("doc_id", "n_grams", fps.alias("fps"))
+
+
+def winnowing_shared_pairs(df: DataFrame, k: int = 8, w: int = 4,
+                           min_shared: int = 2, max_posting: int = 32,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, n_shared): cross-doc winnowing matches — MOSS's
+    ranking signal: the number of DISTINCT fingerprint hashes two
+    documents share (positions intentionally ignored: a copied passage
+    moves).  ``min_shared`` floors the report (one shared hash is one
+    k-gram — noise at corpus scale); hashes held by more than
+    ``max_posting`` docs are boilerplate (the corpus's own stop
+    phrases) and are dropped before pairing, the same stop-shingle
+    trade-off ngram_jaccard_pairs documents, replayed identically in
+    the SQL twin.
+
+    Scale shape (the ngram_jaccard_pairs posting-list idiom): one
+    explode + per-doc distinct builds the posting stream; over-cap
+    hashes are found by a map-side-combined count pass whose hot set
+    is Zipf-head-sized (broadcast anti-join, like the stop-shingle
+    cap); survivors take ONE groupBy(hash) collect_list — memory
+    bounded by the cap — and pairs are generated NARROWLY from each
+    ≤cap posting list (posexplode + tail slice, each unordered pair
+    exactly once), so no self-join and the winnowing selection is
+    evaluated twice (stream + count pass), not three times.  The final
+    pair count is a map-side-combinable groupBy.  No corpus-keyed
+    groupBy, no cartesian."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_posting < 2:
+        raise ValueError(f"max_posting must be >= 2, got {max_posting}")
+    sel = _winnow_selected(df, k, w, text_col, id_col)
+    ph = sel.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            "fps", lambda x: F.split(x, ":")[0].cast("long"))))
+        .alias("fph"))
+    stops = (ph.groupBy("fph").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") > max_posting)
+             .select(F.col("fph").alias("s_fph")))
+    kept = ph.join(F.broadcast(stops), ph["fph"] == F.col("s_fph"),
+                   "left_anti")
+    posts = (kept.groupBy("fph")
+             .agg(F.collect_list("doc_id").alias("ds"))
+             .filter(F.size("ds") > 1))
+    pairs = (posts
+             .select(F.posexplode("ds").alias("i", "a"), F.col("ds"))
+             .select("a", F.explode(F.slice(
+                 "ds", F.col("i") + F.lit(2),
+                 F.size("ds") - F.col("i") - F.lit(1))).alias("b"))
+             .select(F.least("a", "b").alias("doc_a"),
+                     F.greatest("a", "b").alias("doc_b")))
+    return (pairs.groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
 
 
 def sql_winnowing_fingerprints(table: str, k: int = 8, w: int = 4,
@@ -805,7 +869,21 @@ def sql_winnowing_fingerprints(table: str, k: int = 8, w: int = 4,
     """DuckDB twin of winnowing_fingerprints over ``table``: identical
     canonicalization, 60-bit md5-prefix gram hashes, min-with-
     rightmost-tie window selection, distinct set, sorted-join digest."""
-    sl = f"hs[j : j + L - 1]"
+    return f"""
+{_sql_winnow_sel_cte(table, k, w, text_col, id_col)}
+SELECT doc_id, n_grams,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       md5(COALESCE(array_to_string(list_sort(fps), ','), ''))
+           AS fp_digest
+FROM sel
+"""
+
+
+def _sql_winnow_sel_cte(table: str, k: int, w: int,
+                        text_col: str, id_col: str) -> str:
+    """Shared WITH-chain ending in ``sel(doc_id, n_grams, fps)`` — the
+    SQL twin of _winnow_selected, used by both winnowing twins."""
+    sl = "hs[j : j + L - 1]"
     return f"""
 WITH base AS (
   SELECT {id_col} AS doc_id, {sql_canonical_text(text_col)} AS _c
@@ -833,10 +911,34 @@ WITH base AS (
                                       list_min({sl})) AS VARCHAR)
            FOR j IN range(1, n_win + 1)]) AS fps
   FROM wdef
+)"""
+
+
+def sql_winnowing_shared_pairs(table: str, k: int = 8, w: int = 4,
+                               min_shared: int = 2, max_posting: int = 32,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    """DuckDB twin of winnowing_shared_pairs over ``table``: identical
+    selection, distinct-hash posting list, 2..max_posting pruning,
+    pair count floor."""
+    return f"""
+{_sql_winnow_sel_cte(table, k, w, text_col, id_col)},
+ph AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             fps, x -> CAST(str_split(x, ':')[1] AS BIGINT)))) AS fph
+  FROM sel
+), cnt AS (
+  SELECT fph, COUNT(*) AS c FROM ph GROUP BY fph
+), keep AS (
+  SELECT fph FROM cnt WHERE c >= 2 AND c <= {max_posting}
+), phk AS (
+  SELECT ph.doc_id, ph.fph FROM ph JOIN keep USING (fph)
 )
-SELECT doc_id, n_grams,
-       CAST(len(fps) AS BIGINT) AS n_fingerprints,
-       md5(COALESCE(array_to_string(list_sort(fps), ','), ''))
-           AS fp_digest
-FROM sel
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM phk a JOIN phk b USING (fph)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
 """

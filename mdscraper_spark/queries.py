@@ -943,6 +943,21 @@ def winnowing_fingerprints_q(spark, sf_dir):
         load(spark, sf_dir, "documents", fan_out=True))
 
 
+@register("winnowing_shared_pairs",
+          dedup.sql_winnowing_shared_pairs("documents", min_shared=4,
+                                           max_posting=16))
+def winnowing_shared_pairs_q(spark, sf_dir):
+    """Cross-doc winnowing matches (round 5): pairs ranked by DISTINCT
+    shared fingerprint hashes — MOSS's match signal.  Posting list via
+    one explode + count pass; singleton and over-cap (boilerplate)
+    hashes pruned by a co-partitioned join-back before the per-hash
+    self-join, so pair fan-out is bounded by cap² per hash and the
+    corpus never pays a cartesian."""
+    return dedup.winnowing_shared_pairs(
+        load(spark, sf_dir, "documents", fan_out=True),
+        min_shared=4, max_posting=16)
+
+
 @register("gopher_rules_filter", textstats.sql_gopher_rules("documents"))
 def gopher_rules_filter(spark, sf_dir):
     """Gopher/MassiveText rule-filter breakdown (round 5): the
@@ -2777,14 +2792,14 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + the FIFTEEN new round-5 rows
+# Round-5 window: 12 pinned + the SIXTEEN new round-5 rows
 # (kg_export_provenance, graph_triangle_clustering,
 # doc_unigram_logprob, doc_tfidf_keywords, weighted_sample_docs,
 # corpus_mixture_schedule, source_health_rollup, kg_pmi_cooccurrence,
 # anchor_text_rollup, mirror_shingle_overlap, kg_component_sizes,
 # dedup_quality_survivors, gopher_rules_filter, ccnet_quality_buckets,
-# winnowing_fingerprints)
-# + 23 of the 37 rows whose last driver-green is r02/r03
+# winnowing_fingerprints, winnowing_shared_pairs)
+# + 22 of the 37 rows whose last driver-green is r02/r03
 # = exactly the 50-row cap; every row below the
 # cap was driver-green in r03/r04
 # (max staleness 2 rounds at rotation time) and remains covered by the
@@ -2820,6 +2835,7 @@ _DRIVER_ORDER = [
     "source_health_rollup",  # last driver-green: r00
     "weighted_sample_docs",  # last driver-green: r00
     "winnowing_fingerprints",  # last driver-green: r00
+    "winnowing_shared_pairs",  # last driver-green: r00
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -2842,9 +2858,9 @@ _DRIVER_ORDER = [
     "heading_space_insert",  # last driver-green: r03
     "ivf_cell_sizes",  # last driver-green: r03
     "ivf_topk",  # last driver-green: r03
-    "lang_balanced_sample",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "lang_balanced_sample",  # last driver-green: r03
     "lsh_bucket_counts",  # last driver-green: r03
     "lsh_pairs",  # last driver-green: r03
     "lsh_topk",  # last driver-green: r03

@@ -49,6 +49,7 @@ SUBSET = [
     "gopher_rules_filter",
     "ccnet_quality_buckets",
     "winnowing_fingerprints",
+    "winnowing_shared_pairs",
 ]
 
 

@@ -123,6 +123,62 @@ def test_winnowing_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_shared_pairs_finds_the_copied_passage(spark):
+    """Docs embedding the same long passage pair up; the unrelated doc
+    pairs with nobody; n_shared counts DISTINCT hashes (a hash
+    repeated inside one doc cannot inflate the intersection)."""
+    shared = ("a rather long copied passage that winnowing must catch "
+              "wherever it is pasted in the document body")
+    rows = [(1, f"intro text {shared} closing remarks"),
+            (2, f"{shared} with a different tail entirely"),
+            (3, "completely unrelated content about orbital mechanics "
+                "and the restricted three body problem")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from mdscraper_spark.operators.dedup import winnowing_shared_pairs
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in winnowing_shared_pairs(
+               df, min_shared=2, max_posting=16).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert not any(3 in p for p in got)
+
+
+def test_shared_pairs_matches_duckdb_twin(spark):
+    from mdscraper_spark.operators.dedup import (
+        sql_winnowing_shared_pairs,
+        winnowing_shared_pairs,
+    )
+    shared = "the quick brown fox jumps over the lazy dog again today"
+    rows = [(i, f"doc {i} prefix {shared} doc {i} suffix words")
+            for i in range(6)] + [(9, "nothing in common here at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in winnowing_shared_pairs(
+        df, min_shared=2, max_posting=4).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{t}')" for i, t in rows)
+                + ") t(doc_id, text)")
+    exp = sorted(tuple(r) for r in con.execute(
+        sql_winnowing_shared_pairs("docs", min_shared=2,
+                                   max_posting=4)).fetchall())
+    assert got == exp
+    # the cap bites: 6 docs share the passage but its hashes sit on
+    # 6-doc postings > cap=4, so only hashes from the per-doc unique
+    # context can pair — and those are singletons, so nothing pairs
+    assert got == []
+
+
+def test_shared_pairs_cap_admits_small_groups(spark):
+    from mdscraper_spark.operators.dedup import winnowing_shared_pairs
+    shared = "the quick brown fox jumps over the lazy dog again today"
+    rows = [(i, f"doc {i} prefix {shared} doc {i} suffix words")
+            for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnowing_shared_pairs(df, min_shared=2, max_posting=4).collect()
+    # 3-doc postings fit under cap=4: all three pairs must surface
+    assert sorted((r["doc_a"], r["doc_b"]) for r in got) == \
+        [(0, 1), (0, 2), (1, 2)]
+
+
 def test_density_bound():
     """Expected selection density is 2/(w+1); assert the loose upper
     bound fingerprints <= windows and a sane lower bound for a long

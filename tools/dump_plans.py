@@ -55,6 +55,20 @@ CASES = [
      "one Arrow harvest pass, map-side-combined (target, anchor) "
      "aggregate, ONE shared per-target window exchange with a "
      "WindowGroupLimit top-1 pushdown for the plurality pick"),
+    ("gopher_rules_filter",
+     "nothing but Projects above the scan — zero join, zero Python, "
+     "no operator-owned Exchange (the one Exchange is load()'s "
+     "test-scale fan_out repartition; the shuffle-free property on a "
+     "raw frame is pinned by tests/test_quality_filters.py)"),
+    ("ccnet_quality_buckets",
+     "one token aggregate + skew-joinable token join for the LM "
+     "score, doc_id-keyed lang join, ONE per-language window sort"),
+    ("winnowing_shared_pairs",
+     "posting stream from a narrow projection, over-cap hashes pruned "
+     "by a broadcast anti-join, ONE collect_list per hash, pairs "
+     "generated narrowly from each posting list (no self-join), "
+     "map-side-combined pair count — no CartesianProduct/"
+     "BroadcastNestedLoopJoin anywhere"),
 ]
 
 
