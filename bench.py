@@ -75,6 +75,7 @@ EXTRAS = (
     "ccnet_quality_buckets",
     "winnowing_fingerprints",
     "winnowing_shared_pairs",
+    "c4_line_filter",
 )
 
 # the skew/salt evidence trio (three forced placements of one join);

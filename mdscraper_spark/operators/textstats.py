@@ -1250,6 +1250,120 @@ FROM s3
 """
 
 
+# C4's published line-level cleaning (Raffel et al. 2020, "Exploring
+# the Limits of Transfer Learning...", §2.2; phrase list from the
+# public c4 TFDS implementation).  Kept as module constants so the
+# Spark operator and the DuckDB twin are generated from one list.
+C4_POLICY_PHRASES = (
+    "terms of use", "privacy policy", "cookie policy",
+    "uses cookies", "use of cookies", "use cookies",
+)
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_line_filter(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words_per_line: int = 5,
+                   min_kept_lines: int = 3) -> DataFrame:
+    """Per-document C4 line-level cleaning breakdown — the published
+    heuristics that built the Colossal Clean Crawled Corpus, the
+    line-granular complement of the page-granular Gopher rules
+    (``gopher_rules``).  A line (trimmed, non-empty) is KEPT iff it
+    (a) ends in a terminal punctuation mark (``. ! ? "``),
+    (b) has >= ``min_words_per_line`` whitespace words,
+    (c) does not contain "javascript" (case-insensitive), and
+    (d) contains none of the C4 policy phrases (cookie/privacy/terms
+    boilerplate).  Page level: docs containing "lorem ipsum"
+    (case-insensitive) or a ``{`` are dropped outright, and a doc must
+    retain >= ``min_kept_lines`` lines (every kept line ends in
+    terminal punctuation, so kept lines lower-bound C4's ">= 3
+    sentences" gate; the sentence-tokenizer variant is a library
+    swap, not a plan change).
+
+    Emits (doc_id, n_lines, n_kept_lines, has_lorem_ipsum,
+    has_curly_brace, cleaned_text, c4_keep) — the per-rule evidence a
+    curation pipeline tunes on, plus the cleaned text itself so the
+    survivor corpus is materialized in the same pass.
+
+    Scale shape: a narrow per-row projection — no shuffle, no join, no
+    UDF; the line array is bound once per stage (interpreted-HOF
+    rule), so the keep-predicate runs once per line, not once per
+    line per reference."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"),
+                    lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")),
+        lambda x: F.length(x) > 0)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        lines.alias("lines"),
+        F.col(text_col).contains("{").alias("has_curly_brace"),
+        F.lower(F.col(text_col)).contains("lorem ipsum")
+         .alias("has_lorem_ipsum"))
+
+    def _keep(x):
+        term = x.endswith(C4_TERMINAL[0])
+        for t in C4_TERMINAL[1:]:
+            term = term | x.endswith(t)
+        low = F.lower(x)
+        cond = term & (F.size(F.split(x, r"\s+")) >= min_words_per_line)
+        cond = cond & ~low.contains("javascript")
+        for p in C4_POLICY_PHRASES:
+            cond = cond & ~low.contains(p)
+        return cond
+
+    s2 = base.select(
+        "doc_id", "has_lorem_ipsum", "has_curly_brace",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.filter("lines", _keep).alias("kept"))
+    return s2.select(
+        "doc_id", "n_lines",
+        F.size("kept").cast("long").alias("n_kept_lines"),
+        "has_lorem_ipsum", "has_curly_brace",
+        F.concat_ws("\n", F.col("kept")).alias("cleaned_text"),
+        (~F.col("has_lorem_ipsum") & ~F.col("has_curly_brace")
+         & (F.size("kept") >= min_kept_lines)).alias("c4_keep"))
+
+
+def sql_c4_line_filter(table: str, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_words_per_line: int = 5,
+                       min_kept_lines: int = 3) -> str:
+    """DuckDB twin of c4_line_filter over ``table``."""
+    term = " OR ".join(
+        f"ends_with(x, '{t}')" for t in (".", "!", "?", '"'))
+    phrases = " AND ".join(
+        f"NOT contains(lower(x), '{p}')" for p in C4_POLICY_PHRASES)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array({text_col}, '\\n'),
+                          x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
+           x -> length(x) > 0) AS lines,
+         contains({text_col}, '{{') AS has_curly_brace,
+         contains(lower({text_col}), 'lorem ipsum') AS has_lorem_ipsum
+  FROM {table}
+), s2 AS (
+  SELECT doc_id, has_lorem_ipsum, has_curly_brace,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         list_filter(lines,
+           x -> ({term})
+                AND len(regexp_split_to_array(x, '\\s+'))
+                    >= {min_words_per_line}
+                AND NOT contains(lower(x), 'javascript')
+                AND {phrases}) AS kept
+  FROM base
+)
+SELECT doc_id, n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       has_lorem_ipsum, has_curly_brace,
+       coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+       (NOT has_lorem_ipsum AND NOT has_curly_brace
+        AND len(kept) >= {min_kept_lines}) AS c4_keep
+FROM s2
+"""
+
+
 def ccnet_quality_buckets(df: DataFrame, min_count: int = 2,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:

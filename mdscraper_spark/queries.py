@@ -985,6 +985,64 @@ def ccnet_quality_buckets_q(spark, sf_dir):
         load(spark, sf_dir, "documents", fan_out=True))
 
 
+# the corpus is single-line by construction, so the row PLANTS a
+# deterministic multi-line page per doc_id (census-page convention):
+# line 1 terminal-punctuates the real text (kept), line 2 fails the
+# min-words floor, lines 3-5 toggle a policy phrase / javascript /
+# lorem-ipsum on doc_id moduli, line 6 plants the curly-brace page
+# drop — every C4 rule fires somewhere in the driver-checked output
+_C4_PLANT_SQL = """(
+  SELECT doc_id,
+         concat_ws(chr(10),
+           text || '.',
+           'tiny line.',
+           CASE WHEN doc_id % 3 = 0
+                THEN 'this site uses cookies every day.'
+                ELSE 'an ordinary keepable sentence with words.' END,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'enable javascript to continue reading now.'
+                ELSE 'a second keepable sentence with words!' END,
+           CASE WHEN doc_id % 7 = 0
+                THEN 'Lorem ipsum dolor sit amet friends.'
+                ELSE 'closing line has enough words here?' END,
+           CASE WHEN doc_id % 11 = 0
+                THEN 'code { sample'
+                ELSE '' END) AS text
+  FROM documents)"""
+
+
+@register("c4_line_filter", textstats.sql_c4_line_filter(_C4_PLANT_SQL))
+def c4_line_filter_q(spark, sf_dir):
+    """C4 line-level cleaning breakdown (round 5): Raffel et al.'s
+    published heuristics that built the Colossal Clean Crawled Corpus
+    — terminal-punctuation + min-words + javascript/policy-phrase
+    line drops, lorem-ipsum / curly-brace page drops, >=3 kept lines
+    — emitting per-rule evidence AND the cleaned text so the survivor
+    corpus materializes in the same pass.  Narrow per-row projection:
+    zero shuffle, zero UDF; the line-keep predicate is a single
+    interpreted-HOF filter per row."""
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("tiny line."),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("this site uses cookies every day."))
+             .otherwise(F.lit("an ordinary keepable sentence with words.")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("enable javascript to continue reading now."))
+             .otherwise(F.lit("a second keepable sentence with words!")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("Lorem ipsum dolor sit amet friends."))
+             .otherwise(F.lit("closing line has enough words here?")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("code { sample")).otherwise(F.lit("")),
+        ).alias("text"))
+    return textstats.c4_line_filter(planted)
+
+
 @register("weighted_sample_docs",
           textstats.sql_weighted_sample_topk("documents", k=100))
 def weighted_sample_docs(spark, sf_dir):
@@ -2821,6 +2879,7 @@ _DRIVER_ORDER = [
     "curation_funnel",  # last driver-green: r04
     # rotation: longest-unverified-by-driver first
     "anchor_text_rollup",  # last driver-green: r00
+    "c4_line_filter",  # last driver-green: r00 (new round 5)
     "ccnet_quality_buckets",  # last driver-green: r00
     "corpus_mixture_schedule",  # last driver-green: r00
     "dedup_quality_survivors",  # last driver-green: r00
@@ -2857,9 +2916,10 @@ _DRIVER_ORDER = [
     "greedy_token_packing",  # last driver-green: r03
     "heading_space_insert",  # last driver-green: r03
     "ivf_cell_sizes",  # last driver-green: r03
-    "ivf_topk",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "ivf_topk",  # last driver-green: r03 (demoted for c4_line_filter;
+    #            # still covered by tests/test_ivf_kmeans.py + check_oracle)
     "lang_balanced_sample",  # last driver-green: r03
     "lsh_bucket_counts",  # last driver-green: r03
     "lsh_pairs",  # last driver-green: r03

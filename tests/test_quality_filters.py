@@ -143,3 +143,107 @@ def test_ccnet_skips_whitespace_only_docs(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = textstats.ccnet_quality_buckets(df, min_count=1).collect()
     assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+
+# ---- C4 line-level cleaning (round 5, J48) -------------------------
+
+KEEPABLE = "this line has at least five words."
+
+
+def _c4(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.c4_line_filter(df, **kw).collect()
+    return {r["doc_id"]: r.asDict() for r in out}
+
+
+def test_c4_terminal_punctuation_set(spark):
+    # . ! ? " keep; : ; , unterminated drop — C4's published set
+    lines = [
+        "ends with a period so it stays.",
+        "ends with a bang so it stays!",
+        "ends with a question so it stays?",
+        'ends with a quote so it stays."'[:-1] + '"',
+        "ends with a colon so it drops:",
+        "ends with a semicolon so it drops;",
+        "has no terminal punctuation so it drops",
+    ]
+    got = _c4(spark, [(1, "\n".join(lines))])
+    assert got[1]["n_lines"] == 7
+    assert got[1]["n_kept_lines"] == 4
+    assert got[1]["cleaned_text"] == "\n".join(lines[:4])
+
+
+def test_c4_min_words_boundary_inclusive(spark):
+    # >= 5 whitespace words: exactly five passes, four fails
+    got = _c4(spark, [(1, "one two three four five.\none two so-short.")])
+    assert got[1]["n_kept_lines"] == 1
+
+
+def test_c4_javascript_and_policy_phrases_case_insensitive(spark):
+    lines = [
+        "please enable JavaScript to view this page.",
+        "we describe our Privacy Policy in detail here.",
+        "this site uses cookies to improve your experience.",
+        "read the terms of use before you continue on.",
+        "a perfectly ordinary sentence that survives the filter.",
+    ]
+    got = _c4(spark, [(1, "\n".join(lines))])
+    assert got[1]["n_kept_lines"] == 1
+    assert got[1]["cleaned_text"] == lines[4]
+
+
+def test_c4_page_level_drops(spark):
+    body = "\n".join([KEEPABLE] * 4)
+    got = _c4(spark, [
+        (1, body),
+        (2, body + "\nLorem Ipsum dolor sit amet."),   # ci page drop
+        (3, body + "\nfunction f() { return 1; }"),    # curly brace
+    ])
+    assert got[1]["c4_keep"] is True
+    assert got[2]["has_lorem_ipsum"] and not got[2]["c4_keep"]
+    assert got[3]["has_curly_brace"] and not got[3]["c4_keep"]
+    # the line rules still ran on the dropped pages
+    assert got[2]["n_kept_lines"] == 5
+
+
+def test_c4_min_kept_lines_boundary(spark):
+    three = "\n".join([KEEPABLE] * 3)
+    two = "\n".join([KEEPABLE] * 2)
+    got = _c4(spark, [(1, three), (2, two)])
+    assert got[1]["c4_keep"] is True and got[1]["n_kept_lines"] == 3
+    assert got[2]["c4_keep"] is False and got[2]["n_kept_lines"] == 2
+
+
+def test_c4_whitespace_lines_trimmed_and_dropped(spark):
+    text = f"  {KEEPABLE}  \n\n   \n\t{KEEPABLE}"
+    got = _c4(spark, [(1, text)])
+    # blank/whitespace-only lines never count; kept lines are trimmed
+    assert got[1]["n_lines"] == 2
+    assert got[1]["cleaned_text"] == f"{KEEPABLE}\n{KEEPABLE}"
+
+
+def test_c4_empty_doc_empty_cleaned_text(spark):
+    got = _c4(spark, [(1, ""), (2, "word.")])
+    for r in got.values():
+        assert r["cleaned_text"] == ""      # '' not NULL (oracle twin)
+        assert r["n_kept_lines"] == 0 and r["c4_keep"] is False
+    assert got[1]["n_lines"] == 0 and got[2]["n_lines"] == 1
+
+
+def test_c4_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, KEEPABLE)], "doc_id long, text string")
+    plan = textstats.c4_line_filter(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_c4_partition_invariance(spark):
+    rows = [(i, "\n".join([KEEPABLE] * (i % 5) + [f"frag {i}"]))
+            for i in range(40)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(1)
+    df7 = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(7)
+    a = sorted(map(tuple, textstats.c4_line_filter(df1).collect()))
+    b = sorted(map(tuple, textstats.c4_line_filter(df7).collect()))
+    assert a == b
