@@ -76,6 +76,7 @@ EXTRAS = (
     "winnowing_fingerprints",
     "winnowing_shared_pairs",
     "c4_line_filter",
+    "dsir_importance_weights",
 )
 
 # the skew/salt evidence trio (three forced placements of one join);

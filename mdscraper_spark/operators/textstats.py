@@ -1434,3 +1434,128 @@ SELECT doc_id, lang, avg_logprob,
             ELSE 'tail' END AS bucket
 FROM r
 """
+
+
+def _hashed_ngram_feats(df: DataFrame, buckets: int,
+                        text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, b): the hashed bag-of-ngrams feature stream DSIR
+    weighs — one row per word-unigram and word-bigram OCCURRENCE,
+    bucketed by the corpus-wide 60-bit md5-prefix hash mod
+    ``buckets`` (the same cross-engine hash every fingerprint row
+    uses, so the DuckDB twin reproduces buckets bit-exactly).
+    Whitespace-only docs contribute nothing, matching
+    unigram_logprob's convention.  The token array is bound as its
+    own projection before the bigram zip (interpreted-HOF rule)."""
+    from mdscraper_spark.operators.dedup import tokenize, ws_strip
+
+    base = (df.filter(F.length(ws_strip(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"),
+                    tokenize(F.col(text_col)).alias("toks")))
+    n = F.size("toks")
+    m = F.greatest(n - F.lit(1), F.lit(0))
+    pairs = F.arrays_zip(F.slice("toks", 1, m), F.slice("toks", 2, m))
+    bigrams = F.when(n >= 2, F.transform(
+        pairs, lambda p: F.concat_ws(" ", p["0"], p["1"]))) \
+               .otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "doc_id", F.explode(F.concat(F.col("toks"), bigrams)).alias("g"))
+    b = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long") \
+         % F.lit(buckets)
+    return grams.select("doc_id", b.alias("b"))
+
+
+def dsir_importance_weights(raw_df: DataFrame, target_df: DataFrame,
+                            buckets: int = 1024,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_features, dsir_logweight): DSIR importance weights
+    (Xie et al., NeurIPS 2023 — "Data Selection for Language Models
+    via Importance Resampling") for every raw-corpus document against
+    a target corpus: features are hashed word uni+bigram occurrences
+    (``_hashed_ngram_feats``), the generative model per corpus is the
+    add-one-smoothed bag-of-buckets distribution p(b) = (count(b)+1) /
+    (total + buckets), and a document's log importance weight is
+    sum_over_feature_occurrences ln(p_target(b) / p_raw(b)) — the
+    quantity DSIR Gumbel-resamples on to tilt a 10^12-doc raw crawl
+    toward a quality target (Wikipedia/books) without training a
+    classifier.  Rounded to 6 (identical IEEE ln/sum inputs in the
+    twin; the round absorbs summation-order variance).
+
+    Scale shape: two map-side-combinable groupBy(b) count passes whose
+    results are BUCKETS-bounded (driver scalars for the totals — same
+    bounded-.first() contract as unigram_logprob's corpus_total); the
+    bucket→log-ratio table (full-outer of the two counts) is ≤buckets
+    rows and joins back to the raw feature stream BROADCAST, so the
+    only corpus-scale shuffle is the final per-doc sum, which combines
+    map-side.  No corpus self-join; target is typically corpus-tiny
+    (a quality sample) but nothing assumes it fits anywhere."""
+    fr = _hashed_ngram_feats(raw_df, buckets, text_col, id_col)
+    ft = _hashed_ngram_feats(target_df, buckets, text_col, id_col)
+    rc = fr.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tc = ft.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    r_total = rc.agg(F.sum("rc")).first()[0] or 0
+    t_total = tc.agg(F.sum("tc")).first()[0] or 0
+    if r_total == 0 or t_total == 0:
+        # schema-stable empty frame: no raw features (nothing to
+        # weigh) or no target features (the ratio is undefined)
+        return fr.select("doc_id",
+                         F.lit(0).cast("long").alias("n_features"),
+                         F.lit(0.0).cast("double").alias("dsir_logweight")) \
+                 .limit(0)
+    lr = (F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1))
+                / F.lit(float(t_total + buckets)))
+          - F.log((F.coalesce(F.col("rc"), F.lit(0)) + F.lit(1))
+                  / F.lit(float(r_total + buckets))))
+    ratio = rc.join(tc, "b", "full").select("b", lr.alias("lr"))
+    return (fr.join(F.broadcast(ratio), "b")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_features"),
+                 F.round(F.sum("lr"), 6).alias("dsir_logweight")))
+
+
+def sql_dsir_importance_weights(table: str, target_where: str,
+                                buckets: int = 1024,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> str:
+    """DuckDB twin of dsir_importance_weights: raw = ``table``,
+    target = the rows of ``table`` matching ``target_where``."""
+    from mdscraper_spark.operators.dedup import sql_tokens, sql_ws_strip
+
+    def feats(name: str, where: str) -> str:
+        return f"""{name}_t AS (
+  SELECT {id_col} AS doc_id, {sql_tokens(text_col)} AS toks
+  FROM {table}
+  WHERE ({where}) AND length({sql_ws_strip(text_col)}) > 0
+), {name} AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {buckets} AS b
+  FROM (
+    SELECT doc_id,
+           unnest(list_concat(
+             toks,
+             CASE WHEN len(toks) >= 2
+                  THEN [toks[i] || ' ' || toks[i + 1]
+                        FOR i IN range(1, len(toks))]
+                  ELSE [] END)) AS g
+    FROM {name}_t)
+)"""
+
+    return f"""
+WITH {feats("fr", "TRUE")},
+{feats("ft", target_where)},
+rc AS (SELECT b, COUNT(*) AS rc FROM fr GROUP BY b),
+tc AS (SELECT b, COUNT(*) AS tc FROM ft GROUP BY b),
+rt AS (SELECT CAST(SUM(rc) AS DOUBLE) AS rtot FROM rc),
+tt AS (SELECT CAST(SUM(tc) AS DOUBLE) AS ttot FROM tc),
+ratio AS (
+  SELECT b,
+         ln((COALESCE(tc, 0) + 1) / ((SELECT ttot FROM tt) + {buckets}))
+       - ln((COALESCE(rc, 0) + 1) / ((SELECT rtot FROM rt) + {buckets}))
+           AS lr
+  FROM rc FULL OUTER JOIN tc USING (b)
+)
+SELECT doc_id, COUNT(*) AS n_features,
+       round(SUM(lr), 6) AS dsir_logweight
+FROM fr JOIN ratio USING (b)
+GROUP BY doc_id
+"""

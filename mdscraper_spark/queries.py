@@ -1043,6 +1043,24 @@ def c4_line_filter_q(spark, sf_dir):
     return textstats.c4_line_filter(planted)
 
 
+@register("dsir_importance_weights",
+          textstats.sql_dsir_importance_weights(
+              "documents", "doc_id % 7 = 0", buckets=1024))
+def dsir_importance_weights_q(spark, sf_dir):
+    """DSIR importance weights (round 5): Xie et al.'s (NeurIPS 2023)
+    hashed-ngram importance resampling — every raw doc scored by
+    sum ln(p_target/p_raw) over its hashed word uni+bigram occurrences
+    under add-one-smoothed bag-of-buckets models, the signal that
+    tilts a raw crawl toward a quality target without a classifier.
+    Target here = the deterministic doc_id%7 sample of the same corpus
+    (census-page convention).  Two BUCKETS-bounded count passes, the
+    log-ratio table broadcast back to the feature stream, one
+    map-side-combinable per-doc sum."""
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    return textstats.dsir_importance_weights(
+        docs, docs.filter(F.col("doc_id") % 7 == 0), buckets=1024)
+
+
 @register("weighted_sample_docs",
           textstats.sql_weighted_sample_topk("documents", k=100))
 def weighted_sample_docs(spark, sf_dir):
@@ -2883,6 +2901,7 @@ _DRIVER_ORDER = [
     "ccnet_quality_buckets",  # last driver-green: r00
     "corpus_mixture_schedule",  # last driver-green: r00
     "dedup_quality_survivors",  # last driver-green: r00
+    "dsir_importance_weights",  # last driver-green: r00 (new round 5)
     "doc_tfidf_keywords",  # last driver-green: r00
     "doc_unigram_logprob",  # last driver-green: r00
     "gopher_rules_filter",  # last driver-green: r00
@@ -2915,9 +2934,11 @@ _DRIVER_ORDER = [
     "graph_shared_suppliers",  # last driver-green: r03
     "greedy_token_packing",  # last driver-green: r03
     "heading_space_insert",  # last driver-green: r03
-    "ivf_cell_sizes",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "ivf_cell_sizes",  # last driver-green: r03 (demoted for
+    #                  # dsir_importance_weights; still covered by
+    #                  # tests/test_ivf_kmeans.py + check_oracle)
     "ivf_topk",  # last driver-green: r03 (demoted for c4_line_filter;
     #            # still covered by tests/test_ivf_kmeans.py + check_oracle)
     "lang_balanced_sample",  # last driver-green: r03

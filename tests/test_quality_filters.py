@@ -247,3 +247,83 @@ def test_c4_partition_invariance(spark):
     a = sorted(map(tuple, textstats.c4_line_filter(df1).collect()))
     b = sorted(map(tuple, textstats.c4_line_filter(df7).collect()))
     assert a == b
+
+
+# ---- DSIR importance weights (round 5, J49) ------------------------
+
+PROSE = "the cat sat on the mat and purred softly"
+JUNK = "quantum flux capacitor emits zorp blips xyzzy"
+
+
+def _dsir(spark, raw_rows, target_rows, **kw):
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(target_rows, "doc_id long, text string")
+    out = textstats.dsir_importance_weights(raw, tgt, **kw).collect()
+    return {r["doc_id"]: r.asDict() for r in out}
+
+
+def test_dsir_direction(spark):
+    # docs sharing the target's vocabulary outweigh vocabulary-disjoint
+    # junk — the property importance resampling selects on
+    raw = [(1, PROSE), (2, JUNK),
+           (3, "the dog sat on the rug and barked loudly")]
+    tgt = [(10, PROSE), (11, "the dog and the cat sat on the mat")]
+    got = _dsir(spark, raw, tgt, buckets=256)
+    assert got[1]["dsir_logweight"] > got[2]["dsir_logweight"]
+    assert got[3]["dsir_logweight"] > got[2]["dsir_logweight"]
+
+
+def test_dsir_feature_count_is_unigrams_plus_bigrams(spark):
+    # an n-token doc contributes n + (n-1) feature occurrences
+    got = _dsir(spark, [(1, "a b c d"), (2, "solo")], [(9, PROSE)],
+                buckets=64)
+    assert got[1]["n_features"] == 7
+    assert got[2]["n_features"] == 1
+
+
+def test_dsir_smoothing_keeps_unseen_features_finite(spark):
+    # raw-only vocabulary (zero target count) must not produce -inf
+    import math
+    got = _dsir(spark, [(1, JUNK)], [(9, PROSE)], buckets=64)
+    assert math.isfinite(got[1]["dsir_logweight"])
+
+
+def test_dsir_whitespace_docs_absent(spark):
+    got = _dsir(spark, [(1, PROSE), (2, "   \n\t ")], [(9, PROSE)])
+    assert sorted(got) == [1]
+
+
+def test_dsir_empty_target_schema_stable_empty(spark):
+    raw = spark.createDataFrame([(1, PROSE)], "doc_id long, text string")
+    tgt = spark.createDataFrame([], "doc_id long, text string")
+    out = textstats.dsir_importance_weights(raw, tgt)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_features", "dsir_logweight"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "bigint", "double"]
+
+
+def test_dsir_ratio_join_is_broadcast(spark):
+    raw = spark.createDataFrame([(i, PROSE) for i in range(20)],
+                                "doc_id long, text string")
+    tgt = raw.filter("doc_id % 2 = 0")
+    plan = textstats.dsir_importance_weights(raw, tgt)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_partition_invariance(spark):
+    rows = [(i, (PROSE if i % 3 else JUNK) + f" tail{i}")
+            for i in range(30)]
+    tgt = [(100 + i, PROSE) for i in range(3)]
+    a = _dsir(spark, rows, tgt, buckets=128)
+    raw7 = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(7)
+    t7 = spark.createDataFrame(tgt, "doc_id long, text string") \
+        .repartition(2)
+    b = {r["doc_id"]: r.asDict()
+         for r in textstats.dsir_importance_weights(
+             raw7, t7, buckets=128).collect()}
+    assert a == b
