@@ -2102,7 +2102,144 @@ HOSTILE_CHARREF_PLANES = """
 </html>
 """
 
+# round-5 thirtieth wave: EOF truncation and tag-recovery litter — the
+# shapes a crawler's torn fetches and hand-written HTML actually leave
+# behind (every behavior below probed live before freezing).
+# html.parser enters CDATA mode for script/style ONLY: an unclosed
+# <script> swallows everything to EOF and the noise strip then removes
+# it, so a page truncated inside a script loses its tail silently —
+# the crawl-truncation hazard eof-rawtext pins (content before the
+# script survives; nothing after renders).  CDATA mode ends at the
+# next LITERAL close tag wherever it hides — a `</script>` spelled
+# inside a JS string or comment reopens markup parsing (probed; the
+# fixture's script body therefore never spells it).  <textarea> is NOT
+# rawtext under html.parser, so an unclosed one swallows nothing: its
+# text and even child <p> markup render normally.  A page ending
+# mid-tag (`<a href="/trunc` at EOF, eof-midtag) is flushed by the
+# parser as literal DATA — the raw `<a href=...` bytes SURVIVE into
+# the markdown rather than vanishing.  A quoted attribute value closes at the NEXT quote
+# wherever that is: `href="/broken.html class="x">` yields
+# href='/broken.html class=' with x">… as attribute junk, and because
+# that anchor never closes, the rest of the content div becomes the
+# LINK TEXT (block boundaries and all) — one mismatched quote rewrites
+# the whole page's shape, byte-pinned here.  Tag litter: `</>`,
+# `</ >`, `</123>` are dropped silently (text around them flows on);
+# end-tag attributes (`</p class="x">`) are ignored but the tag still
+# closes; `<p/>` is a startendtag (an empty paragraph — adjacent text
+# joins without a block break); a bare `<` before a non-letter (`1 <
+# 2`, `<3`, `<$5`, `< span>`) is literal text, never a tag open.
+# Attribute values spanning raw newlines keep them — a split href
+# renders a multi-line link target.  A reopened <html><body> after
+# </body> parses as an ordinary nested subtree and the content
+# cascade's class stage is FIRST-match (probed: a much larger
+# duplicate content div in the reopened shell still loses), so the
+# duplicate shell's content is dropped, not merged.  Form-in-table
+# litter ((tr-level <form>, hidden inputs) renders the cell text/
+# buttons without phantom rows; <noembed> is an ordinary unknown
+# element (fallback text renders); empty <a name>/<a id> anchor
+# targets vanish cleanly while fragment links keep their #hrefs.
+
+HOSTILE_EOF_RAWTEXT = """
+<html>
+<body>
+    <div class="ads">TRUNCATED SPONSOR</div>
+    <div class="content">
+        <h1>EOF Rawtext</h1>
+        <p>kept paragraph with <a href="/eof/kept.html">a kept link</a>
+        and <img src="/img/eof.png" alt="kept alt">.</p>
+        <textarea name="draft">unclosed textarea swallows nothing
+<p>markup inside the unclosed textarea still renders</p>
+        <h2>After Textarea</h2>
+        <p>still visible before the script truncation point.</p>
+        <script type="text/javascript">
+        var page = {truncated: true}; // the fetch tore here —
+        // no closing tag ever arrives, CDATA mode runs to EOF:
+        <p>this paragraph is inside the unclosed script</p>
+        <h2>So Is This Heading</h2>
+        </div></body></html>"""
+
+HOSTILE_EOF_ATTR = """
+<html>
+<body>
+    <div class="ads">EOF SPONSOR</div>
+    <div class="content">
+        <h1>EOF Attr</h1>
+        <p>before the broken tag everything is ordinary, with
+        <img src="/img/attr.png" alt="attr alt"> intact.</p>
+        <p><a href="/ok.html">good link</a> then the mismatched quote:
+        <a href="/broken.html class="x">rest of the div becomes link text
+        <h2>Even This Heading</h2>
+        <p>and this paragraph, all inside one anchor</p>
+        </div>
+    <div class="tail">outside the content div</div>
+</body>
+</html>
+"""
+
+HOSTILE_EOF_MIDTAG = """
+<html>
+<body>
+    <div class="content">
+        <h1>EOF Midtag</h1>
+        <p>ordinary text with <a href="/mid/ok.html">one kept link</a>
+        and <img src="/img/mid.png" alt="mid alt">.</p>
+        <h2>Before The Tear</h2>
+        <p>the fetch tore mid-tag right here <a href="/trunc"""
+
+HOSTILE_TAG_LITTER = """
+<html>
+<body>
+    <div class="content">
+        <h1>Tag Litter</h1>
+        <p>empty close</> flows on</p>
+        <p>spaced close</ > flows on</p>
+        <p>numeric close</123> flows on</p>
+        <p>attr close</p class="x"> lands after it</p>
+        <p>self-closed para<p/>joins without a break</p>
+        <p>math says 1 < 2 and a <3 heart and <$5 and generic< span>text</p>
+        <p><a href="/multi
+line.html" title="a
+b">newline-split attribute link</a></p>
+    </div>
+</body>
+<html class="reopened"><body class="second">
+    <div class="content"><h2>Reopened Shell</h2>
+        <p>this duplicate content div is far larger than the first one
+        and would win a largest-div contest, but the class stage is
+        first-match, so none of this renders at all.</p>
+    </div>
+</body></html>
+"""
+
+HOSTILE_FORM_TABLE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Form Table</h1>
+        <noembed>plugin fallback text renders</noembed>
+        <table>
+            <form action="/submit" method="post">
+                <tr><td>cell one <input type="hidden" name="h" value="1"></td>
+                    <td><button type="submit">Send</button></td></tr>
+                <tr><td>cell two</td>
+                    <td><input type="text" name="q" value="typed"></td></tr>
+            </form>
+        </table>
+        <p><a name="sec1"></a>legacy anchor target paragraph</p>
+        <h2><a id="sec2"></a>Heading With Empty Anchor</h2>
+        <p>jump back via <a href="#sec1">a fragment link</a> and out via
+        <a href="/form/out.html">a real link</a>.</p>
+    </div>
+</body>
+</html>
+"""
+
 FIXTURE_CASES: Dict[str, str] = {
+    "hostile-eof-rawtext": HOSTILE_EOF_RAWTEXT,
+    "hostile-eof-attr": HOSTILE_EOF_ATTR,
+    "hostile-eof-midtag": HOSTILE_EOF_MIDTAG,
+    "hostile-tag-litter": HOSTILE_TAG_LITTER,
+    "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
     "degenerate-empty": DEGENERATE_EMPTY,
     "degenerate-whitespace": DEGENERATE_WHITESPACE,
