@@ -77,6 +77,7 @@ EXTRAS = (
     "winnowing_shared_pairs",
     "c4_line_filter",
     "dsir_importance_weights",
+    "semdedup_flags",
 )
 
 # the skew/salt evidence trio (three forced placements of one join);

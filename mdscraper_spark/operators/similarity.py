@@ -435,3 +435,104 @@ def sql_axis_sign_bucket(vec: str, dims=LSH_DIMS) -> str:
     bits = " || ".join(
         f"(CASE WHEN {vec}[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in dims)
     return f"({bits})"
+
+
+# -- SemDeDup: semantic dedup inside k-means cells ---------------------------
+
+
+def semdedup(embeddings: DataFrame, n_cells: int | None = IVF_K,
+             threshold: float = 0.9,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cid, centroid_sim, dup_of, semdedup_drop): SemDeDup
+    (Abbas et al., 2023 — "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space into IVF cells, and WITHIN each cell drop every vector whose
+    cosine to a kept-priority predecessor reaches ``threshold``.
+    Kept-priority follows the paper's finding that low-centroid-
+    similarity ("edge of cluster") examples are the better survivors:
+    the order is (centroid_sim ASC, vec_id ASC), and x is dropped iff
+    some same-cell y earlier in that order has round(cos(x,y),6) >=
+    threshold — exactly the reference implementation's
+    triu-of-the-sorted-similarity-matrix rule, made engine-portable by
+    rounding both the pair cosine and the ordering key.  ``dup_of``
+    reports MIN(vec_id) among a dropped vector's eliminators (a
+    deterministic witness, not the full set).
+
+    Scale shape: cell assignment is ivf_cells (broadcast centroids /
+    GEMM past 32 cells); the pair stage is ONE equi-join on cid whose
+    cost is sum(cell_size^2) — the same quadratic SemDeDup itself pays
+    per cluster, bounded by sqrt(N)-sized cells under auto_n_cells
+    sizing; the eliminator argmin combines map-side.  No corpus-wide
+    cartesian: every pair shares a cid."""
+    cells = ivf_cells(embeddings, n_cells, id_col, vec_col)
+    if n_cells is None:
+        pass  # ivf_cells already derived the count
+    k = n_cells if n_cells is not None else auto_n_cells(
+        embeddings.count())
+    cents = (embeddings.filter(F.col(id_col) < k)
+             .select(F.col(id_col).alias("c_cid"),
+                     F.col(vec_col).alias("cvec")))
+    cs = (cells.join(F.broadcast(cents), F.col("cid") == F.col("c_cid"))
+          .select(F.col(id_col), F.col(vec_col), F.col("cid"),
+                  F.round(cosine(F.col(vec_col), F.col("cvec")), 6)
+                  .alias("centroid_sim")))
+    x = cs.select(F.col(id_col).alias("x_id"),
+                  F.col(vec_col).alias("x_vec"),
+                  F.col("cid").alias("x_cid"),
+                  F.col("centroid_sim").alias("x_sim"))
+    y = cs.select(F.col(id_col).alias("y_id"),
+                  F.col(vec_col).alias("y_vec"),
+                  F.col("cid").alias("y_cid"),
+                  F.col("centroid_sim").alias("y_sim"))
+    earlier = (F.col("y_sim") < F.col("x_sim")) | \
+              ((F.col("y_sim") == F.col("x_sim"))
+               & (F.col("y_id") < F.col("x_id")))
+    elim = (x.join(y, F.col("x_cid") == F.col("y_cid"))
+            .filter(earlier)
+            .filter(F.round(cosine(F.col("x_vec"), F.col("y_vec")), 6)
+                    >= threshold)
+            .groupBy("x_id")
+            .agg(F.min("y_id").alias("dup_of")))
+    return (cs.join(elim, cs[id_col] == F.col("x_id"), "left")
+            .select(F.col(id_col), F.col("cid"), F.col("centroid_sim"),
+                    F.col("dup_of"),
+                    F.col("dup_of").isNotNull().alias("semdedup_drop")))
+
+
+def sql_semdedup(table: str, n_cells: int = IVF_K,
+                 threshold: float = 0.9,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> str:
+    """DuckDB twin of semdedup over ``table`` (fixed ``n_cells``)."""
+    cos_xc = sql_cosine("e.embedding", "c.cvec")
+    cos_xy = sql_cosine("x.embedding", "y.embedding")
+    return f"""
+WITH c AS (SELECT {id_col} AS cid, {vec_col} AS cvec
+           FROM {table} WHERE {id_col} < {n_cells}),
+scored AS (
+  SELECT e.{id_col} AS vec_id, e.{vec_col} AS embedding, c.cid,
+         {cos_xc} AS csim
+  FROM {table} e CROSS JOIN c
+),
+ranked AS (
+  SELECT vec_id, embedding, cid, csim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cid ASC) AS rn
+  FROM scored
+),
+cells AS (SELECT vec_id, embedding, cid,
+                 round(csim, 6) AS centroid_sim
+          FROM ranked WHERE rn = 1),
+elim AS (
+  SELECT x.vec_id, MIN(y.vec_id) AS dup_of
+  FROM cells x JOIN cells y ON x.cid = y.cid
+   AND ((y.centroid_sim < x.centroid_sim)
+        OR (y.centroid_sim = x.centroid_sim AND y.vec_id < x.vec_id))
+   AND round({cos_xy}, 6) >= {threshold}
+  GROUP BY x.vec_id
+)
+SELECT cells.vec_id, cells.cid, cells.centroid_sim,
+       elim.dup_of, elim.dup_of IS NOT NULL AS semdedup_drop
+FROM cells LEFT JOIN elim USING (vec_id)
+"""

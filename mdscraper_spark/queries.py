@@ -1061,6 +1061,43 @@ def dsir_importance_weights_q(spark, sf_dir):
         docs, docs.filter(F.col("doc_id") % 7 == 0), buckets=1024)
 
 
+# the synthetic embeddings are near-orthogonal (no natural near-dups),
+# so the row PLANTS exact-duplicate classes deterministically from
+# vec_id (census-page convention): every vec_id % 11 == 0 row takes the
+# ORIGINAL embedding of vec_id % 7, making 7 duplicate families
+# {b} + {v : v%11==0, v%7==b} that land in one cell and must each
+# elect exactly one survivor
+_SEMDEDUP_PLANT_SQL = """(
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id % 11 = 0 THEN b.embedding
+              ELSE e.embedding END AS embedding
+  FROM embeddings e JOIN embeddings b ON b.vec_id = e.vec_id % 7)"""
+
+
+@register("semdedup_flags",
+          similarity.sql_semdedup(_SEMDEDUP_PLANT_SQL, n_cells=8,
+                                  threshold=0.95))
+def semdedup_flags(spark, sf_dir):
+    """SemDeDup (round 5): Abbas et al.'s semantic dedup — k-means/IVF
+    cells, then within each cell drop every vector whose cosine to a
+    kept-priority predecessor (centroid_sim ASC, vec_id ASC — the
+    paper's keep-the-cluster-edge rule) reaches the threshold.  Cell
+    assignment broadcasts the centroids; the pair stage is one cid
+    equi-join bounded by sum(cell_size^2) — SemDeDup's own per-cluster
+    quadratic, sqrt(N)-bounded under auto sizing; no corpus-wide
+    cartesian."""
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    base = (e.filter(F.col("vec_id") < 7)
+            .select(F.col("vec_id").alias("b_id"),
+                    F.col("embedding").alias("b_emb")))
+    planted = (e.join(F.broadcast(base),
+                      (F.col("vec_id") % 7) == F.col("b_id"))
+               .select("vec_id",
+                       F.when(F.col("vec_id") % 11 == 0, F.col("b_emb"))
+                        .otherwise(F.col("embedding")).alias("embedding")))
+    return similarity.semdedup(planted, n_cells=8, threshold=0.95)
+
+
 @register("weighted_sample_docs",
           textstats.sql_weighted_sample_topk("documents", k=100))
 def weighted_sample_docs(spark, sf_dir):
@@ -2910,6 +2947,7 @@ _DRIVER_ORDER = [
     "kg_export_provenance",  # last driver-green: r00
     "kg_pmi_cooccurrence",  # last driver-green: r00
     "mirror_shingle_overlap",  # last driver-green: r00
+    "semdedup_flags",  # last driver-green: r00 (new round 5)
     "source_health_rollup",  # last driver-green: r00
     "weighted_sample_docs",  # last driver-green: r00
     "winnowing_fingerprints",  # last driver-green: r00
@@ -2933,9 +2971,11 @@ _DRIVER_ORDER = [
     "glob_exclude_filter",  # last driver-green: r03
     "graph_shared_suppliers",  # last driver-green: r03
     "greedy_token_packing",  # last driver-green: r03
-    "heading_space_insert",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "heading_space_insert",  # last driver-green: r03 (demoted for
+    #                        # semdedup_flags; covered by the golden
+    #                        # hs_* variants + check_oracle)
     "ivf_cell_sizes",  # last driver-green: r03 (demoted for
     #                  # dsir_importance_weights; still covered by
     #                  # tests/test_ivf_kmeans.py + check_oracle)

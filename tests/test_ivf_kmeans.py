@@ -111,3 +111,82 @@ def test_auto_cells_recall_and_balance_at_50k(spark):
     # swallow a disproportionate share (mean is ~223 vectors/cell)
     assert max(ns) <= 8 * (50_000 / n_cells)
     assert len(ns) >= n_cells * 0.5               # most cells populated
+
+
+# ---- SemDeDup (round 5, J50) ----------------------------------------
+
+def _semdedup_rows(spark, rows, **kw):
+    from mdscraper_spark.operators.similarity import semdedup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return {r["vec_id"]: r.asDict() for r in semdedup(df, **kw).collect()}
+
+
+def _unit(i, d=8):
+    v = [0.0] * d
+    v[i % d] = 1.0
+    return v
+
+
+def test_semdedup_exact_dup_family_elects_one_survivor(spark):
+    # vectors 0..3 are centroids; 10/11/12 exactly duplicate vector 2
+    rows = [(i, _unit(i)) for i in range(4)]
+    rows += [(10, _unit(2)), (11, _unit(2)), (12, _unit(2))]
+    got = _semdedup_rows(spark, rows, n_cells=4, threshold=0.95)
+    fam = [i for i in (2, 10, 11, 12)]
+    kept = [i for i in fam if not got[i]["semdedup_drop"]]
+    assert len(kept) == 1
+    # all duplicates sit in the same cell and cite a family witness
+    assert len({got[i]["cid"] for i in fam}) == 1
+    for i in fam:
+        if got[i]["semdedup_drop"]:
+            assert got[i]["dup_of"] in fam
+
+
+def test_semdedup_keeps_cluster_edge_not_centroid(spark):
+    # the paper's rule: within a dup pair the LOWER-centroid-sim
+    # member survives.  8 = centroid 0 exactly (sim 1.0); 9 is a
+    # slightly rotated near-dup (sim < 1.0) -> 8 drops, 9 survives.
+    import math
+    a = math.radians(10)
+    rows = [(0, _unit(0)), (1, _unit(1)),
+            (8, _unit(0)),
+            (9, [math.cos(a), math.sin(a)] + [0.0] * 6)]
+    got = _semdedup_rows(spark, rows, n_cells=2, threshold=0.95)
+    assert got[9]["semdedup_drop"] is False
+    assert got[8]["semdedup_drop"] is True and got[8]["dup_of"] in (0, 9)
+
+
+def test_semdedup_below_threshold_all_survive(spark):
+    rows = [(i, _unit(i)) for i in range(8)]   # mutually orthogonal
+    got = _semdedup_rows(spark, rows, n_cells=4, threshold=0.5)
+    assert all(not r["semdedup_drop"] and r["dup_of"] is None
+               for r in got.values())
+
+
+def test_semdedup_threshold_boundary_on_rounded_cosine(spark):
+    import math
+    # pair cosine = cos(25.8419°) ≈ 0.9000002 -> rounds to 0.9 -> drop
+    # at threshold exactly 0.9
+    a = math.acos(0.9000002)
+    rows = [(0, _unit(0)),
+            (5, [math.cos(a), math.sin(a)] + [0.0] * 6)]
+    got = _semdedup_rows(spark, rows, n_cells=1, threshold=0.9)
+    assert sum(r["semdedup_drop"] for r in got.values()) == 1
+
+
+def test_semdedup_pair_stage_is_cell_equijoin(spark, emb):
+    from mdscraper_spark.operators.similarity import semdedup
+    plan = semdedup(emb, n_cells=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # centroids ride a bounded broadcast; the pair stage must be a
+    # real equi-join on cid, never a corpus-wide cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_partition_invariance(spark, emb):
+    from mdscraper_spark.operators.similarity import semdedup
+    a = sorted(map(tuple, semdedup(emb.repartition(1), n_cells=8)
+                   .collect()))
+    b = sorted(map(tuple, semdedup(emb.repartition(7), n_cells=8)
+                   .collect()))
+    assert a == b
