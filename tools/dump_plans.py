@@ -69,6 +69,21 @@ CASES = [
      "generated narrowly from each posting list (no self-join), "
      "map-side-combined pair count — no CartesianProduct/"
      "BroadcastNestedLoopJoin anywhere"),
+    ("c4_line_filter",
+     "nothing but Projects above the scan — the whole line-rule "
+     "battery is one narrow per-row projection (zero join, zero "
+     "Python; the raw-frame shuffle-free property is pinned by "
+     "tests/test_quality_filters.py)"),
+    ("dsir_importance_weights",
+     "two bucket-bounded hash aggregates for the corpus models, the "
+     "log-ratio table joined back BROADCAST onto the raw feature "
+     "stream, one map-side-combined per-doc sum — no corpus "
+     "self-join"),
+    ("semdedup_flags",
+     "broadcast centroid assignment, the pair stage a real cid "
+     "equi-join (cell-bounded quadratic, SemDeDup's own cost model), "
+     "map-side-combined eliminator argmin — the only nested-loop is "
+     "the bounded 8-row centroid broadcast"),
 ]
 
 
