@@ -2102,6 +2102,76 @@ HOSTILE_CHARREF_PLANES = """
 </html>
 """
 
+# round-5 thirty-first wave: block-in-block composition the earlier
+# waves never crossed (each probed live before freezing).  The modern
+# card pattern — an <a> wrapping a whole div/heading/list — renders
+# its BLOCK markdown inside the link text (`[### Card One\n\n...]
+# (url)`): markdownify has no block-link special case and this engine
+# pins the same bytes, images and bullet markers included.  Blocks
+# inside table cells flatten through the cell seam: <pre> collapses
+# to a single-line fenced span (internal newlines -> spaces, tabs
+# kept), <hr> becomes an inline `---`, headings lose their markers,
+# and sibling paragraphs join with the double-space seam; a <caption>
+# carrying inline markup keeps its strong/link rendering above the
+# table; a td-only thead still takes the header-delimiter row.  List
+# composition: a <table> inside an <li> indents under the item and
+# grows the padded empty header; a <dl> inside an <ol> item renders
+# the `term / :   definition` shape at item indent; <ol start> is
+# honored while <li value> and <ol type> are IGNORED (markdownify
+# consults neither); a <ul> directly inside a <ul> (no li wrapper —
+# the classic authoring error) steps the bullet cycle to `+` depth;
+# and <details> children render in DOCUMENT order, so a late
+# <summary> renders after the content that precedes it.
+
+HOSTILE_BLOCK_LINK = """
+<html>
+<body>
+    <div class="content">
+        <h1>Block Link</h1>
+        <a href="/card/one.html"><div class="card"><h3>Card One</h3>
+        <p>teaser paragraph inside the card.</p>
+        <img src="/img/c1.png" alt="card art"></div></a>
+        <a href="/card/two.html"><h2>Bare Heading Card</h2></a>
+        <a href="/all.html"><ul><li>first</li><li>second</li></ul></a>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_BLOCK_IN_CELL = """
+<html>
+<body>
+    <div class="content">
+        <h1>Block In Cell</h1>
+        <table>
+            <caption>A <strong>bold</strong> <a href="/cap.html">caption</a></caption>
+            <thead><tr><td>td-in-thead</td><td>second</td></tr></thead>
+            <tr><td><pre>code line one
+\ttab-indented two</pre></td><td><hr>after rule</td></tr>
+            <tr><td><h3>Heading In Cell</h3><p>para one</p><p>para two</p></td><td>plain</td></tr>
+        </table>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_LIST_COMPOSE = """
+<html>
+<body>
+    <div class="content">
+        <h1>List Compose</h1>
+        <ol type="a" start="3">
+            <li value="7">item with a table:
+                <table><tr><td>in-li cell</td><td>x</td></tr></table></li>
+            <li><dl><dt>term</dt><dd>definition inside ol item</dd></dl></li>
+        </ol>
+        <ul><ul><li>ul directly in ul, no li wrapper</li></ul></ul>
+        <details><p>content before summary</p><summary>Late Summary</summary></details>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 thirtieth wave: EOF truncation and tag-recovery litter — the
 # shapes a crawler's torn fetches and hand-written HTML actually leave
 # behind (every behavior below probed live before freezing).
@@ -2238,6 +2308,9 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-eof-rawtext": HOSTILE_EOF_RAWTEXT,
     "hostile-eof-attr": HOSTILE_EOF_ATTR,
     "hostile-eof-midtag": HOSTILE_EOF_MIDTAG,
+    "hostile-block-link": HOSTILE_BLOCK_LINK,
+    "hostile-block-in-cell": HOSTILE_BLOCK_IN_CELL,
+    "hostile-list-compose": HOSTILE_LIST_COMPOSE,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
