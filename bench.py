@@ -78,6 +78,7 @@ EXTRAS = (
     "c4_line_filter",
     "dsir_importance_weights",
     "semdedup_flags",
+    "gopher_repetition_stats",
 )
 
 # the skew/salt evidence trio (three forced placements of one join);
@@ -357,8 +358,10 @@ def main() -> None:
     })
     # hard guard: the driver tail is 2000 chars; leave headroom for the
     # trailing newline and any stray log line.  tests/test_bench_contract.py
-    # enforces this against the real HEADLINE list too.
-    assert len(headline) < 1500, f"headline line too long: {len(headline)}"
+    # enforces the same 1800 bound against a worst-case-width synthesis
+    # of the real HEADLINE+EXTRAS lists, so growth trips CI before it
+    # trips a live run.
+    assert len(headline) < 1800, f"headline line too long: {len(headline)}"
     print(headline)
 
 

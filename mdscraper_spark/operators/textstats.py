@@ -1559,3 +1559,236 @@ SELECT doc_id, COUNT(*) AS n_features,
 FROM fr JOIN ratio USING (b)
 GROUP BY doc_id
 """
+
+
+# MassiveText/Gopher repetition thresholds (Rae et al. 2021, table A1):
+# max fraction of characters in the most frequent {2,3,4}-gram, and in
+# duplicated {5..10}-grams, plus the duplicate-line fractions.  One
+# module-level table so the Spark battery, the SQL twin, and the tests
+# share the same numbers.
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30, "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15, "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13, "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11, "dup_10gram_char_frac": 0.10,
+}
+
+
+def _sorted_ngrams(toks: Column, n: int) -> Column:
+    """Ascending-sorted word n-grams of a BOUND token-array column
+    (zip-of-slices, the top_bigram_frac idiom — no indexed lambda)."""
+    nn = F.size(toks)
+    m = F.greatest(nn - F.lit(n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    gram = lambda p: F.concat_ws(" ", *[p[str(i)] for i in range(n)])
+    return F.when(nn >= n, F.array_sort(F.transform(z, gram))) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def _top_run_chars(arr: Column) -> Column:
+    """count * charlen of the most frequent element of an ascending-
+    sorted array, ties broken toward the lexicographically smaller
+    element (count DESC, gram ASC — the same total order the SQL twin
+    ranks by)."""
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("bc"), F.lit(0).alias("blen"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["bc"]
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, F.length(x)).otherwise(acc["blen"])
+             .alias("blen"))
+
+    # a count-1 "mode" is not repetition: without this guard every
+    # SHORT all-distinct document fails the top-n-gram thresholds on
+    # the chars of one arbitrary gram (the reference reproductions
+    # carry the same count > 1 guard)
+    return F.aggregate(arr, acc0, step,
+                       lambda a: F.when(a["bc"] >= 2,
+                                        (a["bc"] * a["blen"]).cast("long"))
+                                  .otherwise(F.lit(0).cast("long")))
+
+
+def _dup_run_chars(arr: Column, discount_first: bool = False) -> Column:
+    """Characters covered by repeated elements of an ascending-sorted
+    array: sum over elements occurring >= 2 of count * charlen (or
+    (count-1) * charlen with ``discount_first`` — the chars that would
+    vanish under exact dedup)."""
+    d = 1 if discount_first else 0
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).cast("long").alias("dup"))
+    flush = lambda acc: F.when(
+        acc["run"] >= 2,
+        acc["dup"] + ((acc["run"] - F.lit(d))
+                      * F.length(acc["prev"])).cast("long")) \
+        .otherwise(acc["dup"])
+
+    def step(acc, x):
+        return F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.when(x == acc["prev"], acc["dup"]).otherwise(flush(acc))
+             .alias("dup"))
+
+    return F.aggregate(arr, acc0, step, flush)
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-document MassiveText/Gopher REPETITION battery (Rae et al.
+    2021, table A1) — the companion of ``gopher_rules``' document-level
+    rules: duplicate-line fraction and duplicate-line CHARACTER
+    fraction, fraction of characters in the most frequent {2,3,4}-gram,
+    and fraction of characters in duplicated {5..10}-grams, each
+    compared (on the ROUNDED value, the house boundary rule) against
+    the published threshold; ``rep_pass`` is the AND of all eleven.
+
+    Conventions (stated because published reproductions vary):
+    n-gram char coverage counts count x charlen over the
+    space-joined gram, so overlapping coverage can exceed 1.0 (the
+    RedPajama-v2 signal convention); a count-1 mode contributes 0 to
+    the top-n-gram fraction (no repetition — the reference
+    reproductions' count > 1 guard); the duplicate-LINE char fraction
+    counts (count-1) x charlen — the characters exact line dedup
+    would remove — over total non-empty-line chars; the n-gram
+    denominators are length(ws_strip(text)).
+
+    Scale shape: narrow per-row projections — the token array is bound
+    once, each n-gram battery is one sorted-array fold (interpreted-HOF
+    rule), zero shuffle, zero join, zero Python.  The SQL twin computes
+    the same modes RELATIONALLY (unnest + group by + rank), so the two
+    engines agree through entirely different plans — a stronger oracle
+    than a shared fold replay."""
+    from mdscraper_spark.operators.dedup import tokenize, ws_strip
+
+    stripped = ws_strip(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(stripped).cast("long").alias("n_chars"),
+        F.when(F.length(stripped) == 0,
+               F.array().cast("array<string>"))
+         .otherwise(tokenize(F.col(text_col))).alias("toks"),
+        F.array_sort(F.filter(
+            F.transform(F.split(F.col(text_col), r"\n"),
+                        lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")),
+            lambda x: F.length(x) > 0)).alias("lines"),
+        dup_line_frac(F.col(text_col)).alias("dup_line_frac"))
+
+    line_total = F.aggregate(
+        "lines", F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"))
+    frac = lambda num, den: F.when(den > 0,
+                                   F.round(num / den.cast("double"), 6)) \
+                             .otherwise(F.lit(0.0))
+    cols = [F.col("doc_id"), F.col("n_chars"), F.col("dup_line_frac"),
+            frac(_dup_run_chars(F.col("lines"), discount_first=True),
+                 line_total).alias("dup_line_char_frac")]
+    for n in (2, 3, 4):
+        cols.append(frac(_top_run_chars(_sorted_ngrams(F.col("toks"), n)),
+                         F.col("n_chars"))
+                    .alias(f"top_{n}gram_char_frac"))
+    for n in (5, 6, 7, 8, 9, 10):
+        cols.append(frac(_dup_run_chars(_sorted_ngrams(F.col("toks"), n)),
+                         F.col("n_chars"))
+                    .alias(f"dup_{n}gram_char_frac"))
+    s2 = base.select(*cols)
+    rep_pass = F.lit(True)
+    for name, thr in GOPHER_REP_THRESHOLDS.items():
+        rep_pass = rep_pass & (F.col(name) <= thr)
+    return s2.select("*", rep_pass.alias("rep_pass"))
+
+
+def sql_gopher_repetition(table: str, text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB twin of gopher_repetition — the modes computed
+    RELATIONALLY (unnest + group by + rank) rather than by replaying
+    the Spark fold."""
+    from mdscraper_spark.operators.dedup import sql_tokens, sql_ws_strip
+
+    lines = (f"list_sort(list_filter(list_transform("
+             f"regexp_split_to_array({text_col}, '\\n'), "
+             f"x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')), "
+             f"x -> length(x) > 0))")
+    parts = [f"""
+t AS (
+  SELECT {id_col} AS doc_id,
+         CAST(length({sql_ws_strip(text_col)}) AS BIGINT) AS n_chars,
+         CASE WHEN length({sql_ws_strip(text_col)}) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE {sql_tokens(text_col)} END AS toks,
+         {lines} AS lines,
+         {sql_dup_line_frac(text_col)} AS dup_line_frac
+  FROM {table}
+), lx AS (
+  SELECT doc_id, unnest(lines) AS l FROM t
+), lc AS (
+  SELECT doc_id, l, COUNT(*) AS c FROM lx GROUP BY 1, 2
+), ldup AS (
+  SELECT doc_id,
+         SUM(CASE WHEN c >= 2 THEN (c - 1) * length(l) ELSE 0 END) AS dchars,
+         SUM(c * length(l)) AS tchars
+  FROM lc GROUP BY 1
+)"""]
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        parts.append(f"""
+g{n} AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i : i + {n - 1}], ' ')
+                 FOR i IN range(1, len(toks) - {n} + 2)]) AS g
+  FROM t WHERE len(toks) >= {n}
+), c{n} AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM g{n} GROUP BY 1, 2
+)""")
+        if n <= 4:
+            parts.append(f"""
+a{n} AS (
+  SELECT doc_id, c * length(g) AS chars
+  FROM (SELECT doc_id, g, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM c{n})
+  WHERE rn = 1 AND c >= 2
+)""")
+        else:
+            parts.append(f"""
+a{n} AS (
+  SELECT doc_id, SUM(c * length(g)) AS chars
+  FROM c{n} WHERE c >= 2 GROUP BY 1
+)""")
+    frac = lambda num, den: (f"CASE WHEN {den} > 0 THEN "
+                             f"round({num} / CAST({den} AS DOUBLE), 6) "
+                             f"ELSE 0.0 END")
+    sel = [f"t.doc_id", "t.n_chars", "t.dup_line_frac",
+           frac("COALESCE(ldup.dchars, 0)", "COALESCE(ldup.tchars, 0)")
+           + " AS dup_line_char_frac"]
+    joins = ["FROM t LEFT JOIN ldup USING (doc_id)"]
+    for n in (2, 3, 4):
+        sel.append(frac(f"COALESCE(a{n}.chars, 0)", "t.n_chars")
+                   + f" AS top_{n}gram_char_frac")
+        joins.append(f"LEFT JOIN a{n} USING (doc_id)")
+    for n in (5, 6, 7, 8, 9, 10):
+        sel.append(frac(f"COALESCE(a{n}.chars, 0)", "t.n_chars")
+                   + f" AS dup_{n}gram_char_frac")
+        joins.append(f"LEFT JOIN a{n} USING (doc_id)")
+    conds = " AND ".join(
+        f"({frac_col} <= {thr})"
+        for frac_col, thr in (
+            (f"t.dup_line_frac", GOPHER_REP_THRESHOLDS["dup_line_frac"]),
+            (frac("COALESCE(ldup.dchars, 0)", "COALESCE(ldup.tchars, 0)"),
+             GOPHER_REP_THRESHOLDS["dup_line_char_frac"]),
+            *[(frac(f"COALESCE(a{n}.chars, 0)", "t.n_chars"),
+               GOPHER_REP_THRESHOLDS[f"top_{n}gram_char_frac"])
+              for n in (2, 3, 4)],
+            *[(frac(f"COALESCE(a{n}.chars, 0)", "t.n_chars"),
+               GOPHER_REP_THRESHOLDS[f"dup_{n}gram_char_frac"])
+              for n in (5, 6, 7, 8, 9, 10)]))
+    return ("WITH " + ",".join(parts) + "\nSELECT "
+            + ",\n       ".join(sel)
+            + f",\n       ({conds}) AS rep_pass\n"
+            + "\n".join(joins))

@@ -1061,6 +1061,44 @@ def dsir_importance_weights_q(spark, sf_dir):
         docs, docs.filter(F.col("doc_id") % 7 == 0), buckets=1024)
 
 
+# the corpus text is near-repetition-free, so the row PLANTS graded
+# repetition from doc_id (census-page convention): doc_id % 5 copies of
+# a spam phrase stress the n-gram fractions at every n, and doc_id % 3
+# plants a duplicated line so the line battery fires too
+_GOPHER_REP_PLANT_SQL = """(
+  SELECT doc_id,
+         text || repeat(' spam phrase alpha beta gamma', doc_id % 5)
+              || chr(10) ||
+         CASE WHEN doc_id % 3 = 0
+              THEN 'dup line here' || chr(10) || 'dup line here'
+              ELSE 'solo closing line' END AS text
+  FROM documents)"""
+
+
+@register("gopher_repetition_stats",
+          textstats.sql_gopher_repetition(_GOPHER_REP_PLANT_SQL))
+def gopher_repetition_stats(spark, sf_dir):
+    """MassiveText/Gopher REPETITION battery (round 5): duplicate-line
+    fraction + char fraction, most-frequent {2,3,4}-gram char coverage,
+    duplicated {5..10}-gram char coverage, each against the published
+    table-A1 threshold on the rounded value; rep_pass is the AND of all
+    eleven.  Narrow per-row sorted-array folds (zero shuffle, zero
+    Python); the oracle recomputes every mode RELATIONALLY, so the two
+    engines agree through entirely different plans."""
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(F.lit(" spam phrase alpha beta gamma"),
+                     (F.col("doc_id") % 5).cast("int")),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("dup line here\ndup line here"))
+             .otherwise(F.lit("solo closing line"))).alias("text"))
+    return textstats.gopher_repetition(planted)
+
+
 # the synthetic embeddings are near-orthogonal (no natural near-dups),
 # so the row PLANTS exact-duplicate classes deterministically from
 # vec_id (census-page convention): every vec_id % 11 == 0 row takes the
@@ -2941,6 +2979,7 @@ _DRIVER_ORDER = [
     "dsir_importance_weights",  # last driver-green: r00 (new round 5)
     "doc_tfidf_keywords",  # last driver-green: r00
     "doc_unigram_logprob",  # last driver-green: r00
+    "gopher_repetition_stats",  # last driver-green: r00 (new round 5)
     "gopher_rules_filter",  # last driver-green: r00
     "graph_triangle_clustering",  # last driver-green: r00
     "kg_component_sizes",  # last driver-green: r00
@@ -2968,11 +3007,14 @@ _DRIVER_ORDER = [
     "doc_split_assignment",  # last driver-green: r03
     "doc_token_stats",  # last driver-green: r03
     "domain_quota_sample",  # last driver-green: r03
-    "glob_exclude_filter",  # last driver-green: r03
     "graph_shared_suppliers",  # last driver-green: r03
     "greedy_token_packing",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "glob_exclude_filter",  # last driver-green: r03 (demoted for
+    #                       # gopher_repetition_stats; covered by
+    #                       # tests/test_links_ops.py + the exclude
+    #                       # golden variants + check_oracle)
     "heading_space_insert",  # last driver-green: r03 (demoted for
     #                        # semdedup_flags; covered by the golden
     #                        # hs_* variants + check_oracle)

@@ -67,8 +67,9 @@ def test_weather_report_is_separate_line():
     tail = src[headline:]
     for bulky in ('"rep_times"', '"rep_host_busy"', '"loadavg"'):
         assert bulky not in tail, f"{bulky} leaked into the headline line"
-    # and the source keeps a hard length assert on the final line
-    assert "len(headline) < 1500" in src
+    # and the source keeps a hard length assert on the final line,
+    # matching this file's worst-case bound
+    assert "len(headline) < 1800" in src
 
 
 def test_last_line_parses_alone():

@@ -327,3 +327,76 @@ def test_dsir_partition_invariance(spark):
          for r in textstats.dsir_importance_weights(
              raw7, t7, buckets=128).collect()}
     assert a == b
+
+
+# ---- Gopher repetition battery (round 5, J51) -----------------------
+
+
+def _rep(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.gopher_repetition(df).collect()
+    return {r["doc_id"]: r.asDict() for r in out}
+
+
+def test_rep_known_values(spark):
+    # "spam" x6: top 2-gram "spam spam" count 5 x 9 chars / 29 chars
+    got = _rep(spark, [(1, "spam spam spam spam spam spam")])
+    r = got[1]
+    assert r["n_chars"] == 29
+    assert r["top_2gram_char_frac"] == round(5 * 9 / 29, 6)
+    assert r["dup_5gram_char_frac"] == round(2 * 24 / 29, 6)
+    assert r["rep_pass"] is False
+
+
+def test_rep_top_tie_breaks_to_lexicographically_smaller(spark):
+    # both 2-grams occur twice; "a bb" (4 chars) < "bb a" (4)... use
+    # grams with different lengths to make the choice visible:
+    # "aa zz" and "zz aa" both occur twice in "aa zz aa zz aa";
+    # tie on count 2 -> "aa zz" (the smaller) wins; chars 5*2=10 / 14
+    got = _rep(spark, [(1, "aa zz aa zz aa")])
+    assert got[1]["top_2gram_char_frac"] == round(2 * 5 / 14, 6)
+
+
+def test_rep_dup_line_char_frac_counts_repeats_only(spark):
+    text = "line one here\nline one here\nsolo line stays\nline one here"
+    got = _rep(spark, [(1, text)])
+    r = got[1]
+    assert r["dup_line_frac"] == 0.5
+    # (3-1) occurrences x 13 chars over 3*13 + 15 total line chars
+    assert r["dup_line_char_frac"] == round(26 / 54, 6)
+
+
+def test_rep_clean_doc_passes(spark):
+    got = _rep(spark, [(1, "every word here is used exactly once today "
+                           "so nothing repeats at all")])
+    r = got[1]
+    assert r["rep_pass"] is True
+    assert all(r[k] <= thr for k, thr in
+               textstats.GOPHER_REP_THRESHOLDS.items())
+
+
+def test_rep_empty_and_whitespace_docs(spark):
+    got = _rep(spark, [(1, ""), (2, "  \n\t ")])
+    for r in got.values():
+        assert r["n_chars"] == 0 and r["rep_pass"] is True
+        assert all(v == 0.0 for k, v in r.items()
+                   if k.endswith("_frac"))
+
+
+def test_rep_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = textstats.gopher_repetition(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_rep_partition_invariance(spark):
+    rows = [(i, ("tok%d " % (i % 7)) * (i % 9) + "tail words here.")
+            for i in range(40)]
+    a = sorted(map(tuple, textstats.gopher_repetition(
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .repartition(1)).collect()))
+    b = sorted(map(tuple, textstats.gopher_repetition(
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .repartition(7)).collect()))
+    assert a == b
