@@ -166,3 +166,42 @@ def test_semdedup_differential_fuzz(spark):
                          r["semdedup_drop"])
            for r in semdedup(df, n_cells=k, threshold=tau).collect()}
     assert got == expect
+
+
+# ---- Gopher repetition battery ----------------------------------------
+
+
+def test_gopher_repetition_cross_engine_fuzz(spark):
+    """Random token streams with planted phrase repeats and duplicate
+    lines, Spark's per-row sorted folds vs DuckDB's relational modes —
+    two entirely different plans that must agree bit-for-bit at the
+    rounding points."""
+    import duckdb
+
+    from mdscraper_spark.operators.textstats import (gopher_repetition,
+                                                     sql_gopher_repetition)
+
+    rng = random.Random("gopher-rep-fuzz-r5")
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for did in range(100):
+        toks = [vocab[rng.randrange(len(vocab))]
+                for _ in range(rng.randrange(0, 40))]
+        if rng.random() < 0.5:                    # planted phrase repeat
+            phrase = ["spam", "alpha", "beta", "gamma", "delta"]
+            for _ in range(rng.randrange(1, 4)):
+                pos = rng.randrange(0, len(toks) + 1)
+                toks[pos:pos] = phrase
+        lines = [" ".join(toks)] if toks else []
+        if rng.random() < 0.4:                    # planted dup lines
+            lines += ["a repeated closing line"] * rng.randrange(1, 4)
+        docs.append((did, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple, gopher_repetition(df).collect()))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?,?)", docs)
+    want = sorted(map(tuple, con.sql(sql_gopher_repetition("docs"))
+                      .fetchall()))
+    assert got == want

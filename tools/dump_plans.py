@@ -84,6 +84,11 @@ CASES = [
      "equi-join (cell-bounded quadratic, SemDeDup's own cost model), "
      "map-side-combined eliminator argmin — the only nested-loop is "
      "the bounded 8-row centroid broadcast"),
+    ("gopher_repetition_stats",
+     "eleven sorted-array folds in ONE narrow projection — zero join, "
+     "zero Python, no operator-owned Exchange (the oracle recomputes "
+     "the same modes relationally; raw-frame shuffle-freedom pinned "
+     "by tests/test_quality_filters.py)"),
 ]
 
 
