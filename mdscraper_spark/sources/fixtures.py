@@ -2102,6 +2102,59 @@ HOSTILE_CHARREF_PLANES = """
 </html>
 """
 
+# round-5 thirty-second wave: developer-page staples (probed live).
+# A language-classed code block (<pre><code class="language-python">)
+# emits a BARE fence — markdownify consults the class only through an
+# opt-in code_language_callback the reference never passes, so the
+# pinned behavior is no language tag (and an inline code with the
+# class stays an inline single-backtick span); headings, paragraphs
+# and fenced pre inside a <blockquote> each take the `>` prefix with
+# blank `>` seam lines between them — the block-composition surface of
+# the quote renderer; and data: URIs survive VERBATIM in both image
+# sources and link hrefs (base64 payload, percent-escapes and all —
+# no URL handling mangles scheme-opaque refs).
+
+HOSTILE_CODE_LANG = """
+<html>
+<body>
+    <div class="content">
+        <h1>Code Lang</h1>
+        <pre><code class="language-python">def f(x):
+    return x + 1</code></pre>
+        <pre><code class="lang-sql">SELECT 1;</code></pre>
+        <pre><code>plain block</code></pre>
+        <p>inline <code class="language-js">x=&gt;x</code> stays inline</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_QUOTE_BLOCKS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Quote Blocks</h1>
+        <blockquote><h2>Quoted Heading</h2><p>quoted body text here.</p>
+        <pre>quoted code
+line two</pre></blockquote>
+        <p>after the quote.</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_DATA_URI = """
+<html>
+<body>
+    <div class="content">
+        <h1>Data URI</h1>
+        <p><img src="data:image/png;base64,iVBORw0KGgoAAA==" alt="inline png">
+        and <a href="data:text/plain,hello%20world">a data link</a></p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 thirty-first wave: block-in-block composition the earlier
 # waves never crossed (each probed live before freezing).  The modern
 # card pattern — an <a> wrapping a whole div/heading/list — renders
@@ -2311,6 +2364,9 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-block-link": HOSTILE_BLOCK_LINK,
     "hostile-block-in-cell": HOSTILE_BLOCK_IN_CELL,
     "hostile-list-compose": HOSTILE_LIST_COMPOSE,
+    "hostile-code-lang": HOSTILE_CODE_LANG,
+    "hostile-quote-blocks": HOSTILE_QUOTE_BLOCKS,
+    "hostile-data-uri": HOSTILE_DATA_URI,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
