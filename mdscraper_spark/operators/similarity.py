@@ -465,11 +465,9 @@ def semdedup(embeddings: DataFrame, n_cells: int | None = IVF_K,
     per cluster, bounded by sqrt(N)-sized cells under auto_n_cells
     sizing; the eliminator argmin combines map-side.  No corpus-wide
     cartesian: every pair shares a cid."""
-    cells = ivf_cells(embeddings, n_cells, id_col, vec_col)
-    if n_cells is None:
-        pass  # ivf_cells already derived the count
     k = n_cells if n_cells is not None else auto_n_cells(
         embeddings.count())
+    cells = ivf_cells(embeddings, k, id_col, vec_col)
     cents = (embeddings.filter(F.col(id_col) < k)
              .select(F.col(id_col).alias("c_cid"),
                      F.col(vec_col).alias("cvec")))
