@@ -79,6 +79,8 @@ EXTRAS = (
     "dsir_importance_weights",
     "semdedup_flags",
     "gopher_repetition_stats",
+    "dup_span_scrub",
+    "kg_khop_reach",
 )
 
 # the skew/salt evidence trio (three forced placements of one join);

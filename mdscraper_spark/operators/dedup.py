@@ -732,6 +732,145 @@ GROUP BY doc_id
 """
 
 
+def dup_span_scrub(df: DataFrame, window: int = 50, stride: int = 50,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_removed, scrubbed_text): the REMOVAL
+    counterpart of dup_span_stats — exact-substring deduplication in
+    the style of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), strided-window approximation instead of
+    a suffix array (same trade-off note as dup_span_stats).
+
+    Semantics (replayed exactly by the SQL twin):
+    * windows = dup_span_stats' windows (full strided windows; docs
+      shorter than ``window`` get one whole-doc window);
+    * for every window hash occurring 2+ times corpus-wide, the
+      occurrence with the minimum (doc_id, i) — lexicographic doc_id,
+      then window index — is the KEEPER; every other occurrence's
+      covered token positions [i*stride, min(n, i*stride+window)) are
+      removed (self-duplicates within one doc count too);
+    * ``scrubbed_text`` is the surviving tokens joined by single
+      spaces (whitespace-normalized by construction — downstream of
+      tokenize there is no original whitespace to preserve).
+
+    Scale shape: the stats half is dup_span_stats' plan (narrow
+    explode, one count groupBy on the window hash, join-back).  The
+    expensive per-token explode + reassembly groupBy is paid ONLY by
+    docs that actually lose a span: removal positions are a tiny
+    fraction of the corpus (dup windows only), so the affected-doc
+    semi-set is joined back and the untouched majority flows through
+    a narrow projection with zero shuffle.  Keeper election is
+    min(struct) — map-side combinable, no window sort."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  tokenize(F.coalesce(F.col(text_col), F.lit("")))
+                  .alias("toks"))
+    n = F.size("toks")
+    n_win = F.greatest(
+        F.lit(1).cast("bigint"),
+        (F.floor((n - F.lit(window)).cast("double") / F.lit(stride))
+         + F.lit(1)).cast("bigint"))
+    w = d.select("doc_id", "toks", n.alias("n"),
+                 F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                      n_win - 1)).alias("i"))
+    h = F.md5(F.array_join(
+        F.slice(w["toks"], (w["i"] * stride + 1).cast("int"), window), " "))
+    spans = w.select("doc_id", "i", "n", h.alias("h"))
+    keep = (spans.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min(F.struct("doc_id", "i")).alias("keep"))
+            .filter(F.col("cnt") > 1)
+            .select("h", "keep"))
+    dup_occ = (spans.join(keep, "h")
+               .filter(~((F.col("doc_id") == F.col("keep.doc_id"))
+                         & (F.col("i") == F.col("keep.i")))))
+    removals = (dup_occ.select(
+        "doc_id",
+        F.explode(F.sequence(
+            (F.col("i") * stride).cast("int"),
+            F.least(F.col("n"), F.col("i") * stride + window).cast("int")
+            - F.lit(1))).alias("pos"))
+        .distinct())
+    # removals (dup positions only — tiny vs the corpus) feeds two
+    # consumers; eager-checkpoint so the window-hash branch runs once
+    # (same discipline as two_hop_counts' hub list)
+    removals = removals.localCheckpoint(eager=True)
+    # affected docs pay the per-token path; everyone else stays narrow
+    affected = removals.select("doc_id").distinct()
+    hit = d.join(affected, "doc_id")
+    pos = hit.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    kept = pos.join(removals.withColumn("rm", F.lit(1)),
+                    ["doc_id", "pos"], "left")
+    scrub_hit = (kept.groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_tokens"),
+                      F.coalesce(F.sum("rm"), F.lit(0)).cast("long")
+                      .alias("n_removed"),
+                      F.concat_ws(" ", F.transform(
+                          F.array_sort(F.collect_list(
+                              F.when(F.col("rm").isNull(),
+                                     F.struct("pos", "tok")))),
+                          lambda x: x["tok"])).alias("scrubbed_text")))
+    untouched = (d.join(affected, "doc_id", "left_anti")
+                 .select("doc_id",
+                         F.size("toks").cast("long").alias("n_tokens"),
+                         F.lit(0).cast("long").alias("n_removed"),
+                         F.array_join("toks", " ").alias("scrubbed_text")))
+    return scrub_hit.unionByName(untouched)
+
+
+def sql_dup_span_scrub(table: str, window: int, stride: int,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin of dup_span_scrub over ``table``."""
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id,
+         {sql_tokens(f"coalesce({text_col}, '')")} AS toks
+  FROM {table}
+), w AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, greatest(1,
+           CAST(floor((len(toks) - {window})::DOUBLE / {stride})
+                AS BIGINT) + 1))) AS i
+  FROM t
+), spans AS (
+  SELECT doc_id, i, n,
+         md5(array_to_string(
+           toks[i * {stride} + 1 : i * {stride} + {window}], ' ')) AS h
+  FROM w
+), ranked AS (
+  SELECT doc_id, i, n,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+         count(*) OVER (PARTITION BY h) AS cnt
+  FROM spans
+), dup_occ AS (
+  SELECT doc_id, i, n FROM ranked WHERE cnt > 1 AND rn > 1
+), removals AS (
+  SELECT DISTINCT doc_id,
+         unnest(range(i * {stride},
+                      least(n, i * {stride} + {window}))) AS pos
+  FROM dup_occ
+), posx AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM t
+), kept AS (
+  SELECT p.doc_id, p.pos, p.toks[p.pos + 1] AS tok,
+         r.pos IS NOT NULL AS removed
+  FROM posx p LEFT JOIN removals r
+    ON r.doc_id = p.doc_id AND r.pos = p.pos
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       coalesce(string_agg(CASE WHEN NOT removed THEN tok END,
+                           ' ' ORDER BY pos), '') AS scrubbed_text
+FROM kept
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # winnowing document fingerprints (SURVEY J46)
 # ---------------------------------------------------------------------------

@@ -280,3 +280,48 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                         2.0 * F.coalesce("n_tri", F.lit(0))
                         / (F.col("degree") * (F.col("degree") - 1)), 6))
                     .alias("clustering")))
+
+
+def khop_reach(edges: DataFrame, k: int = 3,
+               n_seeds: int = 5) -> DataFrame:
+    """(node, min_dist): every node reachable in at most ``k`` directed
+    hops from the ``n_seeds`` highest-out-degree nodes (ties broken by
+    node id ascending — deterministic in any engine with binary string
+    order), with the exact minimum hop distance; seeds themselves are
+    dist 0.  The bounded-BFS read query a KG serves constantly:
+    "everything within 3 hops of these hub entities".
+
+    Scale shape — proper frontier BFS, not path enumeration: each of
+    the k rounds is ONE hash join frontier ⋈ edges on src (the edge
+    table's bucket key, so exchange-free on a bucketed warehouse
+    table), a distinct on the (small) next frontier, and an anti-join
+    against the visited set, which keeps every node in exactly one
+    level — the visited anti-join is what bounds the work at O(edges
+    within k hops) instead of O(paths), the blow-up that kills naive
+    transitive-closure plans on cyclic graphs.  The frontier and
+    visited sets start seed-sized and are broadcast while small (AQE
+    converts the joins at runtime).  k is a fixed small constant so
+    the loop is unrolled lineage, no checkpoint needed.
+
+    The SQL oracle is the opposite plan on purpose: DuckDB's recursive
+    CTE ENUMERATES all ≤k-hop paths and takes min(dist) — exact but
+    exponential in path count, fine at fixture scale, and a genuinely
+    independent derivation of the same answer."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    out_d = (edges.groupBy(F.col("src").alias("node"))
+             .agg(F.count(F.lit(1)).alias("out_deg")))
+    seeds = (out_d.orderBy(F.col("out_deg").desc(), F.col("node").asc())
+             .limit(n_seeds).select("node"))
+    e = edges.select("src", "dst")
+    visited = seeds.select("node", F.lit(0).alias("min_dist"))
+    frontier = seeds
+    for dist in range(1, k + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select(F.col("dst").alias("node"))
+               .distinct()
+               .join(visited.select("node"), "node", "left_anti"))
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(dist).alias("min_dist")))
+        frontier = nxt
+    return visited

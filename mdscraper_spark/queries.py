@@ -1219,6 +1219,37 @@ def dup_span_stats(spark, sf_dir):
                                 window=20, stride=20)
 
 
+@register("dup_span_scrub", dedup.sql_dup_span_scrub(f"""(
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '{_SPAN_BOILER} ' || text
+              ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         CASE WHEN doc_id % 4 = 0 THEN '{_SPAN_BOILER} ' || text
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 5 = 0)""", window=20, stride=20))
+def dup_span_scrub(spark, sf_dir):
+    """Exact-substring dedup REMOVAL (J52, Lee et al. 2022): the
+    excision counterpart of dup_span_stats on the identical boosted
+    corpus — every duplicated 20-token window keeps its minimum
+    (doc_id, window-index) occurrence and loses the covered tokens
+    everywhere else; scrubbed_text is the surviving tokens rejoined.
+    Same twin+boilerplate construction as dup_span_stats, so exact
+    twins lose their full body and boilerplate prefixes survive only
+    on the first prefixed doc."""
+    did = F.col("doc_id")
+    boosted = F.when(did % 4 == 0,
+                     F.concat(F.lit(_SPAN_BOILER + " "), F.col("text"))) \
+               .otherwise(F.col("text"))
+    base = (load(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id", boosted.alias("text")))
+    twins = (base.filter(did % 5 == 0)
+             .select((did + 100000).alias("doc_id"), "text"))
+    return dedup.dup_span_scrub(base.unionByName(twins),
+                                window=20, stride=20)
+
+
 @register("anchor_text_rollup", links.sql_anchor_rollup("""(
   SELECT 'https://site' || (doc_id % 5) || '.example.com/t/'
              || (doc_id % 40) AS href,
@@ -2598,6 +2629,33 @@ def kg_component_sizes(spark, sf_dir):
     return component_sizes(_flagship_edges(spark, sf_dir))
 
 
+@register("kg_khop_reach", f"""
+WITH RECURSIVE
+e AS (SELECT src, dst FROM {_FROZEN_EDGES}),
+deg AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+seeds AS (SELECT node FROM deg ORDER BY out_deg DESC, node LIMIT 5),
+reach(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON e.src = r.node
+  WHERE r.dist < 3
+)
+SELECT node, CAST(MIN(dist) AS INT) AS min_dist
+FROM reach GROUP BY node
+""")
+def kg_khop_reach(spark, sf_dir):
+    """Bounded multi-hop reachability over the full-pipeline KG: every
+    node within 3 directed hops of the 5 highest-out-degree hub
+    entities, with exact minimum distance.  The Spark side is a proper
+    frontier BFS (visited anti-join — O(edges), never O(paths)); the
+    oracle is DuckDB's recursive CTE enumerating all ≤3-hop paths and
+    taking min(dist) — two independent derivations of one answer over
+    the frozen single-threaded-oracle edges."""
+    from mdscraper_spark.operators.graph import khop_reach
+
+    return khop_reach(_flagship_edges(spark, sf_dir), k=3, n_seeds=5)
+
+
 _HUB_CAP = 54  # drops the top ~10% hub suppliers at sf0.01 (in-deg 36..59)
 
 
@@ -2979,11 +3037,13 @@ _DRIVER_ORDER = [
     "dsir_importance_weights",  # last driver-green: r00 (new round 5)
     "doc_tfidf_keywords",  # last driver-green: r00
     "doc_unigram_logprob",  # last driver-green: r00
+    "dup_span_scrub",  # last driver-green: r00 (new round 5)
     "gopher_repetition_stats",  # last driver-green: r00 (new round 5)
     "gopher_rules_filter",  # last driver-green: r00
     "graph_triangle_clustering",  # last driver-green: r00
     "kg_component_sizes",  # last driver-green: r00
     "kg_export_provenance",  # last driver-green: r00
+    "kg_khop_reach",  # last driver-green: r00 (new round 5)
     "kg_pmi_cooccurrence",  # last driver-green: r00
     "mirror_shingle_overlap",  # last driver-green: r00
     "semdedup_flags",  # last driver-green: r00 (new round 5)
@@ -3007,10 +3067,14 @@ _DRIVER_ORDER = [
     "doc_split_assignment",  # last driver-green: r03
     "doc_token_stats",  # last driver-green: r03
     "domain_quota_sample",  # last driver-green: r03
-    "graph_shared_suppliers",  # last driver-green: r03
-    "greedy_token_packing",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "graph_shared_suppliers",  # last driver-green: r03 (demoted for
+    #                          # dup_span_scrub; covered by
+    #                          # tests/test_graph_ops.py + check_oracle)
+    "greedy_token_packing",  # last driver-green: r03 (demoted for
+    #                        # kg_khop_reach; covered by
+    #                        # tests/test_chunking.py + check_oracle)
     "glob_exclude_filter",  # last driver-green: r03 (demoted for
     #                       # gopher_repetition_stats; covered by
     #                       # tests/test_links_ops.py + the exclude

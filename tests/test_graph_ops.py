@@ -143,3 +143,51 @@ def test_triangle_counts_triangle_free(spark):
     out = triangle_counts(edges).collect()
     assert len(out) == 4
     assert all(r.n_tri == 0 and r.clustering == 0.0 for r in out)
+
+
+def test_khop_reach_chain_and_cycle(spark):
+    from mdscraper_spark.operators.graph import khop_reach
+
+    # hub (out-deg 3, the unique top seed) fans out to a,b,f; chain
+    # hub->a->c->d->e (e is 4 hops: cut); cycle c->hub must not
+    # re-enter the visited set
+    edges = spark.createDataFrame(
+        [("hub", "a"), ("hub", "b"), ("hub", "f"), ("a", "c"),
+         ("c", "d"), ("d", "e"), ("c", "hub")],
+        "src string, dst string")
+    got = {r.node: r.min_dist
+           for r in khop_reach(edges, k=3, n_seeds=1).collect()}
+    assert got == {"hub": 0, "a": 1, "b": 1, "f": 1, "c": 2, "d": 3}
+
+
+def test_khop_reach_seed_selection_deterministic(spark):
+    from mdscraper_spark.operators.graph import khop_reach
+
+    # x and y both have out-degree 2: tie broken by node id -> x seeds
+    edges = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "r"), ("y", "s")],
+        "src string, dst string")
+    got = {r.node: r.min_dist
+           for r in khop_reach(edges, k=2, n_seeds=1).collect()}
+    assert got == {"x": 0, "p": 1, "q": 1}
+
+
+def test_khop_reach_min_dist_over_multiple_paths(spark):
+    from mdscraper_spark.operators.graph import khop_reach
+
+    # z reachable in 1 hop directly and in 2 via m: min wins
+    edges = spark.createDataFrame(
+        [("s", "z"), ("s", "m"), ("m", "z"), ("s", "t"), ("s", "u")],
+        "src string, dst string")
+    got = {r.node: r.min_dist
+           for r in khop_reach(edges, k=3, n_seeds=1).collect()}
+    assert got["z"] == 1 and got["m"] == 1
+
+
+def test_khop_reach_validation(spark):
+    from mdscraper_spark.operators.graph import khop_reach
+    import pytest
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        khop_reach(edges, k=0)

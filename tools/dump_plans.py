@@ -89,6 +89,17 @@ CASES = [
      "zero Python, no operator-owned Exchange (the oracle recomputes "
      "the same modes relationally; raw-frame shuffle-freedom pinned "
      "by tests/test_quality_filters.py)"),
+    ("dup_span_scrub",
+     "stats half = dup_span_stats' plan (window-hash count aggregate "
+     "+ join-back, min(struct) keeper election map-side combined); "
+     "the per-token posexplode + reassembly appears ONLY downstream "
+     "of the affected-doc join — the untouched majority exits through "
+     "a narrow left-anti projection"),
+    ("kg_khop_reach",
+     "three unrolled frontier hash joins on the edge src key, each "
+     "followed by a distinct + left-anti visited join (AQE broadcasts "
+     "the seed-sized frontier at runtime); no recursive blow-up, no "
+     "CartesianProduct"),
 ]
 
 
