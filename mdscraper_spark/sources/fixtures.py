@@ -2155,6 +2155,71 @@ HOSTILE_DATA_URI = """
 </html>
 """
 
+# round-5 thirty-third wave: the component-era crawl tail (each probed
+# live before freezing; wave 22's hostile-custom-elements pins BARE
+# unknown-tag handling — this wave pins real-widget COMPOSITIONS)
+# live before freezing).  Custom elements (hyphenated web-component
+# tags, AMP tags, embed wrappers) are TRANSPARENT — unknown elements
+# render their children and contribute nothing themselves, so an
+# <amp-img> with no children vanishes, a <lite-youtube> wrapper yields
+# only its fallback link, and a non-anchor tag carrying an href=
+# attribute is NOT a link (only real <a> makes links).  Lazy-load
+# image patterns: an <img> whose real source hides in data-src renders
+# the alt with the (possibly empty or placeholder) src attribute
+# verbatim — ![alt]() for a src-less img — because the pipeline never
+# guesses vendor lazy-load attributes, and the <noscript> twin of a
+# lazy img DOES render (html.parser keeps noscript content in-tree,
+# same in-tree rule as <template>, wave 9).  Developer-doc heading
+# anchors: a Sphinx-style trailing headerlink stays an inline link
+# inside the ATX heading (## Install[¶](#install)), an empty
+# <a name> target vanishes with its padding trimmed, and a heading
+# that IS a link renders as ## [text](href).
+
+HOSTILE_COMPONENT_EMBEDS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Component Embeds</h1>
+        <my-card><h2>Card Title</h2><p>card body <strong>bold</strong></p></my-card>
+        <amp-img src="/hero.jpg" alt="hero pic" width="300"></amp-img>
+        <lite-youtube videoid="abc123"><a href="https://youtube.example/watch?v=abc123">watch the video</a></lite-youtube>
+        <p>after <fancy-link href="/x.html">not a real link</fancy-link> widgets</p>
+        <twitter-widget><blockquote><p>quoted tweet text</p><a href="https://t.example/s/1">link</a></blockquote></twitter-widget>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_LAZY_IMG = """
+<html>
+<body>
+    <div class="content">
+        <h1>Lazy Images</h1>
+        <p>one <img data-src="/lazy1.jpg" alt="lazy no src"> here</p>
+        <p>two <img src="data:image/gif;base64,R0lGOD" data-src="/lazy2.jpg" alt="placeholder src"> there</p>
+        <noscript><img src="/real.jpg" alt="noscript real"></noscript>
+        <p><img src="/eager.jpg" alt="eager" loading="lazy"></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_DOC_ANCHORS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Doc Page</h1>
+        <h2 id="install">Install<a class="headerlink" href="#install">¶</a></h2>
+        <p>pip install it.</p>
+        <h3>Usage <a name="usage"></a></h3>
+        <p>run <code>cli --flag</code>.</p>
+        <h2><a href="/next.html">Linked Heading</a></h2>
+        <p>tail.</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 thirty-first wave: block-in-block composition the earlier
 # waves never crossed (each probed live before freezing).  The modern
 # card pattern — an <a> wrapping a whole div/heading/list — renders
@@ -2367,6 +2432,9 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-code-lang": HOSTILE_CODE_LANG,
     "hostile-quote-blocks": HOSTILE_QUOTE_BLOCKS,
     "hostile-data-uri": HOSTILE_DATA_URI,
+    "hostile-component-embeds": HOSTILE_COMPONENT_EMBEDS,
+    "hostile-lazy-img": HOSTILE_LAZY_IMG,
+    "hostile-doc-anchors": HOSTILE_DOC_ANCHORS,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
