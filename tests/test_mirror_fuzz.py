@@ -151,3 +151,110 @@ def test_mirror_cap_bounds_pairs_at_20k_docs(spark):
         h2 = int(r.s2.removeprefix("host"))
         assert (h1 + 199) % 400 == h2 or (h2 + 199) % 400 == h1, (r.s1, r.s2)
         assert r.n_shared >= 1
+
+
+def test_dup_span_scrub_differential_fuzz(spark):
+    """Seeded corpus with planted exact twins, shared prefixes and
+    intra-doc repeats, run at three (window, stride) shapes incl. an
+    overlapping stride, vs a pure-Python replay of the window ->
+    keeper-election -> position-union -> rejoin algebra."""
+    from mdscraper_spark.operators.dedup import dup_span_scrub
+
+    rng = random.Random("scrub-fuzz-r5")
+    vocab = [f"w{i}" for i in range(25)]
+    boiler = " ".join(f"b{i}" for i in range(6))
+    docs, did = [], 0
+    for _ in range(40):
+        n = rng.randrange(0, 24)
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        text = " ".join(toks)
+        r = rng.random()
+        if r < 0.25:
+            text = boiler + (" " + text if text else "")
+        elif r < 0.35 and text:
+            text = text + " " + text            # intra-doc repeat
+        docs.append((did, text))
+        did += 1
+        if rng.random() < 0.25:                 # exact twin
+            docs.append((did, text))
+            did += 1
+
+    def replay(window, stride):
+        # split(" ") on "" yields [""] — same as Spark's \s+ split on
+        # the empty string (generated texts are single-spaced, so the
+        # separators agree everywhere else too)
+        toks = {d: t.split(" ") for d, t in docs}
+        occ = {}                                # h -> [(doc_id, i)]
+        meta = {}                               # (doc_id,i) -> n
+        for d, tl in toks.items():
+            n = len(tl)
+            n_win = max(1, (n - window) // stride + 1) if n >= window \
+                else 1
+            for i in range(n_win):
+                h = " ".join(tl[i * stride: i * stride + window])
+                occ.setdefault(h, []).append((d, i))
+                meta[(d, i)] = n
+        removed = {}                            # doc -> set(pos)
+        for h, occs in occ.items():
+            if len(occs) < 2:
+                continue
+            keeper = min(occs)
+            for (d, i) in occs:
+                if (d, i) == keeper:
+                    continue
+                n = meta[(d, i)]
+                for pos in range(i * stride,
+                                 min(n, i * stride + window)):
+                    removed.setdefault(d, set()).add(pos)
+        out = {}
+        for d, tl in toks.items():
+            rm = removed.get(d, set())
+            kept = [t for p, t in enumerate(tl) if p not in rm]
+            out[d] = (len(tl), len(rm), " ".join(kept))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for window, stride in ((4, 4), (5, 2), (3, 3)):
+        expect = replay(window, stride)
+        got = {r.doc_id: (r.n_tokens, r.n_removed, r.scrubbed_text)
+               for r in dup_span_scrub(df, window=window,
+                                       stride=stride).collect()}
+        assert got == expect, (window, stride)
+
+
+def test_khop_reach_differential_fuzz(spark):
+    """Random hub-skewed digraph (with cycles and self-loops) vs a
+    pure-Python BFS from the same deterministic seed selection."""
+    from mdscraper_spark.operators.graph import khop_reach
+
+    rng = random.Random("khop-fuzz-r5")
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = set()
+    for _ in range(120):
+        s = nodes[min(rng.randrange(30), rng.randrange(30))]  # skew
+        d = nodes[rng.randrange(30)]
+        edges.add((s, d))
+    edges = sorted(edges)
+
+    for k, n_seeds in ((3, 5), (1, 2), (4, 1)):
+        out_deg = {}
+        for s, _d in edges:
+            out_deg[s] = out_deg.get(s, 0) + 1
+        seeds = sorted(out_deg, key=lambda x: (-out_deg[x], x))[:n_seeds]
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+        dist = {s: 0 for s in seeds}
+        frontier = list(seeds)
+        for lvl in range(1, k + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = lvl
+                        nxt.append(v)
+            frontier = nxt
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.min_dist
+               for r in khop_reach(df, k=k, n_seeds=n_seeds).collect()}
+        assert got == dist, (k, n_seeds)
