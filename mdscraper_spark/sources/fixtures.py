@@ -2220,6 +2220,76 @@ HOSTILE_DOC_ANCHORS = """
 </html>
 """
 
+# round-5 thirty-fourth wave: the autolink/title algebra and body
+# metadata (each probed live before freezing).  Autolinks: an anchor
+# whose collapsed text equals its href renders <url> — the comparison
+# unescapes the markdown underscore escape first (markdownify's own
+# rule, so /a_b_c autolinks), is CASE-SENSITIVE (HTTPS text over an
+# HTTPS href still autolinks because both match), survives trailing
+# whitespace in the source text (chomped before comparing), applies
+# to mailto: exactly like http, and is DEFEATED by a title attribute
+# (title forces the [text](href "title") form) or by display-text
+# mismatch (dev@example.test over mailto: renders as a normal link).
+# Titles: link and image titles render as the quoted third component
+# with embedded double quotes backslash-escaped; an EMPTY title
+# attribute is falsy and drops the component entirely; an img with
+# title but no alt renders ![](src "title").  Body metadata must not
+# leak: void <meta itemprop content=...> and <link itemprop> in the
+# body contribute nothing (the content attribute is never text), an
+# old-school comment-hidden script (<script><!-- ... //--></script>)
+# strips with every other script since the comment markers are CDATA
+# bytes inside it, while a <noscript>-wrapped 1x1 tracking pixel DOES
+# render as an empty-alt image per the in-tree noscript rule (wave
+# 33) — the pinned noise floor of real ad-tech markup.
+
+HOSTILE_AUTOLINKS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Autolinks</h1>
+        <p><a href="https://example.test/a_b_c">https://example.test/a_b_c</a></p>
+        <p><a href="https://example.test/t" title="x">https://example.test/t</a></p>
+        <p><a href="mailto:dev@example.test">mailto:dev@example.test</a></p>
+        <p><a href="mailto:dev@example.test">dev@example.test</a></p>
+        <p><a href="https://example.test/sp">https://example.test/sp </a></p>
+        <p><a href="HTTPS://example.test/case">HTTPS://example.test/case</a></p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_LINK_TITLES = """
+<html>
+<body>
+    <div class="content">
+        <h1>Titles</h1>
+        <p><a href="/x" title='tool "tip" here'>titled link</a></p>
+        <p><img src="/i.png" alt="pic" title="hover text"> and <img src="/j.png" title="no alt"></p>
+        <p><a href="/y" title="">empty title</a></p>
+        <p>end.</p>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_BODY_METADATA = """
+<html>
+<body>
+    <div class="content">
+        <h1>Body Metadata</h1>
+        <meta itemprop="ratingValue" content="4.9">
+        <link itemprop="url" href="https://example.test/canonical">
+        <script><!--
+document.write('hidden');
+//--></script>
+        <p>visible paragraph.</p>
+        <noscript><img src="https://tracker.example/px.gif?id=1" width="1" height="1"></noscript>
+        <p>tail text.</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 thirty-first wave: block-in-block composition the earlier
 # waves never crossed (each probed live before freezing).  The modern
 # card pattern — an <a> wrapping a whole div/heading/list — renders
@@ -2435,6 +2505,9 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-component-embeds": HOSTILE_COMPONENT_EMBEDS,
     "hostile-lazy-img": HOSTILE_LAZY_IMG,
     "hostile-doc-anchors": HOSTILE_DOC_ANCHORS,
+    "hostile-autolinks": HOSTILE_AUTOLINKS,
+    "hostile-link-titles": HOSTILE_LINK_TITLES,
+    "hostile-body-metadata": HOSTILE_BODY_METADATA,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
