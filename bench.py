@@ -81,6 +81,7 @@ EXTRAS = (
     "gopher_repetition_stats",
     "dup_span_scrub",
     "kg_khop_reach",
+    "kg_hits",
 )
 
 # the skew/salt evidence trio (three forced placements of one join);

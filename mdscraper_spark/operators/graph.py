@@ -325,3 +325,54 @@ def khop_reach(edges: DataFrame, k: int = 3,
             nxt.select("node", F.lit(dist).alias("min_dist")))
         frontier = nxt
     return visited
+
+
+def hits(edges: DataFrame, iters: int = 10) -> DataFrame:
+    """(node, hub, authority): Kleinberg's HITS with sum (L1)
+    normalization and a fixed iteration count — the query-independent
+    companion of PageRank (authorities = pointed-at-by-good-hubs,
+    hubs = pointing-at-good-authorities; on the mention co-reference
+    KG's star shapes orgs surface as authorities and persons as hubs,
+    structure PageRank's single score conflates).  Edge multiplicity
+    follows the input verbatim (two predicates between one pair count
+    twice), matching the frozen single-threaded replay.
+
+    DataFrame loop, same discipline as ``pagerank``: the edge list is
+    localCheckpointed once and reused as the join partitioning every
+    round; each half-step is ONE hash join + map-side-combinable sum,
+    the normalizer is a bounded driver scalar off the O(#nodes)
+    checkpointed score table, and scores are rounded only at the end
+    so iteration math matches the oracle's double arithmetic."""
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    if nodes.count() == 0:
+        return nodes.select("node", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("authority"))
+    e = edges.select("src", "dst").localCheckpoint()
+    hub = nodes.select("node", F.lit(1.0).alias("s"))
+    auth = nodes.select("node", F.lit(1.0).alias("s"))
+
+    def _halfstep(scores: DataFrame, key: str, out: str) -> DataFrame:
+        """new score(out-side) = sum of `scores` over edges, L1-
+        normalized; absent nodes keep 0."""
+        agg = (e.join(scores, e[key] == scores["node"])
+               .groupBy(F.col(out).alias("node"))
+               .agg(F.sum("s").alias("raw"))
+               .localCheckpoint())
+        total = agg.agg(F.coalesce(F.sum("raw"), F.lit(0.0))).first()[0]
+        if total == 0.0:
+            return nodes.select("node", F.lit(0.0).alias("s"))
+        return (nodes.join(agg, "node", "left")
+                .select("node", (F.coalesce("raw", F.lit(0.0))
+                                 / F.lit(total)).alias("s")))
+
+    for _ in range(iters):
+        auth = _halfstep(hub, "src", "dst")      # a(v) = Σ h(u), u→v
+        hub = _halfstep(auth, "dst", "src")      # h(u) = Σ a(v), u→v
+    return (nodes
+            .join(hub.select("node", F.col("s").alias("hub")), "node")
+            .join(auth.select("node", F.col("s").alias("authority")),
+                  "node")
+            .select("node", F.round("hub", 6).alias("hub"),
+                    F.round("authority", 6).alias("authority")))

@@ -2629,6 +2629,27 @@ def kg_component_sizes(spark, sf_dir):
     return component_sizes(_flagship_edges(spark, sf_dir))
 
 
+@register("kg_hits", """
+SELECT node, hub, authority
+FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_hits_*.parquet')
+WHERE corpus_sig = (SELECT CAST(bit_xor(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || COALESCE(text,'')), 1, 15)) AS BIGINT)) AS VARCHAR)
+                        || ':' ||
+                        CAST(bit_xor(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || COALESCE(text,'')), 16, 15)) AS BIGINT)) AS VARCHAR)
+                    FROM documents)
+""")
+def kg_hits(spark, sf_dir):
+    """Kleinberg HITS hubs/authorities over the full-pipeline KG
+    (sum-normalized half-steps, 10 fixed iterations, rounded at the
+    end) — the query-independent companion of kg_pagerank: on the
+    mention co-reference graph's star shapes, orgs surface as
+    authorities and persons as hubs, structure a single PageRank
+    score conflates.  Oracle = the frozen single-threaded replay over
+    the same frozen edges (tools/freeze_kg_oracle.py:py_hits)."""
+    from mdscraper_spark.operators.graph import hits
+
+    return hits(_flagship_edges(spark, sf_dir))
+
+
 @register("kg_khop_reach", f"""
 WITH RECURSIVE
 e AS (SELECT src, dst FROM {_FROZEN_EDGES}),
@@ -3043,6 +3064,7 @@ _DRIVER_ORDER = [
     "graph_triangle_clustering",  # last driver-green: r00
     "kg_component_sizes",  # last driver-green: r00
     "kg_export_provenance",  # last driver-green: r00
+    "kg_hits",  # last driver-green: r00 (new round 5)
     "kg_khop_reach",  # last driver-green: r00 (new round 5)
     "kg_pmi_cooccurrence",  # last driver-green: r00
     "mirror_shingle_overlap",  # last driver-green: r00
@@ -3066,9 +3088,11 @@ _DRIVER_ORDER = [
     "doc_size_kb",  # last driver-green: r03
     "doc_split_assignment",  # last driver-green: r03
     "doc_token_stats",  # last driver-green: r03
-    "domain_quota_sample",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "domain_quota_sample",  # last driver-green: r03 (demoted for
+    #                       # kg_hits; covered by
+    #                       # tests/test_balanced_sample.py + check_oracle)
     "graph_shared_suppliers",  # last driver-green: r03 (demoted for
     #                          # dup_span_scrub; covered by
     #                          # tests/test_graph_ops.py + check_oracle)

@@ -191,3 +191,45 @@ def test_khop_reach_validation(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         khop_reach(edges, k=0)
+
+
+def test_hits_star_graph_known_values(spark):
+    from mdscraper_spark.operators.graph import hits
+
+    # two hubs pointing at one shared authority + a private one:
+    # classic HITS fixpoint is computable by hand after normalization
+    edges = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1")],
+        "src string, dst string")
+    got = {r.node: (r.hub, r.authority) for r in hits(edges).collect()}
+    # authorities: a1 gets both hubs, a2 one; hubs: h1 > h2
+    assert got["a1"][1] > got["a2"][1] > 0.0
+    assert got["h1"][0] > got["h2"][0] > 0.0
+    assert got["a1"][0] == 0.0 and got["h1"][1] == 0.0
+    # L1 normalization: hub and authority columns each sum to ~1
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-6
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-6
+
+
+def test_hits_matches_python_replay(spark):
+    import random
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.freeze_kg_oracle import py_hits
+    from mdscraper_spark.operators.graph import hits
+
+    rng = random.Random("hits-fuzz-r5")
+    nodes = [f"v{i}" for i in range(18)]
+    edges = sorted({(nodes[min(rng.randrange(18), rng.randrange(18))],
+                     nodes[rng.randrange(18)]) for _ in range(50)})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    expect = py_hits(edges)
+    got = {r.node: (r.hub, r.authority) for r in hits(df).collect()}
+    assert got == expect
+
+
+def test_hits_empty_edges(spark):
+    from mdscraper_spark.operators.graph import hits
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert hits(e).count() == 0

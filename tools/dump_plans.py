@@ -95,6 +95,11 @@ CASES = [
      "the per-token posexplode + reassembly appears ONLY downstream "
      "of the affected-doc join — the untouched majority exits through "
      "a narrow left-anti projection"),
+    ("kg_hits",
+     "per half-step ONE hash join edge-list ⋈ scores + map-side-"
+     "combinable sum; the edge list localCheckpointed once (scan, "
+     "not recompute, each round); normalizer a bounded driver "
+     "scalar — no corpus-wide sort, no cartesian"),
     ("kg_khop_reach",
      "three unrolled frontier hash joins on the edge src key, each "
      "followed by a distinct + left-anti visited join (AQE broadcasts "

@@ -85,6 +85,28 @@ def py_pagerank(edges, iters: int = 10, damping: float = 0.85) -> dict:
     return {v: round(r, 6) for v, r in rank.items()}
 
 
+def py_hits(edges, iters: int = 10) -> dict:
+    """Pure-Python replay of operators/graph.hits — sum-normalized
+    half-steps, edge multiplicity verbatim, fixed iteration count."""
+    nodes = sorted({s for s, _d in edges} | {d for _s, d in edges})
+    if not nodes:
+        return {}
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 1.0 for v in nodes}
+    for _ in range(iters):
+        a = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            a[d] += hub[s]
+        tot = sum(a.values())
+        auth = {v: (x / tot if tot else 0.0) for v, x in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            h[s] += auth[d]
+        tot = sum(h.values())
+        hub = {v: (x / tot if tot else 0.0) for v, x in h.items()}
+    return {v: (round(hub[v], 6), round(auth[v], 6)) for v in nodes}
+
+
 def freeze(sf_dir: str) -> None:
     t0 = time.monotonic()
     con = duckdb.connect()
@@ -175,6 +197,16 @@ def freeze(sf_dir: str) -> None:
     con.executemany("INSERT INTO p VALUES (?, ?, ?)",
                     [(v, r, sig) for v, r in sorted(pr.items())])
     con.execute(f"COPY p TO '{out_pr}' (FORMAT PARQUET)")
+
+    # HITS hubs/authorities, replayed single-threaded over the SAME
+    # frozen edges (for the kg_hits oracle row)
+    ha = py_hits([(s, d) for s, _p, d, _n in edges])
+    out_ha = OUT_DIR / f"kg_hits_{fsig}.parquet"
+    con.execute("CREATE TABLE ha (node VARCHAR, hub DOUBLE, "
+                "authority DOUBLE, corpus_sig VARCHAR)")
+    con.executemany("INSERT INTO ha VALUES (?, ?, ?, ?)",
+                    [(v, h, a, sig) for v, (h, a) in sorted(ha.items())])
+    con.execute(f"COPY ha TO '{out_ha}' (FORMAT PARQUET)")
     print(f"{sf_dir}: {len(docs)} docs -> {len(edges)} edges, "
           f"{len(pr)} pagerank nodes sig={sig} "
           f"({time.monotonic() - t0:.1f}s) -> {out}")
