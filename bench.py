@@ -82,6 +82,7 @@ EXTRAS = (
     "dup_span_scrub",
     "kg_khop_reach",
     "kg_hits",
+    "doc_lexical_diversity",
 )
 
 # the skew/salt evidence trio (three forced placements of one join);

@@ -1792,3 +1792,139 @@ a{n} AS (
             + ",\n       ".join(sel)
             + f",\n       ({conds}) AS rep_pass\n"
             + "\n".join(joins))
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity: type-token ratio, hapax fraction, letter entropy
+# (SURVEY J55) — the gibberish/boilerplate detector family: keyboard
+# mash has high entropy but near-zero type reuse, template boilerplate
+# has low entropy and low hapax share, natural prose sits in a band on
+# all three.
+# ---------------------------------------------------------------------------
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _letter_entropy(col: Column) -> Column:
+    """Shannon entropy (bits/char) over the a-z letters of the
+    lowercased text, all other characters ignored.  Computed as
+    log2(N) - sum(c*log2(c))/N with the 26 per-letter counts taken by
+    length-difference (26 replace+length codegen expressions — zero
+    HOF, zero explode, and a FIXED a..z summation order, so the IEEE
+    double result is bit-identical in any engine that evaluates the
+    same literal expression tree).  Empty letter set -> 0.0."""
+    s = F.regexp_replace(F.lower(col), "[^a-z]", "")
+    n = F.length(s).cast("double")
+    cnts = [(F.length(s) - F.length(F.regexp_replace(s, c, "")))
+            .cast("double") for c in _LETTERS]
+    acc = None
+    for c in cnts:
+        term = F.when(c > 0, c * F.log2(c)).otherwise(F.lit(0.0))
+        acc = term if acc is None else acc + term
+    return F.when(n > 0, F.round(F.log2(n) - acc / n, 6)) \
+            .otherwise(F.lit(0.0))
+
+
+def lexical_stats(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr, hapax_frac, letter_entropy):
+    per-doc lexical-diversity battery.  ttr = distinct/total tokens
+    (the classic type-token ratio), hapax_frac = share of types seen
+    exactly once, letter_entropy = Shannon bits/char over a-z.
+
+    Scale shape: one narrow projection — the type/hapax census is a
+    single sorted-array run-length fold (the gopher-battery idiom:
+    interpreted HOF over a per-doc array, no shuffle, no join, no
+    Python), the entropy 26 codegen length-diffs.  Tokenization is
+    dedup.tokenize's convention (whitespace split of the ws-stripped
+    text; the empty doc's [""] single token counts as one type),
+    replayed identically by the SQL twin."""
+    from mdscraper_spark.operators.dedup import tokenize
+
+    d = df.select(F.col(id_col).alias("doc_id"),
+                  F.coalesce(F.col(text_col), F.lit("")).alias("t"))
+    d = d.select("doc_id", "t",
+                 F.array_sort(tokenize(F.col("t"))).alias("toks"))
+    acc0 = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("types"),
+                    F.lit(0).cast("long").alias("hapax"))
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        flush_types = F.when(acc["run"] >= 1, acc["types"] + 1) \
+                       .otherwise(acc["types"])
+        flush_hapax = F.when(acc["run"] == 1, acc["hapax"] + 1) \
+                       .otherwise(acc["hapax"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+             .alias("run"),
+            F.when(same, acc["types"]).otherwise(flush_types)
+             .alias("types"),
+            F.when(same, acc["hapax"]).otherwise(flush_hapax)
+             .alias("hapax"))
+
+    def final(acc):
+        types = F.when(acc["run"] >= 1, acc["types"] + 1) \
+                 .otherwise(acc["types"])
+        hapax = F.when(acc["run"] == 1, acc["hapax"] + 1) \
+                 .otherwise(acc["hapax"])
+        return F.struct(types.alias("types"), hapax.alias("hapax"))
+
+    census = F.aggregate("toks", acc0, step, final)
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        census["types"].alias("n_types"),
+        F.round(census["types"] / F.size("toks"), 6).alias("ttr"),
+        F.round(census["hapax"] / census["types"], 6).alias("hapax_frac"),
+        _letter_entropy(F.col("t")).alias("letter_entropy"))
+
+
+def sql_lexical_stats(table: str, text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB twin of lexical_stats over ``table`` — the census is
+    recomputed RELATIONALLY (unnest + group) against the Spark side's
+    sorted-array fold; the entropy replays the same fixed a..z
+    expression order."""
+    from mdscraper_spark.operators.dedup import sql_tokens
+
+    letter_cnt = [
+        f"CAST(length(s) - length(replace(s, '{c}', '')) AS DOUBLE)"
+        for c in _LETTERS]
+    ent_terms = " + ".join(
+        f"(CASE WHEN {c} > 0 THEN {c} * log2({c}) ELSE 0.0 END)"
+        for c in letter_cnt)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id,
+         coalesce({text_col}, '') AS raw,
+         {sql_tokens(f"coalesce({text_col}, '')")} AS toks
+  FROM {table}
+), u AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), c AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM u GROUP BY doc_id, tok
+), census AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens
+  FROM c GROUP BY doc_id
+), ent AS (
+  SELECT doc_id,
+         CASE WHEN length(s) > 0
+              THEN round(log2(CAST(length(s) AS DOUBLE))
+                         - ({ent_terms}) / CAST(length(s) AS DOUBLE), 6)
+              ELSE 0.0 END AS letter_entropy
+  FROM (SELECT doc_id, regexp_replace(lower(raw), '[^a-z]', '', 'g') AS s
+        FROM t)
+)
+SELECT census.doc_id, n_tokens, n_types,
+       round(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       round(n_hapax / CAST(n_types AS DOUBLE), 6) AS hapax_frac,
+       letter_entropy
+FROM census JOIN ent ON ent.doc_id = census.doc_id
+"""

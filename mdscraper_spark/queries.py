@@ -1099,6 +1099,20 @@ def gopher_repetition_stats(spark, sf_dir):
     return textstats.gopher_repetition(planted)
 
 
+@register("doc_lexical_diversity",
+          textstats.sql_lexical_stats("documents"))
+def doc_lexical_diversity(spark, sf_dir):
+    """Lexical-diversity battery (J55): type-token ratio, hapax
+    fraction, and a-z letter entropy per doc — the gibberish /
+    template-boilerplate detector family (keyboard mash: high entropy,
+    low type reuse; boilerplate: low on all three).  One narrow
+    projection — a sorted-array run-length fold for the type/hapax
+    census plus 26 fixed-order codegen length-diffs for the entropy;
+    the oracle recomputes the census relationally (unnest + group)."""
+    return textstats.lexical_stats(
+        load(spark, sf_dir, "documents", fan_out=True))
+
+
 # the synthetic embeddings are near-orthogonal (no natural near-dups),
 # so the row PLANTS exact-duplicate classes deterministically from
 # vec_id (census-page convention): every vec_id % 11 == 0 row takes the
@@ -3056,6 +3070,7 @@ _DRIVER_ORDER = [
     "corpus_mixture_schedule",  # last driver-green: r00
     "dedup_quality_survivors",  # last driver-green: r00
     "dsir_importance_weights",  # last driver-green: r00 (new round 5)
+    "doc_lexical_diversity",  # last driver-green: r00 (new round 5)
     "doc_tfidf_keywords",  # last driver-green: r00
     "doc_unigram_logprob",  # last driver-green: r00
     "dup_span_scrub",  # last driver-green: r00 (new round 5)
@@ -3087,9 +3102,11 @@ _DRIVER_ORDER = [
     "doc_repetition_stats",  # last driver-green: r03
     "doc_size_kb",  # last driver-green: r03
     "doc_split_assignment",  # last driver-green: r03
-    "doc_token_stats",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "doc_token_stats",  # last driver-green: r03 (demoted for
+    #                   # doc_lexical_diversity; covered by
+    #                   # tests/test_textstats_extra.py + check_oracle)
     "domain_quota_sample",  # last driver-green: r03 (demoted for
     #                       # kg_hits; covered by
     #                       # tests/test_balanced_sample.py + check_oracle)

@@ -462,3 +462,68 @@ def test_unigram_and_tfidf_differential_fuzz(spark):
         {i: (got_k.get(i), expect.get(i))
          for i in set(got_k) | set(expect)
          if got_k.get(i) != (expect.get(i) or None)}
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity (SURVEY J55)
+# ---------------------------------------------------------------------------
+
+def test_lexical_stats_known_values(spark):
+    import math
+
+    from mdscraper_spark.operators.textstats import lexical_stats
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat"),
+         (1, "spam spam spam spam"),
+         (2, "abab"),
+         (3, ""),
+         (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in lexical_stats(df).collect()}
+    # doc 0: 6 tokens, 5 types ("the" twice), 4 hapax
+    assert (got[0].n_tokens, got[0].n_types) == (6, 5)
+    assert got[0].ttr == round(5 / 6, 6)
+    assert got[0].hapax_frac == round(4 / 5, 6)
+    # doc 1: one type repeated -> ttr 0.25, zero hapax
+    assert (got[1].n_types, got[1].ttr, got[1].hapax_frac) == (1, 0.25, 0.0)
+    # doc 2: 2 a's + 2 b's -> exactly 1 bit/char
+    assert got[2].letter_entropy == 1.0
+    # empty & NULL: the [""] single-token convention, zero entropy
+    for d in (3, 4):
+        assert (got[d].n_tokens, got[d].n_types,
+                got[d].letter_entropy) == (1, 1, 0.0)
+        assert got[d].ttr == 1.0 and got[d].hapax_frac == 1.0
+
+
+def test_lexical_stats_python_replay_fuzz(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from mdscraper_spark.operators.textstats import lexical_stats
+
+    rng = random.Random("lex-fuzz-r5")
+    vocab = ["cat", "dog", "Zq9", "a", "??", "the", "ab1c"]
+    rows = [(i, " ".join(vocab[rng.randrange(len(vocab))]
+                         for _ in range(rng.randrange(0, 15))))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in lexical_stats(df).collect()}
+    for i, text in rows:
+        toks = text.split(" ")   # "" -> [""], the tokenize convention
+        c = Counter(toks)
+        types, hapax = len(c), sum(1 for v in c.values() if v == 1)
+        assert got[i].n_tokens == len(toks)
+        assert got[i].n_types == types
+        assert got[i].ttr == round(types / len(toks), 6)
+        assert got[i].hapax_frac == round(hapax / types, 6)
+        letters = [ch for ch in text.lower() if "a" <= ch <= "z"]
+        if letters:
+            n = len(letters)
+            lc = Counter(letters)
+            ent = math.log2(n) - sum(
+                v * math.log2(v) for _k, v in sorted(lc.items())) / n
+            assert abs(got[i].letter_entropy - ent) < 1e-5
+        else:
+            assert got[i].letter_entropy == 0.0

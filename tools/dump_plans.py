@@ -95,6 +95,10 @@ CASES = [
      "the per-token posexplode + reassembly appears ONLY downstream "
      "of the affected-doc join — the untouched majority exits through "
      "a narrow left-anti projection"),
+    ("doc_lexical_diversity",
+     "nothing but Projects above the scan — census fold + 26 "
+     "length-diff entropy terms in one narrow projection (zero join, "
+     "zero Python, no operator-owned Exchange)"),
     ("kg_hits",
      "per half-step ONE hash join edge-list ⋈ scores + map-side-"
      "combinable sum; the edge list localCheckpointed once (scan, "
