@@ -2290,6 +2290,38 @@ document.write('hidden');
 </html>
 """
 
+# round-5 thirty-fifth wave: container-seam edges (each probed live
+# before freezing).  A <pre> whose CONTENT contains a ``` run emits it
+# verbatim inside the emitted fence — broken Markdown by construction,
+# exactly markdownify's behavior (no fence-collision escaping exists
+# there); a <table> holding only a <caption> renders just the caption
+# text and a fully empty <table> renders nothing; an <li> whose only
+# child is a nested list renders the outer bullet and the first nested
+# marker on ONE line (* + item — the bullet-cycle composition at a
+# childless item); two sibling <ul>s stay SEPARATE lists across a
+# blank-line seam (no merge); and only the FIRST thead row is the
+# header — a second all-<th> row falls through to an ordinary body row
+# below the delimiter.
+
+HOSTILE_CONTAINER_SEAMS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Container Seams</h1>
+        <pre>code with ``` fence inside
+and a second line</pre>
+        <table><caption>only a caption</caption></table>
+        <table></table>
+        <ul><li><ul><li>only nested item</li></ul></li><li>plain item</li></ul>
+        <ul><li>first list</li></ul>
+        <ul><li>second list immediately after</li></ul>
+        <table><thead><tr><th>h1</th><th>h2</th></tr><tr><th>second</th><th>header row</th></tr></thead>
+        <tbody><tr><td>a</td><td>b</td></tr></tbody></table>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 thirty-first wave: block-in-block composition the earlier
 # waves never crossed (each probed live before freezing).  The modern
 # card pattern — an <a> wrapping a whole div/heading/list — renders
@@ -2508,6 +2540,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-autolinks": HOSTILE_AUTOLINKS,
     "hostile-link-titles": HOSTILE_LINK_TITLES,
     "hostile-body-metadata": HOSTILE_BODY_METADATA,
+    "hostile-container-seams": HOSTILE_CONTAINER_SEAMS,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
