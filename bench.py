@@ -59,7 +59,12 @@ HEADLINE = (
 
 # round-5 registry additions, timed for the record but EXCLUDED from
 # headline_suite_total (same rule as the salt trio: rounds <= 4 had no
-# such entries, and the total must stay comparable round-over-round)
+# such entries, and the total must stay comparable round-over-round).
+# CLOSED at 22 entries: tests/test_bench_contract.py's worst-case
+# synthesis shows a 23rd key would push the headline line past the
+# 1800-char guard (driver tail is 2000).  Later registry rows
+# (kg_entity_card onward) are check_oracle/pytest-covered and timed
+# ad hoc in BENCH/BASELINE.md instead of per-round here.
 EXTRAS = (
     "graph_triangle_clustering",
     "doc_unigram_logprob",

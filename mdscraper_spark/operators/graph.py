@@ -376,3 +376,35 @@ def hits(edges: DataFrame, iters: int = 10) -> DataFrame:
                   "node")
             .select("node", F.round("hub", 6).alias("hub"),
                     F.round("authority", 6).alias("authority")))
+
+
+def entity_cards(edges: DataFrame) -> DataFrame:
+    """(node, n_facts, n_preds, card): the subject-star summary a KG
+    serves for entity pages — every outgoing fact of a node folded
+    into one deterministic digest string ("pred -> dst (n)" segments
+    joined by "; " in (pred, dst) order), plus fact/predicate counts.
+
+    Scale shape: ONE map-side-combinable groupBy on the edge bucket
+    key (src) — collect_list is bounded per node by its out-degree,
+    the quantity hub-capped traversals already treat as the skew axis;
+    ordering happens inside the per-group array (sort_array), never as
+    a corpus-wide sort.  The SQL twin is string_agg ORDER BY — the
+    same fold expressed relationally."""
+    seg = F.concat(F.col("pred"), F.lit(" -> "), F.col("dst"),
+                   F.lit(" ("), F.col("n_support").cast("string"),
+                   F.lit(")"))
+    return (edges
+            .select(F.col("src").alias("node"),
+                    F.col("pred"),
+                    F.struct("pred", "dst").alias("k"),
+                    seg.alias("seg"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_facts"),
+                 F.size(F.array_distinct(F.collect_list("pred")))
+                  .cast("long").alias("n_preds"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("k"), F.col("seg")))),
+                         lambda x: x["seg"]),
+                     "; ").alias("card")))

@@ -2611,6 +2611,28 @@ def kg_degree_stats(spark, sf_dir):
     return degree_stats(_flagship_edges(spark, sf_dir))
 
 
+@register("kg_entity_card", f"""
+WITH e AS (SELECT src, pred, dst, n_support FROM {_FROZEN_EDGES})
+SELECT src AS node,
+       CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+       string_agg(pred || ' -> ' || dst || ' (' ||
+                  CAST(n_support AS VARCHAR) || ')',
+                  '; ' ORDER BY pred, dst) AS card
+FROM e GROUP BY src
+""")
+def kg_entity_card(spark, sf_dir):
+    """Subject-star entity cards over the full-pipeline KG: every
+    outgoing fact folded into one deterministic digest per node
+    ("pred -> dst (n)" in (pred, dst) order) with fact/predicate
+    counts — the per-entity page a KG serves constantly; one
+    map-side-combinable groupBy on the edge bucket key, in-group
+    sort_array (never a corpus sort), string_agg twin."""
+    from mdscraper_spark.operators.graph import entity_cards
+
+    return entity_cards(_flagship_edges(spark, sf_dir))
+
+
 @register("kg_component_sizes", f"""
 WITH RECURSIVE
 e AS (SELECT src, dst FROM {_FROZEN_EDGES}),
@@ -3078,6 +3100,7 @@ _DRIVER_ORDER = [
     "gopher_rules_filter",  # last driver-green: r00
     "graph_triangle_clustering",  # last driver-green: r00
     "kg_component_sizes",  # last driver-green: r00
+    "kg_entity_card",  # last driver-green: r00 (new round 5)
     "kg_export_provenance",  # last driver-green: r00
     "kg_hits",  # last driver-green: r00 (new round 5)
     "kg_khop_reach",  # last driver-green: r00 (new round 5)
@@ -3101,9 +3124,11 @@ _DRIVER_ORDER = [
     "doc_quality_score",  # last driver-green: r03
     "doc_repetition_stats",  # last driver-green: r03
     "doc_size_kb",  # last driver-green: r03
-    "doc_split_assignment",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "doc_split_assignment",  # last driver-green: r03 (demoted for
+    #                        # kg_entity_card; covered by
+    #                        # tests/test_textstats_extra.py + check_oracle)
     "doc_token_stats",  # last driver-green: r03 (demoted for
     #                   # doc_lexical_diversity; covered by
     #                   # tests/test_textstats_extra.py + check_oracle)

@@ -233,3 +233,20 @@ def test_hits_empty_edges(spark):
 
     e = spark.createDataFrame([], "src string, dst string")
     assert hits(e).count() == 0
+
+
+def test_entity_cards_digest_and_counts(spark):
+    from mdscraper_spark.operators.graph import entity_cards
+
+    rows = [("A", "works_for", "X", 3), ("A", "based_in", "Y", 1),
+            ("A", "works_for", "Z", 2), ("B", "based_in", "Y", 1)]
+    edges = spark.createDataFrame(
+        rows, "src string, pred string, dst string, n_support long")
+    got = {r.node: (r.n_facts, r.n_preds, r.card)
+           for r in entity_cards(edges).collect()}
+    assert got["A"] == (3, 2,
+                        "based_in -> Y (1); works_for -> X (3); "
+                        "works_for -> Z (2)")
+    assert got["B"] == (1, 1, "based_in -> Y (1)")
+    # pure-sink nodes (no outgoing facts) have no card row
+    assert set(got) == {"A", "B"}

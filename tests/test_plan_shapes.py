@@ -209,3 +209,56 @@ def test_anchor_rollup_two_exchanges_with_top1_pushdown(spark):
     assert "WindowGroupLimit" in plan
     assert "partial_count" in plan          # map-side combine survives
     assert "CartesianProduct" not in plan
+
+
+def test_dup_span_scrub_no_cartesian_tokens_gated(spark):
+    """No cartesian anywhere, and the per-token posexplode (the
+    expensive path) appears only downstream of the affected-doc join
+    (a second Generate beyond the window explode)."""
+    plan = plan_of(spark, "dup_span_scrub")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_khop_reach_no_cartesian(spark):
+    plan = plan_of(spark, "kg_khop_reach")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lexical_diversity_shuffle_free_on_raw_frame(spark):
+    """On a raw in-memory frame (no load() fan_out), the whole battery
+    is one narrow projection: zero Exchange, zero join, zero Python."""
+    import contextlib
+    import io
+
+    from mdscraper_spark.operators.textstats import lexical_stats
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lexical_stats(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_entity_cards_single_aggregate_no_sort(spark):
+    """One partial/final aggregate pair on src; the digest ordering is
+    in-group sort_array — no global Sort operator."""
+    import contextlib
+    import io
+
+    from mdscraper_spark.operators.graph import entity_cards
+
+    edges = spark.createDataFrame(
+        [("A", "p", "B", 1)],
+        "src string, pred string, dst string, n_support long")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        entity_cards(edges).explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]     # operator tree only
+    assert tree.count("Exchange") == 1
+    assert "Sort " not in tree.replace("SortAggregate", "")
+    assert "Join" not in tree

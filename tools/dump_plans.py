@@ -99,6 +99,9 @@ CASES = [
      "nothing but Projects above the scan — census fold + 26 "
      "length-diff entropy terms in one narrow projection (zero join, "
      "zero Python, no operator-owned Exchange)"),
+    ("kg_entity_card",
+     "ONE hash aggregate on the edge bucket key (partial/final "
+     "ObjectHashAggregate pair); in-group sort_array, no global Sort"),
     ("kg_hits",
      "per half-step ONE hash join edge-list ⋈ scores + map-side-"
      "combinable sum; the edge list localCheckpointed once (scan, "
