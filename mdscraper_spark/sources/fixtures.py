@@ -2322,6 +2322,49 @@ and a second line</pre>
 </html>
 """
 
+# round-5 thirty-sixth wave: quote-table seams, list interruption and
+# the Indic web (each probed live before freezing).  A <table> inside
+# a <blockquote> takes the `>` prefix on EVERY emitted table line
+# (header, delimiter, body) with the blank-`>` seam before the next
+# quoted block; an <hr> dropped between <li>s splits the rendering
+# into list / --- / list (html.parser keeps the hr as a ul child, the
+# renderer flushes the item runs around it) while both halves keep the
+# same depth-0 marker; a mailto: href with ?subject/&body query
+# survives verbatim; <ol start="9998"> rolls into 5-digit ordinals
+# without disturbing the ". " seam.  Script diversity: an unsegmented
+# Thai paragraph (no inter-word spaces — the whitespace collapse must
+# not invent break points), Devanagari conjuncts + combining signs
+# (no NFC applied) incl. inline bold inside the cluster run, and a
+# raw-unicode Thai URL path kept verbatim.
+
+HOSTILE_QUOTE_TABLE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Quote Table</h1>
+        <blockquote cite="https://src.example/q"><table><tr><th>h</th></tr><tr><td>cell</td></tr></table>
+        <p>after table in quote.</p></blockquote>
+        <ul><li>one</li><hr><li>two</li></ul>
+        <p><a href="mailto:a@b.test?subject=Hello%20World&body=Hi">mail with subject</a></p>
+        <ol start="9998"><li>big</li><li>bigger</li><li>rollover</li></ol>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_INDIC_SCRIPTS = """
+<html>
+<body>
+    <div class="content">
+        <h1>ภาษาไทย हिन्दी</h1>
+        <p>สวัสดีครับนี่คือข้อความทดสอบ (no spaces in Thai script).</p>
+        <p>नमस्ते — क्षत्रिय conjuncts with <b>बोल्ड</b> inline.</p>
+        <p><a href="/ไทย/page">ลิงก์ไทย</a></p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 thirty-first wave: block-in-block composition the earlier
 # waves never crossed (each probed live before freezing).  The modern
 # card pattern — an <a> wrapping a whole div/heading/list — renders
@@ -2541,6 +2584,8 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-link-titles": HOSTILE_LINK_TITLES,
     "hostile-body-metadata": HOSTILE_BODY_METADATA,
     "hostile-container-seams": HOSTILE_CONTAINER_SEAMS,
+    "hostile-quote-table": HOSTILE_QUOTE_TABLE,
+    "hostile-indic-scripts": HOSTILE_INDIC_SCRIPTS,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
