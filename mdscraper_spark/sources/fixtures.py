@@ -2352,6 +2352,35 @@ HOSTILE_QUOTE_TABLE = """
 </html>
 """
 
+# round-5 thirty-seventh wave: the markdown-INJECTION family (probed
+# live before freezing) — link syntax characters arriving IN the
+# source data.  The escape contract is exactly markdownify's: only *
+# and _ are escaped in flow text; square brackets, parentheses and
+# bang sequences pass through UNESCAPED even where they collide with
+# the link syntax being emitted around them.  So a Wikipedia-style
+# href with parentheses emits [text](/wiki/Tree_(data_structure)) —
+# a technically broken link for strict CommonMark parsers — bracket
+# characters inside link text or alt text emit verbatim (an alt of
+# "](http://evil.test) payload" produces spoofed-looking markdown),
+# and a link whose text looks like an image stays [![not an image]]
+# (url).  Pinned as bytes so any future "fix" that starts escaping
+# is caught as the byte-contract break it would be.
+
+HOSTILE_MD_INJECTION = """
+<html>
+<body>
+    <div class="content">
+        <h1>Injection</h1>
+        <p><a href="/wiki/Tree_(data_structure)">Tree (data structure)</a></p>
+        <p><a href="/x">text with ] bracket and [ open</a></p>
+        <p><img src="/i.png" alt="alt with ](http://evil.test) payload"></p>
+        <p><a href="/y">![not an image]</a></p>
+        <p>bare text with [brackets] and (parens) and *stars*.</p>
+    </div>
+</body>
+</html>
+"""
+
 HOSTILE_INDIC_SCRIPTS = """
 <html>
 <body>
@@ -2586,6 +2615,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-container-seams": HOSTILE_CONTAINER_SEAMS,
     "hostile-quote-table": HOSTILE_QUOTE_TABLE,
     "hostile-indic-scripts": HOSTILE_INDIC_SCRIPTS,
+    "hostile-md-injection": HOSTILE_MD_INJECTION,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
