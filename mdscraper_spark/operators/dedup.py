@@ -1081,3 +1081,91 @@ WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (SURVEY J57) — the classic entity-
+# resolution candidate generator (Hernandez & Stolfo, SIGMOD 1995)
+# ---------------------------------------------------------------------------
+
+def sorted_neighborhood_pairs(df: DataFrame, key_col: str,
+                              id_col: str, window: int = 4,
+                              block_chars: int = 1) -> DataFrame:
+    """(id_a, id_b, key_a, key_b, lev): candidate pairs from a sorted
+    neighborhood — records adjacent within ``window`` positions of the
+    blocking-key order (key, then id for determinism) INSIDE each
+    block (first ``block_chars`` characters of the key), scored with
+    Levenshtein distance.  The point of blocking: candidate count is
+    n*(window-1), NEVER the n² of all-pairs matching.
+
+    Per-block windows are what make this scale-true: a GLOBAL ordered
+    window would collapse to one Spark partition (the engine does not
+    range-partition an unpartitioned window), so the sort is
+    partitioned by the block prefix — the classic Hernandez-Stolfo
+    formulation, where pairs straddling a block boundary are the
+    DOCUMENTED recall trade-off and the published remedy is multi-pass
+    blocking over different keys (run again with a different key_col /
+    block_chars and union).  Inside a block there is no self-join at
+    all: each row emits its pairs via lead(1..window-1), Levenshtein
+    is a codegen expression on the pair row, and the SQL twin is the
+    identical PARTITION BY + lead() construction."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if block_chars < 1:
+        raise ValueError(f"block_chars must be >= 1, got {block_chars}")
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("block")
+         .orderBy(F.col("key_a"), F.col("id_a")))
+    base = df.select(F.col(id_col).alias("id_a"),
+                     F.col(key_col).alias("key_a"),
+                     F.substring(F.col(key_col), 1, block_chars)
+                     .alias("block"))
+    # window expressions must be top-level select items (Spark rejects
+    # them nested under a Generate), so the leads land as flat columns
+    # first and a second narrow projection folds them into pair rows
+    led = base.select(
+        "id_a", "key_a",
+        *[c for j in range(1, window) for c in
+          (F.lead("id_a", j).over(w).alias(f"id_b{j}"),
+           F.lead("key_a", j).over(w).alias(f"key_b{j}"))])
+    arms = F.array(*[
+        F.struct(F.col(f"id_b{j}").alias("id_b"),
+                 F.col(f"key_b{j}").alias("key_b"))
+        for j in range(1, window)])
+    pairs = (led
+             .select("id_a", "key_a", F.explode(arms).alias("p"))
+             .filter(F.col("p.id_b").isNotNull())
+             .select("id_a", F.col("p.id_b").alias("id_b"),
+                     "key_a", F.col("p.key_b").alias("key_b")))
+    return pairs.withColumn(
+        "lev", F.levenshtein("key_a", "key_b").cast("long"))
+
+
+def sql_sorted_neighborhood_pairs(table: str, key_col: str,
+                                  id_col: str, window: int = 4,
+                                  block_chars: int = 1) -> str:
+    """DuckDB twin of sorted_neighborhood_pairs over ``table`` — the
+    identical PARTITION BY block + lead() construction, one UNION ALL
+    arm per offset."""
+    lead_cols = ",\n         ".join(
+        f"lead(id_a, {j}) OVER w AS id_b{j}, "
+        f"lead(key_a, {j}) OVER w AS key_b{j}"
+        for j in range(1, window))
+    arms = "\nUNION ALL\n".join(f"""
+SELECT id_a, id_b{j} AS id_b, key_a, key_b{j} AS key_b,
+       CAST(levenshtein(key_a, key_b{j}) AS BIGINT) AS lev
+FROM led WHERE id_b{j} IS NOT NULL""" for j in range(1, window))
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id_a, {key_col} AS key_a,
+         substr({key_col}, 1, {block_chars}) AS block
+  FROM {table}
+), led AS (
+  SELECT id_a, key_a,
+         {lead_cols}
+  FROM base
+  WINDOW w AS (PARTITION BY block ORDER BY key_a, id_a)
+)
+{arms}
+"""

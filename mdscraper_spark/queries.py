@@ -1099,6 +1099,22 @@ def gopher_repetition_stats(spark, sf_dir):
     return textstats.gopher_repetition(planted)
 
 
+@register("er_blocking_pairs",
+          dedup.sql_sorted_neighborhood_pairs(
+              "part", "p_name", "p_partkey", window=4, block_chars=2))
+def er_blocking_pairs(spark, sf_dir):
+    """Sorted-neighborhood entity-resolution blocking (J57, Hernandez &
+    Stolfo SIGMOD 1995) over the part-name catalog: candidate pairs =
+    records within 4 positions of the (name, id) order INSIDE each
+    2-char name block, scored with Levenshtein — n*(w-1) candidates,
+    never the n² of all-pairs.  Per-block windows keep the sort
+    parallel (a global window would collapse to one partition); the
+    boundary-pair loss is the published multi-pass trade-off."""
+    return dedup.sorted_neighborhood_pairs(
+        load(spark, sf_dir, "part", fan_out=True),
+        "p_name", "p_partkey", window=4, block_chars=2)
+
+
 @register("doc_lexical_diversity",
           textstats.sql_lexical_stats("documents"))
 def doc_lexical_diversity(spark, sf_dir):
@@ -3096,6 +3112,7 @@ _DRIVER_ORDER = [
     "doc_tfidf_keywords",  # last driver-green: r00
     "doc_unigram_logprob",  # last driver-green: r00
     "dup_span_scrub",  # last driver-green: r00 (new round 5)
+    "er_blocking_pairs",  # last driver-green: r00 (new round 5)
     "gopher_repetition_stats",  # last driver-green: r00 (new round 5)
     "gopher_rules_filter",  # last driver-green: r00
     "graph_triangle_clustering",  # last driver-green: r00
@@ -3123,9 +3140,11 @@ _DRIVER_ORDER = [
     "doc_lang_guess",  # last driver-green: r03
     "doc_quality_score",  # last driver-green: r03
     "doc_repetition_stats",  # last driver-green: r03
-    "doc_size_kb",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "doc_size_kb",  # last driver-green: r03 (demoted for
+    #               # er_blocking_pairs; covered by check_oracle +
+    #               # the B6 pytest)
     "doc_split_assignment",  # last driver-green: r03 (demoted for
     #                        # kg_entity_card; covered by
     #                        # tests/test_textstats_extra.py + check_oracle)

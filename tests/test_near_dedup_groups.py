@@ -113,3 +113,52 @@ def test_resolve_dedup_groups_generic_pairs(spark):
     assert got[2] == (2, 2, True) and got[6] == (2, 2, False)
     for i in (0, 4, 7):
         assert got[i] == (i, 1, True)
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (SURVEY J57)
+# ---------------------------------------------------------------------------
+
+def test_sorted_neighborhood_pairs_window_and_blocks(spark):
+    from mdscraper_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(1, "apple pie"), (2, "apple pia"), (3, "apple pin"),
+            (4, "apricot"), (5, "banana"), (6, "bananna")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r.id_a, r.id_b): r.lev
+           for r in sorted_neighborhood_pairs(
+               df, "name", "id", window=3, block_chars=1).collect()}
+    # block 'a' order: apple pia(2) < apple pie(1) < apple pin(3) <
+    # apricot(4); window 3 -> leads 1..2 from each position
+    assert (2, 1) in got and got[(2, 1)] == 1
+    assert (2, 3) in got and (1, 3) in got and (1, 4) in got
+    assert (3, 4) in got
+    # block 'b': banana(5) < bananna(6)
+    assert got[(5, 6)] == 1
+    # no cross-block pair
+    assert not any({a, b} == {4, 5} for a, b in got)
+
+
+def test_sorted_neighborhood_candidate_count_linear(spark):
+    """n rows in one block with window w emit exactly
+    (n-1)+(n-2)+...+(n-w+1) pairs — linear in n, never n^2."""
+    from mdscraper_spark.operators.dedup import sorted_neighborhood_pairs
+
+    n, w = 40, 4
+    rows = [(i, f"k{i:03d}") for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    cnt = sorted_neighborhood_pairs(df, "name", "id", window=w,
+                                    block_chars=1).count()
+    assert cnt == sum(n - j for j in range(1, w))
+
+
+def test_sorted_neighborhood_validation(spark):
+    import pytest
+
+    from mdscraper_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "name", "id", window=1)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "name", "id", block_chars=0)

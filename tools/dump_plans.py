@@ -99,6 +99,10 @@ CASES = [
      "nothing but Projects above the scan — census fold + 26 "
      "length-diff entropy terms in one narrow projection (zero join, "
      "zero Python, no operator-owned Exchange)"),
+    ("er_blocking_pairs",
+     "one parallel per-block window sort (Exchange on the block "
+     "prefix), leads as flat window columns, pair fold a narrow "
+     "Generate — no self-join, no global Sort"),
     ("kg_entity_card",
      "ONE hash aggregate on the edge bucket key (partial/final "
      "ObjectHashAggregate pair); in-group sort_array, no global Sort"),
