@@ -1928,3 +1928,72 @@ SELECT census.doc_id, n_tokens, n_types,
        letter_entropy
 FROM census JOIN ent ON ent.doc_id = census.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# soft-error page detection (SURVEY J58) — the crawl-noise page flags
+# every production corpus filters before training: soft-404s served
+# with HTTP 200, javascript walls, login walls, paywalls and parked
+# domains.  Pattern battery in the RE2/Java-common regex subset so
+# both engines match identical spans.
+# ---------------------------------------------------------------------------
+
+_SOFT_ERROR_PATTERNS = (
+    ("not_found",
+     r"(?i)\b(404|page not found|page cannot be found"
+     r"|no longer available)\b"),
+    ("js_required",
+     r"(?i)(enable javascript|javascript is (required|disabled)"
+     r"|browser does not support javascript)"),
+    ("login_wall",
+     r"(?i)(log in to continue|sign in to (view|continue)"
+     r"|create a free account to)"),
+    ("paywall",
+     r"(?i)(subscribe to (read|continue)|subscription required"
+     r"|remaining free articles?)"),
+    ("domain_parked",
+     r"(?i)(domain (is )?for sale|this domain has been registered"
+     r"|buy this domain)"),
+)
+
+
+def soft_error_flags(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     head_chars: int = 2000) -> DataFrame:
+    """(doc_id, not_found, js_required, login_wall, paywall,
+    domain_parked, soft_error): per-doc boolean battery over the first
+    ``head_chars`` characters (error boilerplate fronts the page;
+    bounding the scan keeps the regex cost flat for long docs).
+    ``soft_error`` ORs the five flags.  Narrow codegen projection —
+    zero shuffle, zero join, zero Python."""
+    head = F.substring(F.coalesce(F.col(text_col), F.lit("")),
+                       1, head_chars)
+    cols = [F.col(id_col).alias("doc_id")]
+    flags = []
+    for name, pat in _SOFT_ERROR_PATTERNS:
+        flags.append(head.rlike(pat).alias(name))
+    any_flag = None
+    for f in flags:
+        any_flag = f if any_flag is None else any_flag | f
+    return df.select(*cols, *flags, any_flag.alias("soft_error"))
+
+
+def sql_soft_error_flags(table: str, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         head_chars: int = 2000) -> str:
+    """DuckDB twin of soft_error_flags over ``table``."""
+    head = f"substr(coalesce({text_col}, ''), 1, {head_chars})"
+    flag_sql = []
+    for name, pat in _SOFT_ERROR_PATTERNS:
+        # standard SQL strings: '' escapes the quote, backslash is a
+        # plain character (NO doubling — \b must reach RE2 as \b)
+        esc = pat.replace("'", "''")
+        flag_sql.append(f"regexp_matches({head}, '{esc}') AS {name}")
+    names = [n for n, _p in _SOFT_ERROR_PATTERNS]
+    any_sql = " OR ".join(names)
+    return f"""
+SELECT {id_col} AS doc_id,
+       {", ".join(flag_sql)},
+       ({any_sql}) AS soft_error
+FROM {table}
+"""

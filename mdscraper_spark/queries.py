@@ -1099,6 +1099,50 @@ def gopher_repetition_stats(spark, sf_dir):
     return textstats.gopher_repetition(planted)
 
 
+_SOFT_ERR_PLANT_SQL = """(
+  SELECT doc_id,
+         CASE doc_id % 7
+           WHEN 1 THEN 'Error 404 - Page Not Found. ' || text
+           WHEN 2 THEN 'Please enable JavaScript to continue. ' || text
+           WHEN 3 THEN 'Sign in to continue reading. ' || text
+           WHEN 4 THEN 'Subscribe to continue reading. ' || text
+           WHEN 5 THEN 'buy this domain today. ' || text
+           ELSE text END AS text
+  FROM documents)"""
+
+
+@register("soft_error_page_flags",
+          textstats.sql_soft_error_flags(_SOFT_ERR_PLANT_SQL))
+def soft_error_page_flags(spark, sf_dir):
+    """Soft-error page detection (J58): the crawl-noise battery every
+    production corpus filters before training — soft-404s served with
+    HTTP 200, javascript walls, login walls, paywalls, parked domains
+    — as per-doc boolean flags over the page head (error boilerplate
+    fronts the page; the bounded scan keeps regex cost flat).  Narrow
+    codegen projection.  The corpus plants one marker family per
+    doc_id % 7 class, constructed identically in both engines."""
+    did = F.col("doc_id")
+    planted = (F.when(did % 7 == 1,
+                      F.concat(F.lit("Error 404 - Page Not Found. "),
+                               F.col("text")))
+               .when(did % 7 == 2,
+                     F.concat(F.lit("Please enable JavaScript to "
+                                    "continue. "), F.col("text")))
+               .when(did % 7 == 3,
+                     F.concat(F.lit("Sign in to continue reading. "),
+                              F.col("text")))
+               .when(did % 7 == 4,
+                     F.concat(F.lit("Subscribe to continue reading. "),
+                              F.col("text")))
+               .when(did % 7 == 5,
+                     F.concat(F.lit("buy this domain today. "),
+                              F.col("text")))
+               .otherwise(F.col("text")))
+    docs = (load(spark, sf_dir, "documents", fan_out=True)
+            .select("doc_id", planted.alias("text")))
+    return textstats.soft_error_flags(docs)
+
+
 @register("er_blocking_pairs",
           dedup.sql_sorted_neighborhood_pairs(
               "part", "p_name", "p_partkey", window=4, block_chars=2))
@@ -3124,6 +3168,7 @@ _DRIVER_ORDER = [
     "kg_pmi_cooccurrence",  # last driver-green: r00
     "mirror_shingle_overlap",  # last driver-green: r00
     "semdedup_flags",  # last driver-green: r00 (new round 5)
+    "soft_error_page_flags",  # last driver-green: r00 (new round 5)
     "source_health_rollup",  # last driver-green: r00
     "weighted_sample_docs",  # last driver-green: r00
     "winnowing_fingerprints",  # last driver-green: r00
@@ -3138,10 +3183,12 @@ _DRIVER_ORDER = [
     "doc_chunks",  # last driver-green: r03
     "doc_fingerprint",  # last driver-green: r03
     "doc_lang_guess",  # last driver-green: r03
-    "doc_quality_score",  # last driver-green: r03
     "doc_repetition_stats",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "doc_quality_score",  # last driver-green: r03 (demoted for
+    #                     # soft_error_page_flags; covered by
+    #                     # tests/test_quality_filters.py + check_oracle)
     "doc_size_kb",  # last driver-green: r03 (demoted for
     #               # er_blocking_pairs; covered by check_oracle +
     #               # the B6 pytest)

@@ -400,3 +400,60 @@ def test_rep_partition_invariance(spark):
         spark.createDataFrame(rows, "doc_id long, text string")
         .repartition(7)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# soft-error page flags (SURVEY J58)
+# ---------------------------------------------------------------------------
+
+def test_soft_error_flags_battery(spark):
+    from mdscraper_spark.operators.textstats import soft_error_flags
+
+    rows = [
+        (0, "Error 404 - Page Not Found on this server"),
+        (1, "Please enable JavaScript to view this site"),
+        (2, "Sign in to continue reading this story"),
+        (3, "Subscribe to continue reading premium content"),
+        (4, "this domain has been registered by a customer"),
+        (5, "ordinary page about cooking pasta"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.not_found, r.js_required, r.login_wall,
+                      r.paywall, r.domain_parked, r.soft_error)
+           for r in soft_error_flags(df).collect()}
+    assert got[0] == (True, False, False, False, False, True)
+    assert got[1] == (False, True, False, False, False, True)
+    assert got[2] == (False, False, True, False, False, True)
+    assert got[3] == (False, False, False, True, False, True)
+    assert got[4] == (False, False, False, False, True, True)
+    assert got[5] == (False, False, False, False, False, False)
+    assert got[6] == (False, False, False, False, False, False)
+
+
+def test_soft_error_flags_head_bound(spark):
+    """A marker past the head_chars bound must NOT flag — the scan is
+    deliberately bounded to the page head."""
+    from mdscraper_spark.operators.textstats import soft_error_flags
+
+    far = "x " * 1200 + "page not found"     # beyond 2000 chars
+    near = "page not found " + "x " * 1200
+    df = spark.createDataFrame([(0, far), (1, near)],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.soft_error for r in soft_error_flags(df).collect()}
+    assert got == {0: False, 1: True}
+
+
+def test_soft_error_flags_shuffle_free(spark):
+    import contextlib
+    import io
+
+    from mdscraper_spark.operators.textstats import soft_error_flags
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        soft_error_flags(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
