@@ -2366,6 +2366,40 @@ HOSTILE_QUOTE_TABLE = """
 # (url).  Pinned as bytes so any future "fix" that starts escaping
 # is caught as the byte-contract break it would be.
 
+# round-5 thirty-eighth wave: the soft-404 MACRO page (probed live
+# before freezing) — an error page served with HTTP 200, the crawl
+# noise J58's soft_error_page_flags exists to catch downstream.  No
+# content-named div, so largest-div elects the whole #app shell: nav
+# links and the footer RIDE ALONG into the markdown, the error h1
+# ("404") wins the title probe and the title-prepend quirk fires —
+# producing the doubled "# 404" heading — the form renders only its
+# button text, and the suggestion list survives as links.  Pinned
+# because this is exactly what a production extraction of a soft-404
+# looks like: structurally valid markdown that only a downstream
+# quality/error filter can reject.
+
+HOSTILE_SOFT_404 = """
+<html>
+<head><title>Page Not Found - Example Site</title></head>
+<body>
+    <div id="app">
+        <nav class="nav"><a href="/">Home</a> <a href="/shop">Shop</a></nav>
+        <div class="error-page">
+            <h1>404</h1>
+            <h2>Oops! Page Not Found</h2>
+            <p>The page you are looking for might have been removed or is
+            temporarily unavailable.</p>
+            <form action="/search"><input type="text" name="q" placeholder="Search..."><button>Search</button></form>
+            <p>Try these popular pages instead:</p>
+            <ul><li><a href="/shop/deals">Today's Deals</a></li>
+            <li><a href="/help">Help Center</a></li></ul>
+        </div>
+        <footer class="footer"><p>© 2026 Example Site</p></footer>
+    </div>
+</body>
+</html>
+"""
+
 HOSTILE_MD_INJECTION = """
 <html>
 <body>
@@ -2616,6 +2650,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-quote-table": HOSTILE_QUOTE_TABLE,
     "hostile-indic-scripts": HOSTILE_INDIC_SCRIPTS,
     "hostile-md-injection": HOSTILE_MD_INJECTION,
+    "hostile-soft-404": HOSTILE_SOFT_404,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
