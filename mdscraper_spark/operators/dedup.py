@@ -1169,3 +1169,65 @@ WITH base AS (
 )
 {arms}
 """
+
+
+def multipass_blocking_pairs(df: DataFrame, key_col: str, id_col: str,
+                             window: int = 4,
+                             block_chars: int = 1) -> DataFrame:
+    """(id_a, id_b, lev, n_passes): Hernandez-Stolfo MULTI-PASS
+    blocking — the published remedy for single-pass boundary loss:
+    run the sorted neighborhood under two independent key orders (the
+    raw key, and the key with its word order reversed so records
+    agreeing in their tails block together), union the candidate
+    pairs, and count how many passes proposed each pair (n_passes = 2
+    is a strong-match prior).  Pair identity is normalized to
+    id_a < id_b before the union so the same pair found in both
+    directions collapses.
+
+    Scale shape: two independent per-block window sorts (each the
+    J57 single-pass shape) + one map-side-combinable groupBy on the
+    normalized pair key — still zero self-joins."""
+    rev_key = F.array_join(
+        F.reverse(F.split(F.col(key_col), " ")), " ").alias("__revkey")
+    passes = [
+        sorted_neighborhood_pairs(df, key_col, id_col,
+                                  window=window, block_chars=block_chars),
+        sorted_neighborhood_pairs(
+            df.select(F.col(id_col), rev_key),
+            "__revkey", id_col, window=window, block_chars=block_chars),
+    ]
+    norm = [
+        p.select(F.least("id_a", "id_b").alias("id_a"),
+                 F.greatest("id_a", "id_b").alias("id_b"),
+                 "lev")
+        for p in passes]
+    return (norm[0].unionByName(norm[1])
+            .groupBy("id_a", "id_b")
+            .agg(F.min("lev").alias("lev"),
+                 F.count(F.lit(1)).cast("long").alias("n_passes")))
+
+
+def sql_multipass_blocking_pairs(table: str, key_col: str, id_col: str,
+                                 window: int = 4,
+                                 block_chars: int = 1) -> str:
+    """DuckDB twin of multipass_blocking_pairs over ``table``."""
+    p1 = sql_sorted_neighborhood_pairs(table, key_col, id_col,
+                                       window, block_chars)
+    rev_tbl = (f"(SELECT {id_col}, array_to_string(list_reverse("
+               f"string_split({key_col}, ' ')), ' ') AS __revkey "
+               f"FROM {table})")
+    p2 = sql_sorted_neighborhood_pairs(rev_tbl, "__revkey", id_col,
+                                       window, block_chars)
+    return f"""
+WITH pass1 AS ({p1}), pass2 AS ({p2}),
+norm AS (
+  SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b, lev
+  FROM pass1
+  UNION ALL
+  SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b, lev
+  FROM pass2
+)
+SELECT id_a, id_b, min(lev) AS lev,
+       CAST(count(*) AS BIGINT) AS n_passes
+FROM norm GROUP BY id_a, id_b
+"""

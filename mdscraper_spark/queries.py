@@ -1159,6 +1159,22 @@ def er_blocking_pairs(spark, sf_dir):
         "p_name", "p_partkey", window=4, block_chars=2)
 
 
+@register("er_blocking_multipass",
+          dedup.sql_multipass_blocking_pairs(
+              "part", "p_name", "p_partkey", window=4, block_chars=2))
+def er_blocking_multipass(spark, sf_dir):
+    """Multi-pass sorted-neighborhood blocking (J57's published
+    boundary-loss remedy): the J57 pass unioned with a second pass
+    keyed on the word-order-REVERSED name (records agreeing in their
+    tails block together), pair identity normalized id_a < id_b,
+    n_passes counting how many passes proposed each pair (2 = strong
+    prior).  Two parallel per-block window sorts + one map-side-
+    combinable pair groupBy — still zero self-joins."""
+    return dedup.multipass_blocking_pairs(
+        load(spark, sf_dir, "part", fan_out=True),
+        "p_name", "p_partkey", window=4, block_chars=2)
+
+
 @register("doc_lexical_diversity",
           textstats.sql_lexical_stats("documents"))
 def doc_lexical_diversity(spark, sf_dir):
@@ -3156,6 +3172,7 @@ _DRIVER_ORDER = [
     "doc_tfidf_keywords",  # last driver-green: r00
     "doc_unigram_logprob",  # last driver-green: r00
     "dup_span_scrub",  # last driver-green: r00 (new round 5)
+    "er_blocking_multipass",  # last driver-green: r00 (new round 5)
     "er_blocking_pairs",  # last driver-green: r00 (new round 5)
     "gopher_repetition_stats",  # last driver-green: r00 (new round 5)
     "gopher_rules_filter",  # last driver-green: r00
@@ -3183,9 +3200,11 @@ _DRIVER_ORDER = [
     "doc_chunks",  # last driver-green: r03
     "doc_fingerprint",  # last driver-green: r03
     "doc_lang_guess",  # last driver-green: r03
-    "doc_repetition_stats",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "doc_repetition_stats",  # last driver-green: r03 (demoted for
+    #                        # er_blocking_multipass; covered by
+    #                        # tests/test_textstats_extra.py + check_oracle)
     "doc_quality_score",  # last driver-green: r03 (demoted for
     #                     # soft_error_page_flags; covered by
     #                     # tests/test_quality_filters.py + check_oracle)

@@ -162,3 +162,24 @@ def test_sorted_neighborhood_validation(spark):
         sorted_neighborhood_pairs(df, "name", "id", window=1)
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "name", "id", block_chars=0)
+
+
+def test_multipass_blocking_recovers_tail_pairs(spark):
+    """Names agreeing only in their word TAILS never meet under the
+    raw-key order but do under the reversed-key pass; a pair caught by
+    both passes reports n_passes=2."""
+    from mdscraper_spark.operators.dedup import multipass_blocking_pairs
+
+    rows = [(1, "alpha red widget"), (2, "alpha red widgget"),
+            (3, "zeta red widget"), (4, "omega blue gadget")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r.id_a, r.id_b): (r.lev, r.n_passes)
+           for r in multipass_blocking_pairs(
+               df, "name", "id", window=3, block_chars=1).collect()}
+    # (1,2): adjacent in the raw-key block AND within window 3 of the
+    # reversed-key block (order there: 1, 3, 2) -> n_passes 2
+    assert got[(1, 2)] == (1, 2)
+    # (1,3): different raw blocks (a vs z) but reversed keys
+    # ("widget red alpha"/"widget red zeta") share block 'w'
+    assert (1, 3) in got and got[(1, 3)][1] == 1
+    assert not any({a, b} == {1, 4} for (a, b) in got)
