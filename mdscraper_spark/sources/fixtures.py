@@ -2378,6 +2378,35 @@ HOSTILE_QUOTE_TABLE = """
 # looks like: structurally valid markdown that only a downstream
 # quality/error filter can reject.
 
+# round-5 thirty-ninth wave: mid-article inline litter (probed live
+# before freezing) — the modern monetization/engagement widgets that
+# live INSIDE the content container, where the cascade cannot save
+# you and only explicit exclusion selectors (D1) can.  Default
+# variant: the consent prompt, its button text, the infinite-scroll
+# "Loading more" line and the `.ads`-classed inline unit ALL ride
+# along into the markdown (an empty sentinel div and a childless
+# <amp-ad> contribute nothing); exclude variant (.ads/#nav): the ads
+# unit vanishes while the unmatched litter still rides — exclusion is
+# selector-exact, not semantic.
+
+HOSTILE_INLINE_LITTER = """
+<html>
+<body>
+    <div class="content">
+        <h1>Article</h1>
+        <p>First paragraph of the story.</p>
+        <div class="inline-consent">We value your privacy. Accept cookies to continue reading. <button>Accept All</button></div>
+        <p>Second paragraph continues here.</p>
+        <div class="ads">Sponsored: <a href="https://ads.example/click?id=7">Buy the thing</a></div>
+        <div class="infinite-scroll-sentinel" data-page="2"></div>
+        <p>Loading more stories...</p>
+        <amp-ad width="300" height="250" type="doubleclick"></amp-ad>
+        <p>Final paragraph.</p>
+    </div>
+</body>
+</html>
+"""
+
 HOSTILE_SOFT_404 = """
 <html>
 <head><title>Page Not Found - Example Site</title></head>
@@ -2651,6 +2680,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-indic-scripts": HOSTILE_INDIC_SCRIPTS,
     "hostile-md-injection": HOSTILE_MD_INJECTION,
     "hostile-soft-404": HOSTILE_SOFT_404,
+    "hostile-inline-litter": HOSTILE_INLINE_LITTER,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
