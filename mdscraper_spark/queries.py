@@ -3134,16 +3134,21 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + the SIXTEEN new round-5 rows
-# (kg_export_provenance, graph_triangle_clustering,
-# doc_unigram_logprob, doc_tfidf_keywords, weighted_sample_docs,
-# corpus_mixture_schedule, source_health_rollup, kg_pmi_cooccurrence,
-# anchor_text_rollup, mirror_shingle_overlap, kg_component_sizes,
-# dedup_quality_survivors, gopher_rules_filter, ccnet_quality_buckets,
-# winnowing_fingerprints, winnowing_shared_pairs)
-# + 22 of the 37 rows whose last driver-green is r02/r03
-# = exactly the 50-row cap; every row below the
-# cap was driver-green in r03/r04
+# Round-5 window: 12 pinned + the TWENTY-SIX new round-5 rows (the
+# sixteen mid-round additions — kg_export_provenance,
+# graph_triangle_clustering, doc_unigram_logprob, doc_tfidf_keywords,
+# weighted_sample_docs, corpus_mixture_schedule, source_health_rollup,
+# kg_pmi_cooccurrence, anchor_text_rollup, mirror_shingle_overlap,
+# kg_component_sizes, dedup_quality_survivors, gopher_rules_filter,
+# ccnet_quality_buckets, winnowing_fingerprints,
+# winnowing_shared_pairs — plus the late-round c4_line_filter,
+# dsir_importance_weights, semdedup_flags, gopher_repetition_stats,
+# dup_span_scrub, er_blocking_pairs, er_blocking_multipass,
+# kg_entity_card, kg_hits, kg_khop_reach, doc_lexical_diversity,
+# soft_error_page_flags batches, each displacing one r03-green row
+# with its local coverage noted inline below)
+# + the remaining r02/r03 rows up to exactly the 50-row cap; every
+# row below the cap was driver-green in r03/r04
 # (max staleness 2 rounds at rotation time) and remains covered by the
 # local check_oracle twin — the rotation never removes a row's oracle,
 # only its slot in the driver's hash window (round-4 ADVICE item 5:
