@@ -408,3 +408,35 @@ def entity_cards(edges: DataFrame) -> DataFrame:
                              F.struct(F.col("k"), F.col("seg")))),
                          lambda x: x["seg"]),
                      "; ").alias("card")))
+
+
+def snapshot_diff(old_edges: DataFrame,
+                  new_edges: DataFrame) -> DataFrame:
+    """(src, pred, dst, n_support_old, n_support_new, status): the
+    nightly KG diff — one FULL OUTER hash join on the triple key.
+    status: 'added' (new only), 'removed' (old only), 'changed'
+    (support count moved), 'kept'.  Note canonicalization makes this
+    non-monotone on purpose: dropping documents can re-split a
+    connected component, so edges can be ADDED by a corpus shrink —
+    exactly the regression this diff exists to surface.
+
+    Scale shape: both sides arrive bucketed by the edge key from the
+    warehouse (exchange-free SMJ there); here it is one hash join,
+    no shuffle beyond the join itself."""
+    o = old_edges.select("src", "pred", "dst",
+                         F.col("n_support").alias("n_support_old"))
+    n = new_edges.select("src", "pred", "dst",
+                         F.col("n_support").alias("n_support_new"))
+    j = o.join(n, ["src", "pred", "dst"], "full_outer")
+    status = (F.when(F.col("n_support_old").isNull(), F.lit("added"))
+              .when(F.col("n_support_new").isNull(), F.lit("removed"))
+              .when(F.col("n_support_old") != F.col("n_support_new"),
+                    F.lit("changed"))
+              .otherwise(F.lit("kept")))
+    return j.select(
+        "src", "pred", "dst",
+        F.coalesce("n_support_old", F.lit(0)).cast("long")
+         .alias("n_support_old"),
+        F.coalesce("n_support_new", F.lit(0)).cast("long")
+         .alias("n_support_new"),
+        status.alias("status"))

@@ -2762,6 +2762,55 @@ def kg_hits(spark, sf_dir):
     return hits(_flagship_edges(spark, sf_dir))
 
 
+_FROZEN_SUB_EDGES = """
+read_parquet('/root/repo/fixtures/kg_oracle/kg_sub_edges_*.parquet')
+WHERE corpus_sig = (SELECT CAST(bit_xor(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || COALESCE(text,'')), 1, 15)) AS BIGINT)) AS VARCHAR)
+                        || ':' ||
+                        CAST(bit_xor(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || COALESCE(text,'')), 16, 15)) AS BIGINT)) AS VARCHAR)
+                    FROM documents)
+"""
+
+
+@register("kg_snapshot_diff", f"""
+WITH old AS (SELECT src, pred, dst, n_support FROM {_FROZEN_EDGES}),
+new AS (SELECT src, pred, dst, n_support FROM {_FROZEN_SUB_EDGES})
+SELECT COALESCE(old.src, new.src) AS src,
+       COALESCE(old.pred, new.pred) AS pred,
+       COALESCE(old.dst, new.dst) AS dst,
+       CAST(COALESCE(old.n_support, 0) AS BIGINT) AS n_support_old,
+       CAST(COALESCE(new.n_support, 0) AS BIGINT) AS n_support_new,
+       CASE WHEN old.n_support IS NULL THEN 'added'
+            WHEN new.n_support IS NULL THEN 'removed'
+            WHEN old.n_support <> new.n_support THEN 'changed'
+            ELSE 'kept' END AS status
+FROM old FULL OUTER JOIN new
+  ON old.src = new.src AND old.pred = new.pred AND old.dst = new.dst
+""")
+def kg_snapshot_diff(spark, sf_dir):
+    """Nightly KG snapshot diff: the full-corpus KG vs the KG rebuilt
+    with every doc_id % 10 == 0 document dropped (the deterministic
+    "yesterday's crawl" stand-in) — one FULL OUTER join on the triple
+    key with added/removed/changed/kept status.  Both sides run the
+    REAL distributed pipeline; the oracle diffs the two frozen
+    single-threaded replays.  Canonicalization makes the diff
+    non-monotone on purpose (dropping docs can re-split a component
+    and ADD differently-canonicalized edges) — the regression class
+    this operator exists to surface."""
+    from mdscraper_spark.operators.graph import snapshot_diff
+
+    full = _flagship_edges(spark, sf_dir)
+    docs_sub = (load(spark, sf_dir, "documents", fan_out=True)
+                .filter(F.col("doc_id") % 10 != 0))
+    pages = docs_to_kg_pages(docs_sub)
+    docs = extract_markdown(pages, ExtractConfig())
+    gaz_entries = tuple((a, t) for a, _e, _c, t, _p in alias_rows())
+    mentions = kg_ops.mine_mentions(docs, gaz_entries)
+    links = kg_ops.link_entities(mentions, kg_ops.alias_df(spark))
+    cmap = kg_ops.connected_components(kg_ops.coreference_edges(links))
+    sub = kg_ops.build_kg_edges(kg_ops.mine_triples(docs), cmap)
+    return snapshot_diff(full, sub)
+
+
 @register("kg_khop_reach", f"""
 WITH RECURSIVE
 e AS (SELECT src, dst FROM {_FROZEN_EDGES}),
@@ -3187,6 +3236,7 @@ _DRIVER_ORDER = [
     "kg_export_provenance",  # last driver-green: r00
     "kg_hits",  # last driver-green: r00 (new round 5)
     "kg_khop_reach",  # last driver-green: r00 (new round 5)
+    "kg_snapshot_diff",  # last driver-green: r00 (new round 5)
     "kg_pmi_cooccurrence",  # last driver-green: r00
     "mirror_shingle_overlap",  # last driver-green: r00
     "semdedup_flags",  # last driver-green: r00 (new round 5)
@@ -3204,9 +3254,11 @@ _DRIVER_ORDER = [
     "dedup_embedding_pairs",  # last driver-green: r03
     "doc_chunks",  # last driver-green: r03
     "doc_fingerprint",  # last driver-green: r03
-    "doc_lang_guess",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "doc_lang_guess",  # last driver-green: r03 (demoted for
+    #                  # kg_snapshot_diff; covered by
+    #                  # tests/test_textstats_extra.py + check_oracle)
     "doc_repetition_stats",  # last driver-green: r03 (demoted for
     #                        # er_blocking_multipass; covered by
     #                        # tests/test_textstats_extra.py + check_oracle)

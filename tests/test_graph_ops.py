@@ -250,3 +250,22 @@ def test_entity_cards_digest_and_counts(spark):
     assert got["B"] == (1, 1, "based_in -> Y (1)")
     # pure-sink nodes (no outgoing facts) have no card row
     assert set(got) == {"A", "B"}
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from mdscraper_spark.operators.graph import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "p", "b", 3), ("a", "p", "c", 2), ("x", "q", "y", 1)],
+        "src string, pred string, dst string, n_support long")
+    new = spark.createDataFrame(
+        [("a", "p", "b", 3), ("a", "p", "c", 5), ("m", "q", "n", 1)],
+        "src string, pred string, dst string, n_support long")
+    got = {(r.src, r.pred, r.dst): (r.n_support_old, r.n_support_new,
+                                    r.status)
+           for r in snapshot_diff(old, new).collect()}
+    assert got[("a", "p", "b")] == (3, 3, "kept")
+    assert got[("a", "p", "c")] == (2, 5, "changed")
+    assert got[("x", "q", "y")] == (1, 0, "removed")
+    assert got[("m", "q", "n")] == (0, 1, "added")
+    assert len(got) == 4

@@ -198,6 +198,25 @@ def freeze(sf_dir: str) -> None:
                     [(v, r, sig) for v, r in sorted(pr.items())])
     con.execute(f"COPY p TO '{out_pr}' (FORMAT PARQUET)")
 
+    # snapshot-diff twin (for kg_snapshot_diff): the SAME single-
+    # threaded oracle over the corpus with every doc_id % 10 == 0 row
+    # dropped — the deterministic "yesterday's crawl" stand-in.  Keyed
+    # by the FULL corpus signature (the subset derives from it), so
+    # the diff oracle needs no second signature fold.
+    sub_pages = ((f"https://docs.test/{doc_id}",
+                  kg_page_html(int(doc_id), text))
+                 for doc_id, text in docs if int(doc_id) % 10 != 0)
+    sub_edges = run_oracle(sub_pages, alias_rows())["kg_edges"]
+    # NOTE: must NOT match the kg_edges_* glob the frozen-edge
+    # oracles read, or every _FROZEN_EDGES row would silently
+    # union full+subset
+    out_sub = OUT_DIR / f"kg_sub_edges_{fsig}.parquet"
+    con.execute("CREATE TABLE es (src VARCHAR, pred VARCHAR, "
+                "dst VARCHAR, n_support BIGINT, corpus_sig VARCHAR)")
+    con.executemany("INSERT INTO es VALUES (?, ?, ?, ?, ?)",
+                    [(s, p, d, int(n), sig) for s, p, d, n in sub_edges])
+    con.execute(f"COPY es TO '{out_sub}' (FORMAT PARQUET)")
+
     # HITS hubs/authorities, replayed single-threaded over the SAME
     # frozen edges (for the kg_hits oracle row)
     ha = py_hits([(s, d) for s, _p, d, _n in edges])
