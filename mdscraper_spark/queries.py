@@ -3183,7 +3183,7 @@ def warc_roundtrip(spark, sf_dir):
 # first, then every remaining slot goes to the rows longest-unverified
 # by the driver (never-green and driver-red rows sort to the front).
 # The per-row ledger lives in tools/driver_green_history.json.
-# Round-5 window: 12 pinned + the TWENTY-SIX new round-5 rows (the
+# Round-5 window: 12 pinned + the new round-5 rows (the
 # sixteen mid-round additions — kg_export_provenance,
 # graph_triangle_clustering, doc_unigram_logprob, doc_tfidf_keywords,
 # weighted_sample_docs, corpus_mixture_schedule, source_health_rollup,
@@ -3193,8 +3193,9 @@ def warc_roundtrip(spark, sf_dir):
 # winnowing_shared_pairs — plus the late-round c4_line_filter,
 # dsir_importance_weights, semdedup_flags, gopher_repetition_stats,
 # dup_span_scrub, er_blocking_pairs, er_blocking_multipass,
-# kg_entity_card, kg_hits, kg_khop_reach, doc_lexical_diversity,
-# soft_error_page_flags batches, each displacing one r03-green row
+# kg_entity_card, kg_hits, kg_khop_reach, kg_snapshot_diff,
+# doc_lexical_diversity, soft_error_page_flags batches (TWENTY-SEVEN
+# new rows total), each displacing one r03-green row
 # with its local coverage noted inline below)
 # + the remaining r02/r03 rows up to exactly the 50-row cap; every
 # row below the cap was driver-green in r03/r04
