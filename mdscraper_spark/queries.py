@@ -3194,7 +3194,7 @@ def warc_roundtrip(spark, sf_dir):
 # dsir_importance_weights, semdedup_flags, gopher_repetition_stats,
 # dup_span_scrub, er_blocking_pairs, er_blocking_multipass,
 # kg_entity_card, kg_hits, kg_khop_reach, kg_snapshot_diff,
-# doc_lexical_diversity, soft_error_page_flags batches (TWENTY-SEVEN
+# doc_lexical_diversity, soft_error_page_flags batches (TWENTY-NINE
 # new rows total), each displacing one r03-green row
 # with its local coverage noted inline below)
 # + the remaining r02/r03 rows up to exactly the 50-row cap; every
