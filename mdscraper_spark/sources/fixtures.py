@@ -2378,6 +2378,44 @@ HOSTILE_QUOTE_TABLE = """
 # looks like: structurally valid markdown that only a downstream
 # quality/error filter can reject.
 
+# round-5 fortieth wave: hard-break SEAMS (probed live before
+# freezing) — <br> colliding with every container whose markdown has
+# its own line discipline.  Inside <pre> the br renders as the
+# two-space hard break INSIDE the code fence ("line one  \n"),
+# trailing spaces in fenced code being markdownify's own non-behavior
+# (and a <b> inside pre loses its markers entirely — fence content is
+# plain text); inside a code SPAN the break splits the single-backtick
+# span across lines (`x  \ny`); inside <em> the markers SPAN the
+# break (*a  \nb* — the emphasis opens on one line and closes on the
+# next, broken CommonMark emitted verbatim); inside link TEXT the
+# break lives inside the brackets ([line  \nbreak text](/x)); inside
+# a blockquote every continuation line takes its own "> " prefix
+# after the two-space break; and a br at a paragraph EDGE (leading or
+# trailing) is chomped to nothing by the same whitespace discipline
+# that migrates edge whitespace out of inline markers.  Under the
+# no_links unwrap the br inside the link text vanishes WITH the link
+# markup ("linebreak text") — replace-with-text keeps only the text
+# nodes, the reference's unwrap semantics exactly.  Pinned as
+# bytes so any renderer change that "fixes" the broken-CommonMark
+# emissions is caught as the byte-contract break it would be.
+
+HOSTILE_BR_SEAMS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Break Seams</h1>
+        <pre>line one<br>line two<br><b>bold in pre</b></pre>
+        <p><code>x<br>y</code></p>
+        <p><em>a<br>b</em> and <strong>c<br>d</strong></p>
+        <p><a href="/x">line<br>break text</a></p>
+        <blockquote>q line<br>q next</blockquote>
+        <p><br>leading edge</p>
+        <p>trailing edge<br></p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 thirty-ninth wave: mid-article inline litter (probed live
 # before freezing) — the modern monetization/engagement widgets that
 # live INSIDE the content container, where the cascade cannot save
@@ -2681,6 +2719,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-md-injection": HOSTILE_MD_INJECTION,
     "hostile-soft-404": HOSTILE_SOFT_404,
     "hostile-inline-litter": HOSTILE_INLINE_LITTER,
+    "hostile-br-seams": HOSTILE_BR_SEAMS,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
