@@ -2378,6 +2378,43 @@ HOSTILE_QUOTE_TABLE = """
 # looks like: structurally valid markdown that only a downstream
 # quality/error filter can reject.
 
+# round-5 forty-first wave: emphasis-ADJACENCY algebra (probed live
+# before freezing) — inline runs whose markers collide when rendered
+# side by side.  Adjacent same-tag siblings fuse ambiguously
+# (<em>a</em><em>b</em> -> *a**b*, which CommonMark parses as ONE
+# emphasis around "a**b"; <strong> pairs -> **c****d**); same-tag
+# NESTING doubles the markers (<strong><strong>y -> ****y****, and
+# an inner <strong> inside outer strong TEXT emits **out **in**
+# tail** — both broken CommonMark emitted verbatim, markdownify's
+# own non-behavior); adjacent code spans fuse into what parses as
+# one span with interior backticks (`a``b`); whitespace-edged
+# siblings survive via the chomp migration (*a*  *b* — the moved
+# spaces keep the runs apart); an image-only <li> renders bullet +
+# image with no placeholder text — and under no_images the DOM-level
+# strip removes the img BEFORE rendering, so the emptied item
+# vanishes bullet and all; and tight pre<em>mid</em>post
+# emits *mid* flush against both neighbors (legal but
+# intraword-ambiguous).  Pinned as bytes so any future "fix" that
+# inserts separators or merges markers is caught as the byte break
+# it would be.
+
+HOSTILE_EM_ADJACENCY = """
+<html>
+<body>
+    <div class="content">
+        <h1>Emphasis Adjacency</h1>
+        <p><em>a</em><em>b</em> and <strong>c</strong><strong>d</strong></p>
+        <p><em><em>x</em></em> <strong><strong>y</strong></strong></p>
+        <p><strong>out <strong>in</strong> tail</strong></p>
+        <p><code>a</code><code>b</code></p>
+        <p><em>a </em><em> b</em></p>
+        <p>pre<em>mid</em>post</p>
+        <ul><li><img src="/i.png" alt="pic"></li><li>text</li></ul>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 fortieth wave: hard-break SEAMS (probed live before
 # freezing) — <br> colliding with every container whose markdown has
 # its own line discipline.  Inside <pre> the br renders as the
@@ -2720,6 +2757,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-soft-404": HOSTILE_SOFT_404,
     "hostile-inline-litter": HOSTILE_INLINE_LITTER,
     "hostile-br-seams": HOSTILE_BR_SEAMS,
+    "hostile-em-adjacency": HOSTILE_EM_ADJACENCY,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
