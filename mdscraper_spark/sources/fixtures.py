@@ -2378,6 +2378,49 @@ HOSTILE_QUOTE_TABLE = """
 # looks like: structurally valid markdown that only a downstream
 # quality/error filter can reject.
 
+# round-5 forty-second wave: inline-WRAPPING-block algebra (probed
+# live before freezing) — block elements nested inside inline
+# containers, the shape html.parser's no-implied-close parsing keeps
+# in the tree exactly as written.  An <em> wrapping paragraphs emits
+# its markers AROUND the blank-line seam (*para inside em\n\nsecond*
+# — emphasis opening in one paragraph and closing two blocks later,
+# broken CommonMark verbatim); an <em> wrapping a table emits *lead
+# ... | cell |* with the closing marker after the table's last pipe;
+# a <p> inside a <span> inside a <p> splits the outer paragraph at
+# the block boundary ("before span / para in span / tail after" as
+# three blocks — inline wrappers contribute no seam of their own); a
+# heading inside an unclosed <p> renders as its own block mid-flow;
+# an <a> wrapping an <li> puts the bullet marker INSIDE the link
+# text ([* linked item](/x) — the list-flavored twin of the wave-31
+# card pattern); a <dd> with no preceding <dt> renders its lonely
+# ":   definition" shape and a trailing <dt> falls through to plain
+# text; and an empty <table> contributes nothing.  Bonus pins: the
+# seam between two inline-wrapped blocks is a SINGLE newline
+# (second*\n*lead — the wrappers swallow the blank line), the
+# no_links unwrap drops the bullet marker WITH the link markup
+# ("linked item" bare), and the hs_* heading-space variants stack
+# their inserted blanks before the mid-flow heading.  Pinned as
+# bytes so a future "fix" that closes inline markers at block seams
+# is caught as the byte break it would be.
+
+HOSTILE_INLINE_WRAP_BLOCK = """
+<html>
+<body>
+    <div class="content">
+        <h1>Inline Wrapping Block</h1>
+        <p>before <span>span <p>para in span</p> tail</span> after</p>
+        <em><p>para inside em</p><p>second</p></em>
+        <em>lead<table><tr><td>cell</td></tr></table></em>
+        <p>start <h2>head in p</h2> end</p>
+        <ul><a href="/x"><li>linked item</li></a></ul>
+        <dl><dd>lonely definition</dd><dt>term after</dt></dl>
+        <table></table>
+        <p>after all</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-first wave: emphasis-ADJACENCY algebra (probed live
 # before freezing) — inline runs whose markers collide when rendered
 # side by side.  Adjacent same-tag siblings fuse ambiguously
@@ -2758,6 +2801,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-inline-litter": HOSTILE_INLINE_LITTER,
     "hostile-br-seams": HOSTILE_BR_SEAMS,
     "hostile-em-adjacency": HOSTILE_EM_ADJACENCY,
+    "hostile-inline-wrap-block": HOSTILE_INLINE_WRAP_BLOCK,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
