@@ -2378,6 +2378,39 @@ HOSTILE_QUOTE_TABLE = """
 # looks like: structurally valid markdown that only a downstream
 # quality/error filter can reject.
 
+# round-5 forty-third wave: attribute-VALUE and sequence edges
+# (probed live before freezing).  <ol start> algebra: start="0"
+# renders a zero-based ordinal ("0. zero"), while negative and
+# non-numeric start values fall back to 1 — only a nonnegative
+# integer parse is honored; a stray </br> END tag drops silently
+# (html.parser emits an unmatched end tag, the renderer has no
+# handler) while <br/> startendtag breaks normally — so "a</br>b"
+# glues to "ab"; a whitespace-only <pre> still emits the fence PAIR
+# around a blank interior line (``` / blank / ```) rather than
+# vanishing like an empty inline; a <caption> arriving AFTER the
+# rows renders below the table joined by a single newline (caption
+# emission is document-order, not spec-order hoisting); and an <li>
+# wrapped in a <div> inside its <ul> renders as a normal bullet —
+# block wrappers are transparent inside list containers (no
+# orphan-li dash, since the ancestor list is still found).
+
+HOSTILE_VALUE_SEQUENCE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Value And Sequence</h1>
+        <ol start="0"><li>zero</li></ol>
+        <ol start="-3"><li>neg</li></ol>
+        <ol start="x"><li>alpha</li></ol>
+        <p>a</br>b<br/>c</p>
+        <pre>   \n\t\n</pre>
+        <table><tr><td>r1</td></tr><caption>late caption</caption></table>
+        <ul><div><li>wrapped item</li></div></ul>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-second wave: inline-WRAPPING-block algebra (probed
 # live before freezing) — block elements nested inside inline
 # containers, the shape html.parser's no-implied-close parsing keeps
@@ -2802,6 +2835,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-br-seams": HOSTILE_BR_SEAMS,
     "hostile-em-adjacency": HOSTILE_EM_ADJACENCY,
     "hostile-inline-wrap-block": HOSTILE_INLINE_WRAP_BLOCK,
+    "hostile-value-sequence": HOSTILE_VALUE_SEQUENCE,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
