@@ -2378,6 +2378,42 @@ HOSTILE_QUOTE_TABLE = """
 # looks like: structurally valid markdown that only a downstream
 # quality/error filter can reject.
 
+# round-5 forty-fourth wave: row-HEADER tables and definition
+# composition (probed live before freezing).  The wiki-infobox
+# staple with row-scope headers — every row "<th>key</th><td>val"
+# — does NOT promote its first row to the markdown header: header
+# election needs an all-th first row (or thead), so the mixed th+td
+# row falls through to the padded-empty-header shape with every
+# key/val pair a body row; a link wrapping image AND text renders
+# both inside one bracket pair ([![pic](/i.png) caption text](/x));
+# an empty <ul> contributes nothing and an empty <li> vanishes
+# entirely — no bare bullet; two <tbody> sections merge seamlessly
+# into one row run; a <dl> nested inside a <dd> flattens its term
+# into the definition chain (outer\n:   inner\n:   deep def — the
+# inner term rides a ":" line); and a <ul> inside a <dd> puts only
+# the FIRST item on the ":   " indent while following items fall
+# back to column zero (":   * one\n* two" — broken alignment
+# emitted verbatim).  Pinned as bytes so header-election or
+# dd-indent "fixes" surface as the byte breaks they would be.
+
+HOSTILE_ROW_HEADERS_DL = """
+<html>
+<body>
+    <div class="content">
+        <h1>Row Headers And Definitions</h1>
+        <table><tr><th>key</th><td>val1</td></tr><tr><th>k2</th><td>val2</td></tr></table>
+        <p><a href="/x"><img src="/i.png" alt="pic"> caption text</a></p>
+        <ul></ul>
+        <p>mid</p>
+        <ul><li></li><li>real</li></ul>
+        <table><tbody><tr><td>a</td></tr></tbody><tbody><tr><td>b</td></tr></tbody></table>
+        <dl><dt>outer</dt><dd><dl><dt>inner</dt><dd>deep def</dd></dl></dd></dl>
+        <dl><dt>term</dt><dd><ul><li>one</li><li>two</li></ul></dd></dl>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-third wave: attribute-VALUE and sequence edges
 # (probed live before freezing).  <ol start> algebra: start="0"
 # renders a zero-based ordinal ("0. zero"), while negative and
@@ -2836,6 +2872,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-em-adjacency": HOSTILE_EM_ADJACENCY,
     "hostile-inline-wrap-block": HOSTILE_INLINE_WRAP_BLOCK,
     "hostile-value-sequence": HOSTILE_VALUE_SEQUENCE,
+    "hostile-row-headers-dl": HOSTILE_ROW_HEADERS_DL,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
