@@ -2378,6 +2378,43 @@ HOSTILE_QUOTE_TABLE = """
 # looks like: structurally valid markdown that only a downstream
 # quality/error filter can reject.
 
+# round-5 forty-fifth wave: fence and heading FLATTENING (probed
+# live before freezing).  Inside <pre>, markup is flattened
+# ASYMMETRICALLY: an <a> strips to bare text ("see the doc here")
+# while an <img> keeps its full markdown syntax inside the fence
+# ("before ![pic](/i.png) after") — the link/image conversion rules
+# diverge in code context; a <pre> nested in a <pre> emits a fence
+# INSIDE the outer fence (broken fence structure verbatim); a
+# heading WRAPPING a table flattens the whole table into the one
+# heading line ("## head | | | --- | | cell | tail" — heading line
+# discipline wins over table layout); a heading inside a heading
+# loses its markers and glues ("## outerinnertail"); a code span
+# whose content starts or ends with a backtick collides with the
+# single-backtick wrap (``lead` / `trail`` — ambiguous CommonMark
+# verbatim); code-wrapped newlines inside <pre><code> survive as
+# blank interior fence lines; and an empty <blockquote> vanishes.
+# Pinned as bytes so any normalization of these collisions is
+# caught as the byte-contract break it would be.
+
+HOSTILE_FENCE_FLATTEN = """
+<html>
+<body>
+    <div class="content">
+        <h1>Fence And Heading Flattening</h1>
+        <pre>see <a href="/doc">the doc</a> here</pre>
+        <pre>before <img src="/i.png" alt="pic"> after</pre>
+        <pre>outer <pre>inner</pre> tail</pre>
+        <h2>head <table><tr><td>cell</td></tr></table> tail</h2>
+        <h2>outer <h3>inner</h3> tail</h2>
+        <p><code>`lead</code> and <code>trail`</code></p>
+        <pre><code>\nx\n</code></pre>
+        <blockquote></blockquote>
+        <p>after all</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-fourth wave: row-HEADER tables and definition
 # composition (probed live before freezing).  The wiki-infobox
 # staple with row-scope headers — every row "<th>key</th><td>val"
@@ -2873,6 +2910,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-inline-wrap-block": HOSTILE_INLINE_WRAP_BLOCK,
     "hostile-value-sequence": HOSTILE_VALUE_SEQUENCE,
     "hostile-row-headers-dl": HOSTILE_ROW_HEADERS_DL,
+    "hostile-fence-flatten": HOSTILE_FENCE_FLATTEN,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
