@@ -2378,6 +2378,38 @@ HOSTILE_QUOTE_TABLE = """
 # looks like: structurally valid markdown that only a downstream
 # quality/error filter can reject.
 
+# round-5 forty-sixth wave: entity-COLLISION algebra (probed live
+# before freezing).  Entity-produced markdown metacharacters join
+# the escape contract exactly like literal ones — &#42; and &#95;
+# escape to \\* and \\_ in flow text — BUT &#96; emits a bare
+# backtick that a downstream CommonMark parser reads as a live code
+# span (`tick` — backtick is outside the star/underscore-only
+# escape set: an entity-encoded injection surface pinned verbatim);
+# a <code> whose content IS one backtick glues wrapper+content into
+# ``` (three backticks, broken CommonMark); double-encoded text
+# (&amp;lt;) unescapes exactly ONE level to the literal string
+# "&lt;p&gt;" while single-encoded &lt;b&gt; lands as live-looking
+# "<b>not bold</b>" TEXT in the markdown — inline HTML to any
+# downstream renderer; code-span edge whitespace is TRIMMED
+# (`padded`), unlike the verbatim interior contract; and ragged
+# tables stay ragged — a short row emits fewer cells than the
+# header, an over-long row overflows it, no padding or truncation.
+
+HOSTILE_ENTITY_COLLISION = """
+<html>
+<body>
+    <div class="content">
+        <h1>Entity Collisions</h1>
+        <p>&#42;not em&#42; vs *esc* and &#95;und&#95; vs _u_</p>
+        <p>&#96;tick&#96; and <code>&#96;</code></p>
+        <p>&amp;lt;p&amp;gt; shows literal &lt;b&gt;not bold&lt;/b&gt;</p>
+        <p><code>  padded  </code>x</p>
+        <table><tr><th>a</th><th>b</th></tr><tr><td>1</td></tr><tr><td>1</td><td>2</td><td>3</td></tr></table>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-fifth wave: fence and heading FLATTENING (probed
 # live before freezing).  Inside <pre>, markup is flattened
 # ASYMMETRICALLY: an <a> strips to bare text ("see the doc here")
@@ -2911,6 +2943,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-value-sequence": HOSTILE_VALUE_SEQUENCE,
     "hostile-row-headers-dl": HOSTILE_ROW_HEADERS_DL,
     "hostile-fence-flatten": HOSTILE_FENCE_FLATTEN,
+    "hostile-entity-collision": HOSTILE_ENTITY_COLLISION,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
