@@ -2378,6 +2378,33 @@ HOSTILE_QUOTE_TABLE = """
 # looks like: structurally valid markdown that only a downstream
 # quality/error filter can reject.
 
+# round-5 forty-seventh wave: list-INDENT and attribute-transparency
+# edges (probed live before freezing).  An <ol> nested in an <ol>
+# item indents its own numbering three spaces under the parent
+# ordinal ("1. one\n   1. nested" — the ordered twin of the ul
+# bullet cycle); an href with literal edge whitespace emits it INTO
+# the destination parens ("[padded href](  /padded  )" — a broken
+# CommonMark destination pinned verbatim, the attribute-value
+# preservation contract applied to link targets); an inline
+# style="display:none" is NEVER consulted — the span's text renders
+# (the CSS twin of the hidden-attribute and aria-hidden pins); and
+# an <img src="#"> renders the fragment-only source verbatim
+# (![hash src](#)).
+
+HOSTILE_LIST_INDENT_ATTR = """
+<html>
+<body>
+    <div class="content">
+        <h1>List Indent And Transparency</h1>
+        <ol><li>one<ol><li>nested</li></ol></li><li>two</li></ol>
+        <p><a href="  /padded  ">padded href</a></p>
+        <p><span style="display:none">invisible?</span> visible</p>
+        <p><img src="#" alt="hash src"></p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-sixth wave: entity-COLLISION algebra (probed live
 # before freezing).  Entity-produced markdown metacharacters join
 # the escape contract exactly like literal ones — &#42; and &#95;
@@ -2944,6 +2971,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-row-headers-dl": HOSTILE_ROW_HEADERS_DL,
     "hostile-fence-flatten": HOSTILE_FENCE_FLATTEN,
     "hostile-entity-collision": HOSTILE_ENTITY_COLLISION,
+    "hostile-list-indent-attr": HOSTILE_LIST_INDENT_ATTR,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
