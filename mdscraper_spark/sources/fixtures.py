@@ -2378,6 +2378,56 @@ HOSTILE_QUOTE_TABLE = """
 # looks like: structurally valid markdown that only a downstream
 # quality/error filter can reject.
 
+# round-5 forty-eighth wave: election-vs-EXCLUSION order (probed
+# live before freezing) — the pipeline-composition pins.  Container
+# election runs BEFORE selector exclusion: a div.content nested
+# inside an excluded-class ancestor still wins and renders fully
+# under the exclude variant (the sweep never looks above the
+# elected root); a container whose OWN class list matches an
+# exclude selector is immune — the sweep removes matches INSIDE the
+# container, never the container itself; a container whose entire
+# interior matches the exclude selector renders to nothing and pins
+# the render_empty status under the exclude variant while the
+# default variant keeps the text (the one case in this fixture
+# where the two variants diverge in STATUS, not just bytes); and an
+# img-only FIRST h1 yields the empty-string title via the strip-all
+# title probe — beating a real second h1 — while the h1 itself
+# still renders its alt text as a heading.
+
+HOSTILE_ELECTION_ORDER = """
+<html>
+<body>
+    <div class="ads"><div class="content"><h1>Inside Ads</h1><p>election beats ancestor exclusion</p></div></div>
+</body>
+</html>
+"""
+
+HOSTILE_SELF_EXCLUDE = """
+<html>
+<body>
+    <div class="content ads"><h1>Self Match</h1><p>container immune to its own selector</p>
+        <div class="ads">interior ad stripped under exclude</div>
+    </div>
+</body>
+</html>
+"""
+
+HOSTILE_EXCLUDE_ALL_INTERIOR = """
+<html>
+<body>
+    <div class="content"><div class="ads"><p>only child</p></div></div>
+</body>
+</html>
+"""
+
+HOSTILE_IMG_ONLY_TITLE = """
+<html>
+<body>
+    <div class="content"><h1><img src="/l.png" alt="Logo Alt"></h1><h1>Second H1</h1><p>tail</p></div>
+</body>
+</html>
+"""
+
 # round-5 forty-seventh wave: list-INDENT and attribute-transparency
 # edges (probed live before freezing).  An <ol> nested in an <ol>
 # item indents its own numbering three spaces under the parent
@@ -2972,6 +3022,10 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-fence-flatten": HOSTILE_FENCE_FLATTEN,
     "hostile-entity-collision": HOSTILE_ENTITY_COLLISION,
     "hostile-list-indent-attr": HOSTILE_LIST_INDENT_ATTR,
+    "hostile-election-order": HOSTILE_ELECTION_ORDER,
+    "hostile-self-exclude": HOSTILE_SELF_EXCLUDE,
+    "hostile-exclude-all-interior": HOSTILE_EXCLUDE_ALL_INTERIOR,
+    "hostile-img-only-title": HOSTILE_IMG_ONLY_TITLE,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
