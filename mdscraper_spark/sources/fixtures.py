@@ -2378,6 +2378,35 @@ HOSTILE_QUOTE_TABLE = """
 # looks like: structurally valid markdown that only a downstream
 # quality/error filter can reject.
 
+# round-5 forty-ninth wave: heading-HASH and rule-text collisions
+# (probed live before freezing).  Source text whose bytes collide
+# with ATX/thematic syntax at line level: a heading whose text ENDS
+# in " ##" emits "## head ##" — a closing-hash sequence that
+# downstream CommonMark parses as heading text "head", silently
+# truncating the real content (nothing is escaped — #, like every
+# non-*/_ metacharacter, passes verbatim); a leading "# " inside an
+# h2 emits "## # lead"; a paragraph of bare "---" emits a line
+# indistinguishable from the <hr> rendering (thematic-break
+# injection) and "===" under a paragraph forms a setext-heading
+# trap — both pass byte-verbatim per the markdownify escape
+# contract already pinned for inline metacharacters.
+
+HOSTILE_HEADING_HASH = """
+<html>
+<body>
+    <div class="content">
+        <h1>Heading Hash Collisions</h1>
+        <h2>head ##</h2>
+        <h2># lead</h2>
+        <h2>mid # hash</h2>
+        <p>---</p>
+        <p>previous line</p>
+        <p>===</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-eighth wave: election-vs-EXCLUSION order (probed
 # live before freezing) — the pipeline-composition pins.  Container
 # election runs BEFORE selector exclusion: a div.content nested
@@ -3026,6 +3055,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-self-exclude": HOSTILE_SELF_EXCLUDE,
     "hostile-exclude-all-interior": HOSTILE_EXCLUDE_ALL_INTERIOR,
     "hostile-img-only-title": HOSTILE_IMG_ONLY_TITLE,
+    "hostile-heading-hash": HOSTILE_HEADING_HASH,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
