@@ -2378,6 +2378,39 @@ HOSTILE_QUOTE_TABLE = """
 # looks like: structurally valid markdown that only a downstream
 # quality/error filter can reject.
 
+# round-5 fiftieth wave: raw-byte FENCE interiors and widget glue
+# (probed live before freezing).  <pre> content BYPASSES the
+# newline-convention normalization that flow text gets: CR and CRLF
+# survive as raw bytes inside the fence ("line1\r\nline2\rline3" —
+# the wave-22 CR->LF collapse is a flow-text rule, not a document
+# rule; golden bytes prove the divergence); an SVG-style
+# <a xlink:href> is NOT a link — the link handler consults only the
+# plain href attribute, so the anchor strips to bare text; a
+# <button> wrapping block content is transparent (its paragraphs
+# and lists render as ordinary blocks); adjacent <button> siblings
+# GLUE with no seam ("Tab1Tab2" — the tab-widget chrome shape);
+# a hidden tab panel still renders (the hidden-attribute
+# transparency pin composing with widget markup); and an <a name>
+# carrying text renders the text with no link syntax (only EMPTY
+# name anchors vanish).
+
+HOSTILE_FENCE_BYTES_WIDGETS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Fence Bytes And Widget Glue</h1>
+        <pre>line1\r\nline2\rline3</pre>
+        <svg><a xlink:href="/x">svg link text</a></svg>
+        <button><p>para in button</p><ul><li>item</li></ul></button>
+        <div role="tablist"><button>Tab1</button><button>Tab2</button></div>
+        <div role="tabpanel">panel one</div>
+        <div role="tabpanel" hidden>panel two</div>
+        <p><a name="anchor">named anchor WITH text</a></p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3056,6 +3089,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-exclude-all-interior": HOSTILE_EXCLUDE_ALL_INTERIOR,
     "hostile-img-only-title": HOSTILE_IMG_ONLY_TITLE,
     "hostile-heading-hash": HOSTILE_HEADING_HASH,
+    "hostile-fence-bytes-widgets": HOSTILE_FENCE_BYTES_WIDGETS,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
