@@ -2411,6 +2411,71 @@ HOSTILE_FENCE_BYTES_WIDGETS = """
 </html>
 """
 
+# round-5 fifty-first wave: pre-IN-list indentation and link-wrapping-
+# BLOCK content (probed live before freezing).  A <pre> inside a list
+# item emits an INDENTED fence (two-space continuation under the
+# bullet, blank-line separated from the item's lead text — the only
+# place a fence is not flush-left); an <a> wrapping block content
+# inlines the blocks' rendered text INSIDE the link syntax, newlines
+# and all ("[block para\n\n* item in link](/x)" — broken CommonMark,
+# byte-pinned as the contract); an <a> wrapping a heading emits
+# "[## heading](/y)" (hash markers swallowed into the link text),
+# the mirror of the normal "## [link](/z)" when nesting is inverted;
+# and an <a> wrapping a whole table carries the pipe rows into the
+# link text.  These pins fence the inline-context propagation rule:
+# block renderers never re-check whether an ancestor is a link.
+
+HOSTILE_LIST_PRE_LINKBLOCK = """
+<html>
+<body>
+    <div class="content">
+        <h1>Pre In List, Block In Link</h1>
+        <ul><li>intro<pre>code line1
+code line2</pre>tail</li><li><p>para</p><pre>fenced in second</pre></li></ul>
+        <a href="/x"><div><p>block inside link</p><ul><li>item in link</li></ul></div></a>
+        <a href="/y"><h2>heading inside link</h2></a>
+        <h2><a href="/z">link inside heading</a></h2>
+        <a href="/t"><table><tr><th>h</th></tr><tr><td>c</td></tr></table></a>
+    </div>
+</body>
+</html>
+"""
+
+# round-5 fifty-first wave, second case: RAWTEXT tail seams (probed
+# live before freezing).  html.parser ends script rawtext at the FIRST
+# "</script>" regardless of the old double-escape idiom, so
+# "<script><!--<script>...</script>-->leaked?</script>" leaks
+# "-->leaked?" into flow text (browsers' double-escaped state would
+# swallow it — divergence pinned as bytes); a style body containing
+# the SUBSTRING "</style" inside a quoted CSS string does NOT end the
+# rawtext (no ">" after the tag name ends the end-tag open state
+# here) so the whole rule stays css-stripped; <script
+# type="text/template"> markup content is rawtext like any script —
+# its <p> never reaches the tree; a SELF-CLOSED <script src="/x.js"/>
+# does NOT swallow following content (html.parser honors the slash
+# where browsers would not — divergence pinned); <svg><script> is
+# dropped with its foreign subtree; and head-level <noscript> /
+# <noframes> contribute nothing to the body.
+
+HOSTILE_RAWTEXT_TAILS = """
+<html>
+<head><noscript><p>head noscript para</p></noscript><noframes>raw <b>noframes</b> body</noframes></head>
+<body>
+    <div class="content">
+        <h1>Rawtext Tails</h1>
+        <p>before script</p>
+        <script><!--<script>var x=1;</script>-->leaked?</script>
+        <p>mid</p>
+        <style>p::before{content:"</style"}</style>
+        <p>after style</p>
+        <script type="text/template"><p>template para</p></script>
+        <svg><script>var inSvg=1;</script><circle/></svg>
+        <script src="/x.js"/><p>after self-closed script</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3090,6 +3155,8 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-img-only-title": HOSTILE_IMG_ONLY_TITLE,
     "hostile-heading-hash": HOSTILE_HEADING_HASH,
     "hostile-fence-bytes-widgets": HOSTILE_FENCE_BYTES_WIDGETS,
+    "hostile-list-pre-linkblock": HOSTILE_LIST_PRE_LINKBLOCK,
+    "hostile-rawtext-tails": HOSTILE_RAWTEXT_TAILS,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,

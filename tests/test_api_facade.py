@@ -15,7 +15,10 @@ def test_fetch_content_matches_goldens():
     s = MdScraperSpark()
     for case_id, html in FIXTURE_CASES.items():
         got = s.fetch_content(fixture_url(case_id), html)
-        golden = (GOLDEN_DIR / f"{case_id}__default.md").read_text()
+        # newline="" keeps raw \r bytes (fence-interior goldens pin
+        # them); read_text()'s universal-newline mode would fold them
+        golden = (GOLDEN_DIR / f"{case_id}__default.md") \
+            .read_bytes().decode("utf-8")
         if golden.startswith("<<status:"):
             assert got is None
         else:
