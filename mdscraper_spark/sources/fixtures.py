@@ -2476,6 +2476,38 @@ HOSTILE_RAWTEXT_TAILS = """
 </html>
 """
 
+# round-5 fifty-second wave: ORPHAN table fragments and empty-URL
+# asymmetry (probed live before freezing).  A <td>/<th>/<tr> with no
+# table ancestor still runs the cell renderer — an orphan <td> emits
+# the bare fragment " text |" (trailing pipe, no leading pipe), an
+# orphan <tr> a full "| a | b |" row, an orphan <th> the same
+# trailing-pipe fragment — pipe-table debris with no header/separator
+# row, pinned as the foster-parenting-free contract (html.parser
+# leaves misplaced cells in place; browsers would foster-parent).
+# Empty URLs are ASYMMETRIC: <a href=""> unwraps to bare text (the
+# empty-href gate) while <img src=""> still emits "![alt]()" — an
+# image keeps its syntax with an empty target.  A no-href <a> also
+# unwraps.  <marquee>/<blink> and a colon-named unknown tag
+# (<foo:bar>) are transparent, gluing adjacent runs seamlessly.
+
+HOSTILE_ORPHAN_CELLS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Orphan Cells And Empty URLs</h1>
+        <td>orphan cell text</td>
+        <tr><td>orphan row cell a</td><td>cell b</td></tr>
+        <th>orphan header</th>
+        <p><a href="">empty href link</a> and <a>no href anchor</a></p>
+        <p><img src="" alt="empty src"> stays image syntax</p>
+        <marquee>scrolling text</marquee><blink>blinking</blink>
+        <foo:bar>colon tag text</foo:bar>
+        <p>tail</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3157,6 +3189,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-fence-bytes-widgets": HOSTILE_FENCE_BYTES_WIDGETS,
     "hostile-list-pre-linkblock": HOSTILE_LIST_PRE_LINKBLOCK,
     "hostile-rawtext-tails": HOSTILE_RAWTEXT_TAILS,
+    "hostile-orphan-cells": HOSTILE_ORPHAN_CELLS,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
