@@ -2508,6 +2508,46 @@ HOSTILE_ORPHAN_CELLS = """
 </html>
 """
 
+# round-5 fifty-third wave: election SCOPE — which elements can carry
+# the content marker at all (probed live before freezing).  The
+# cascade's candidate set is structural, not universal: a div.content
+# nested inside a table CELL is elected normally (the td/table chrome
+# above it never leaks into the render; a sibling cell vanishes; an
+# inner table inside the elected div still renders with the pinned
+# padded empty-header row); the content CLASS on a <span> is
+# invisible to election — with a decoy div present, largest-div
+# fallback elects the decoy, the span's text is lost, and the absent
+# h1 triggers the "# Webpage" default-title injection; and the
+# content class on a <td> in a div-free document elects nothing at
+# all — the whole page fails with the no_content status sentinel in
+# every variant, the per-row error isolation surface of a page whose
+# only marker sits on a non-candidate element.
+
+HOSTILE_CONTENT_IN_CELL = """
+<html>
+<body>
+    <table><tr><td><div class="content"><h1>In Cell</h1><p>content div inside a table cell</p><table><tr><td>inner table</td></tr></table></div></td><td>sibling cell never renders</td></tr></table>
+</body>
+</html>
+"""
+
+HOSTILE_NONCANDIDATE_CLASS = """
+<html>
+<body>
+    <span class="content">span carries the magic class but is invisible to election</span>
+    <div class="sidebar"><p>decoy div wins largest-div fallback</p></div>
+</body>
+</html>
+"""
+
+HOSTILE_CLASS_ON_TD = """
+<html>
+<body>
+    <table><tr><td class="content"><p>cell content class</p></td><td>other</td></tr></table>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3190,6 +3230,9 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-list-pre-linkblock": HOSTILE_LIST_PRE_LINKBLOCK,
     "hostile-rawtext-tails": HOSTILE_RAWTEXT_TAILS,
     "hostile-orphan-cells": HOSTILE_ORPHAN_CELLS,
+    "hostile-content-in-cell": HOSTILE_CONTENT_IN_CELL,
+    "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
+    "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
     "hostile-form-table": HOSTILE_FORM_TABLE,
     "hostile-render-empty": HOSTILE_RENDER_EMPTY,
