@@ -2548,6 +2548,33 @@ HOSTILE_CLASS_ON_TD = """
 </html>
 """
 
+# round-5 fifty-fourth wave: nested-LINK syntax and rule/emphasis
+# containers (probed live before freezing).  html.parser does NOT
+# auto-close an <a> when another <a> opens (browsers would), so a
+# nested anchor emits nested link syntax byte-verbatim —
+# "[outer [inner](/b) tail](/a)" — markdown no CommonMark parser
+# reads as two links (divergence pinned as the contract, and the
+# no_links variant flattens both layers to bare glued text); an
+# emphasis element wrapping ONLY an image emits star-wrapped image
+# syntax "*![alt](/src)*"; an <hr> inside a list item renders as an
+# indented continuation rule under the bullet, and inside a
+# blockquote as a quoted "> ---" line — both compositions downstream
+# CommonMark re-interprets differently than a top-level rule.
+
+HOSTILE_NESTED_LINKS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Nested Links And Rule Containers</h1>
+        <p><a href="/a">outer <a href="/b">inner link</a> tail</a></p>
+        <p><em><img src="/i.png" alt="em img"></em> and <strong><img src="/j.png" alt="strong img"></strong></p>
+        <ul><li>item<hr>after rule</li></ul>
+        <blockquote><hr><p>quoted after rule</p></blockquote>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3231,6 +3258,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-rawtext-tails": HOSTILE_RAWTEXT_TAILS,
     "hostile-orphan-cells": HOSTILE_ORPHAN_CELLS,
     "hostile-content-in-cell": HOSTILE_CONTENT_IN_CELL,
+    "hostile-nested-links": HOSTILE_NESTED_LINKS,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
