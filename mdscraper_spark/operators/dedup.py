@@ -610,6 +610,73 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# per-host boilerplate template removal (SURVEY J60)
+# ---------------------------------------------------------------------------
+
+def host_boilerplate_scrub(df: DataFrame, host_col: str = "source",
+                           text_col: str = "text", id_col: str = "doc_id",
+                           min_frac: float = 0.5,
+                           min_docs: int = 3) -> DataFrame:
+    """(doc_id, clean_text, n_removed): remove every line that is HOST
+    TEMPLATE — appearing on at least ``max(min_docs,
+    ceil(min_frac * n_docs_host))`` distinct documents of the SAME
+    host — the trafilatura/boilerpipe-style site-template scrub.
+
+    Distinct from ``paragraph_dedup`` in both scope and verdict:
+    dedup is corpus-global and keeps the FIRST occurrence; template
+    removal is host-local and strips ALL occurrences (the nav bar is
+    boilerplate on the page where it first appeared too).  Lines
+    shared across hosts but rare within each host (quotes, citations)
+    survive — exactly the split a crawl pipeline wants between
+    site chrome and genuinely duplicated content.
+
+    Whitespace-only lines are structure, not content: never counted,
+    never removed, and routed AROUND the template join (at crawl scale
+    the empty line is the hottest key in the corpus).  Every input doc
+    survives, even if fully scrubbed (``clean_text``='').
+
+    Scale shape: explode is narrow; the line census is one
+    map-side-combinable distinct-agg on (host, line); the template
+    table is only the OVER-threshold subset — bounded by template size
+    per host, not corpus size — joined back on (host, line) with AQE
+    skew handling for hub hosts; reassembly is one groupBy(doc_id).
+    No driver state at any size."""
+    host = F.coalesce(F.col(host_col), F.lit("")).alias("host")
+    e = df.select(F.col(id_col).alias("doc_id"), host,
+                  F.posexplode(F.split(F.coalesce(F.col(text_col),
+                                                  F.lit("")), "\n"))
+                  .alias("pos", "para"))
+    dedupable = ws_strip(F.col("para")) != ""
+    ded = e.filter(dedupable)
+    host_totals = (df.select(host, F.col(id_col).alias("doc_id"))
+                   .groupBy("host")
+                   .agg(F.countDistinct("doc_id").alias("n_docs")))
+    line_docs = (ded.groupBy("host", "para")
+                 .agg(F.countDistinct("doc_id").alias("n_line_docs")))
+    threshold = F.greatest(F.lit(min_docs),
+                           F.ceil(F.lit(min_frac) * F.col("n_docs")))
+    template = (line_docs.join(host_totals, "host")
+                .filter(F.col("n_line_docs") >= threshold)
+                .select("host", "para", F.lit(True).alias("bp")))
+    flagged = (ded.join(template, ["host", "para"], "left")
+               .select("doc_id", "pos", "para",
+                       F.col("bp").isNull().alias("keep"))
+               .unionByName(e.filter(~dedupable)
+                            .select("doc_id", "pos", "para",
+                                    F.lit(True).alias("keep"))))
+    return (flagged.groupBy("doc_id")
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("keep"),
+                                    F.struct("pos", "para")))),
+                         lambda s: s["para"]),
+                     "\n").alias("clean_text"),
+                 F.sum(F.when(F.col("keep"), F.lit(0)).otherwise(F.lit(1)))
+                 .cast("bigint").alias("n_removed")))
+
+
+# ---------------------------------------------------------------------------
 # dedup-grade text canonicalization (SURVEY J34)
 # ---------------------------------------------------------------------------
 

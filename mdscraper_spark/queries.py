@@ -1544,6 +1544,80 @@ def paragraph_dedup(spark, sf_dir):
     return dedup.paragraph_dedup(injected)
 
 
+@register("host_boilerplate_scrub", """
+WITH p AS (
+  SELECT doc_id, coalesce(source, 'unk') AS host,
+         'nav home about ' || coalesce(source, 'unk') || chr(10) ||
+         text ||
+         CASE WHEN doc_id % 100 < 40
+              THEN chr(10) || 'subscribe to our newsletter' ELSE '' END ||
+         chr(10) || 'copyright 2025 ' || coalesce(source, 'unk') AS text
+  FROM documents
+), d AS (
+  SELECT doc_id, host, str_split(text, chr(10)) AS paras FROM p
+), e AS (
+  SELECT doc_id, host, unnest(paras) AS para,
+         CAST(unnest(range(0, len(paras))) AS BIGINT) AS pos
+  FROM d
+), nz AS (
+  SELECT * FROM e
+  WHERE regexp_replace(para, '^\\s+|\\s+$', '', 'g') <> ''
+), ht AS (
+  SELECT host, count(DISTINCT doc_id) AS n_docs FROM p GROUP BY host
+), lc AS (
+  SELECT host, para, count(DISTINCT doc_id) AS n_line_docs
+  FROM nz GROUP BY host, para
+), bp AS (
+  SELECT lc.host, lc.para
+  FROM lc JOIN ht USING (host)
+  WHERE n_line_docs >= greatest(3, CAST(ceil(0.5 * n_docs) AS BIGINT))
+), k AS (
+  SELECT e.doc_id, e.pos, e.para
+  FROM e LEFT JOIN bp ON e.host = bp.host AND e.para = bp.para
+  WHERE bp.para IS NULL
+), g AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS sa,
+         count(*) AS nk
+  FROM k GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(g.sa, '') AS clean_text,
+       CAST(t.n_paras - coalesce(g.nk, 0) AS BIGINT) AS n_removed
+FROM (SELECT doc_id, len(paras) AS n_paras FROM d) t
+LEFT JOIN g ON t.doc_id = g.doc_id
+""")
+def host_boilerplate_scrub(spark, sf_dir):
+    """Per-host boilerplate template removal (J60): a line on >=
+    max(3, ceil(50% of the host's docs)) distinct documents of the
+    SAME host is site chrome — ALL its occurrences are stripped,
+    first included, unlike paragraph_dedup's keep-first corpus
+    dedup.  The synthetic corpus is single-line per doc, so (same
+    device as the paragraph_dedup row) both engines wrap each doc in
+    deterministic template lines: a per-source nav line and copyright
+    footer on EVERY doc of the source (over threshold -> scrubbed),
+    a newsletter plug on ~40% of docs (under the 50% threshold ->
+    survives), and the unique body line (survives).  Ws-only lines
+    would be structure, never content; the synthetic corpus has none,
+    and the operator routes them around the template join entirely.
+    The oracle's LEFT JOIN twin replays threshold, scrub, and the
+    positional string_agg rebuild exactly."""
+    nav = F.concat(F.lit("nav home about "),
+                   F.coalesce(F.col("source"), F.lit("unk")))
+    footer = F.concat(F.lit("copyright 2025 "),
+                      F.coalesce(F.col("source"), F.lit("unk")))
+    plug = F.when(F.col("doc_id") % 100 < 40,
+                  F.lit("\nsubscribe to our newsletter")).otherwise(F.lit(""))
+    multi = F.concat(nav, F.lit("\n"), F.col("text"), plug,
+                     F.lit("\n"), footer)
+    injected = (load(spark, sf_dir, "documents", fan_out=True)
+                .select("doc_id",
+                        F.coalesce(F.col("source"), F.lit("unk"))
+                        .alias("source"),
+                        multi.alias("text")))
+    return dedup.host_boilerplate_scrub(injected, host_col="source",
+                                        min_frac=0.5, min_docs=3)
+
+
 @register("doc_chunks",
           textstats.sql_chunk_documents("documents", 16, 4))
 def doc_chunks(spark, sf_dir):
@@ -3246,6 +3320,7 @@ _DRIVER_ORDER = [
     "weighted_sample_docs",  # last driver-green: r00
     "winnowing_fingerprints",  # last driver-green: r00
     "winnowing_shared_pairs",  # last driver-green: r00
+    "host_boilerplate_scrub",  # last driver-green: r00 (new round 5)
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -3254,9 +3329,11 @@ _DRIVER_ORDER = [
     "cosine_topk",  # last driver-green: r03
     "dedup_embedding_pairs",  # last driver-green: r03
     "doc_chunks",  # last driver-green: r03
-    "doc_fingerprint",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "doc_fingerprint",  # last driver-green: r03 (demoted for
+    #                   # host_boilerplate_scrub; covered by
+    #                   # tests/test_textstats_extra.py + check_oracle)
     "doc_lang_guess",  # last driver-green: r03 (demoted for
     #                  # kg_snapshot_diff; covered by
     #                  # tests/test_textstats_extra.py + check_oracle)

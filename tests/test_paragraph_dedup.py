@@ -80,3 +80,96 @@ def test_differential_python_replay_and_partition_invariance(spark):
 def test_null_text_doc_survives(spark):
     got = _run(spark, [(0, "x"), (1, None)])
     assert got[1] == ("", 0)
+
+
+# --- per-host boilerplate template removal (SURVEY J60) ----------------
+
+
+def _run_bp(spark, rows, **kw):
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    return {r.doc_id: (r.clean_text, r.n_removed)
+            for r in dedup.host_boilerplate_scrub(df, **kw).collect()}
+
+
+def test_template_strips_all_occurrences(spark):
+    # 'nav' is on 3/3 docs of host a: removed EVERYWHERE, first
+    # occurrence included — the verdict that separates template
+    # removal from keep-first paragraph dedup
+    got = _run_bp(spark, [
+        (0, "a", "nav\nbody zero"),
+        (1, "a", "nav\nbody one"),
+        (2, "a", "nav\nbody two"),
+    ])
+    assert got == {0: ("body zero", 1), 1: ("body one", 1),
+                   2: ("body two", 1)}
+
+
+def test_template_is_host_local(spark):
+    # the same line on every doc of host a but only one doc of host b:
+    # scrubbed from a, kept on b — cross-host rarity is content
+    got = _run_bp(spark, [
+        (0, "a", "shared line\nbody zero"),
+        (1, "a", "shared line\nbody one"),
+        (2, "a", "shared line\nbody two"),
+        (3, "b", "shared line\nbody three"),
+        (4, "b", "body four"),
+        (5, "b", "body five"),
+    ])
+    assert got[0] == ("body zero", 1)
+    assert got[3] == ("shared line\nbody three", 0)
+    assert got[4] == ("body four", 0)
+
+
+def test_min_docs_floor_and_frac_threshold(spark):
+    # host with 8 docs: threshold = max(3, ceil(0.5*8)) = 4.
+    # 'three times' (3 docs) survives; 'four times' (4 docs) scrubbed.
+    rows = []
+    for i in range(8):
+        lines = [f"body {i}"]
+        if i < 3:
+            lines.append("three times")
+        if i < 4:
+            lines.append("four times")
+        rows.append((i, "h", "\n".join(lines)))
+    got = _run_bp(spark, rows)
+    assert got[0] == ("body 0\nthree times", 1)
+    assert got[5] == ("body 5", 0)
+
+
+def test_ws_only_lines_never_template(spark):
+    # the blank line is on every doc of the host — still kept (it is
+    # structure, and it never even reaches the template join)
+    got = _run_bp(spark, [
+        (0, "a", "x\n\nbody zero"),
+        (1, "a", "x\n\nbody one"),
+        (2, "a", "x\n\nbody two"),
+    ])
+    assert got[0] == ("\nbody zero", 1)
+
+
+def test_fully_scrubbed_and_null_docs_survive(spark):
+    got = _run_bp(spark, [
+        (0, "a", "nav"),
+        (1, "a", "nav"),
+        (2, "a", "nav"),
+        (3, "a", None),
+        (4, None, "nav"),       # null host buckets separately
+    ])
+    assert got[0] == ("", 1)
+    assert got[3] == ("", 0)
+    assert got[4] == ("nav", 0)
+
+
+def test_boilerplate_partition_invariance(spark):
+    rows = [(i, f"h{i % 2}",
+             "\n".join([f"top h{i % 2}", f"body {i}", "promo"]))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    expect = {r.doc_id: (r.clean_text, r.n_removed)
+              for r in dedup.host_boilerplate_scrub(df.coalesce(1)).collect()}
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in dedup.host_boilerplate_scrub(df.repartition(13)).collect()}
+    assert got == expect
+    # 'promo' spans BOTH hosts and is template in each independently
+    assert all(v[0] == f"body {k}" for k, v in expect.items())
