@@ -625,6 +625,30 @@ def build_kg_edges_with_provenance(triples: DataFrame,
                  F.max("url").alias("last_url")))
 
 
+def build_kg_edges_with_time_windows(triples: DataFrame,
+                                     canonical_map: DataFrame,
+                                     page_times: DataFrame) -> DataFrame:
+    """Temporal KG edges: kg_edges extended with the assertion's
+    OBSERVATION WINDOW — min/max crawl timestamp over the supporting
+    pages.  The temporal layer every streaming-KG consumer asks of a
+    crawl-built graph ("since when has the web said this?", "is this
+    edge stale?") without moving to full interval semantics.
+
+    ``page_times``: (url, warc_ts) — at production scale this is a
+    column already on the pages/markdown_docs table and the join
+    disappears (carry warc_ts through extraction); the join form
+    exists because mine_triples' Arrow schema is deliberately minimal.
+    Join key is url, the same distribution as the triples themselves —
+    one hash join under AQE, then the min/max aggregates ride the SAME
+    single groupBy shuffle as the flagship edge build."""
+    t = _canonicalized_triples(triples, canonical_map) \
+        .join(page_times, "url")
+    return (t.groupBy("src", "pred", "dst")
+            .agg(F.count(F.lit(1)).alias("n_support"),
+                 F.min("warc_ts").alias("first_seen"),
+                 F.max("warc_ts").alias("last_seen")))
+
+
 def build_kg_edges_from_support(support: DataFrame,
                                 canonical_map: DataFrame) -> DataFrame:
     """kg_edges from PRE-AGGREGATED raw triple support

@@ -3126,6 +3126,39 @@ def kg_edge_provenance(spark, sf_dir):
         kg_ops.mine_triples(docs), cmap)
 
 
+@register("kg_edge_time_windows", """
+SELECT src, pred, dst, n_support, first_seen, last_seen
+FROM read_parquet('/root/repo/fixtures/kg_oracle/kg_tw_*.parquet')
+WHERE corpus_sig = (SELECT CAST(bit_xor(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || COALESCE(text,'')), 1, 15)) AS BIGINT)) AS VARCHAR)
+                        || ':' ||
+                        CAST(bit_xor(CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || COALESCE(text,'')), 16, 15)) AS BIGINT)) AS VARCHAR)
+                    FROM documents)
+""")
+def kg_edge_time_windows(spark, sf_dir):
+    """Temporal KG (J61): kg_edges extended with each assertion's
+    observation window — min/max crawl timestamp over supporting
+    pages ("since when has the web said this?").  The synthetic
+    corpus's pages carry one constant warc_ts, so the row supplies
+    the deterministic varied-timestamp twin both engines replay:
+    ts(doc) = 2025-06-14 + (doc_id % 97) hours, attached as the
+    (url, warc_ts) page_times side.  Min/max ride the SAME single
+    groupBy shuffle as the flagship edge build; the page_times join
+    keys on url — the triples' own distribution — and disappears at
+    production scale where warc_ts is already a docs column.
+    Verified against the frozen single-threaded oracle's identical
+    derivation (tools/freeze_kg_oracle.py kg_tw fixtures)."""
+    docs, _mentions, _aliases, cmap = _kg_pipeline_parts(spark, sf_dir)
+    page_times = (load(spark, sf_dir, "documents")
+                  .select(F.concat(F.lit("https://docs.test/"),
+                                   F.col("doc_id")).alias("url"),
+                          F.expr("timestamp'2025-06-14 00:00:00' + "
+                                 "make_interval(0, 0, 0, 0, "
+                                 "CAST(doc_id % 97 AS INT), 0, 0)")
+                          .alias("warc_ts")))
+    return kg_ops.build_kg_edges_with_time_windows(
+        kg_ops.mine_triples(docs), cmap, page_times)
+
+
 def _nt_sql_frag_expr(c: str) -> str:
     """ANSI-SQL twin of kg_ops._nt_iri_frag, GENERATED from the same
     escape table so the Spark render and the DuckDB oracle can never
@@ -3321,6 +3354,7 @@ _DRIVER_ORDER = [
     "winnowing_fingerprints",  # last driver-green: r00
     "winnowing_shared_pairs",  # last driver-green: r00
     "host_boilerplate_scrub",  # last driver-green: r00 (new round 5)
+    "kg_edge_time_windows",  # last driver-green: r00 (new round 5)
     "cube_event_stats",  # last driver-green: r02
     "distinct_users_per_type",  # last driver-green: r02
     "event_value_percentiles",  # last driver-green: r02
@@ -3328,9 +3362,11 @@ _DRIVER_ORDER = [
     "clean_text_collapse",  # last driver-green: r03
     "cosine_topk",  # last driver-green: r03
     "dedup_embedding_pairs",  # last driver-green: r03
-    "doc_chunks",  # last driver-green: r03
     # ---- driver cap (50) falls here; rows below hold the freshest
     # ---- driver-green signals and stay check_oracle-verified locally
+    "doc_chunks",  # last driver-green: r03 (demoted for
+    #              # kg_edge_time_windows; covered by
+    #              # tests/test_chunking.py + check_oracle)
     "doc_fingerprint",  # last driver-green: r03 (demoted for
     #                   # host_boilerplate_scrub; covered by
     #                   # tests/test_textstats_extra.py + check_oracle)

@@ -281,6 +281,41 @@ def test_edge_provenance_counts_and_url_span(spark):
     assert {k: v.n_support for k, v in rows.items()} == flag
 
 
+def test_edge_time_windows(spark):
+    """Round 5 (J61): build_kg_edges_with_time_windows aggregates the
+    min/max supporting-page timestamp per canonical edge; support
+    counts agree with the flagship edge build."""
+    import datetime
+
+    from mdscraper_spark.operators.kg import (
+        build_kg_edges, build_kg_edges_with_time_windows)
+
+    triples = spark.createDataFrame(
+        [("https://d.test/2", 0, "Ada Lovelace", "works_for", "Acme", 0.9),
+         ("https://d.test/1", 0, "Ada Lovelace", "works_for", "Acme", 0.9),
+         ("https://d.test/3", 0, "Ada Lovelace", "born_in", "London", 0.8)],
+        "url string, sent_id int, subj string, pred string, obj string, "
+        "conf double")
+    cmap = spark.createDataFrame([("s:ada lovelace", "e:1")],
+                                 "node_id string, canon_id string")
+    t0 = datetime.datetime(2025, 6, 14, 0, 0, 0)
+    times = spark.createDataFrame(
+        [(f"https://d.test/{i}", t0 + datetime.timedelta(hours=i))
+         for i in (1, 2, 3)], "url string, warc_ts timestamp")
+    rows = {(r.src, r.pred, r.dst): r for r in
+            build_kg_edges_with_time_windows(triples, cmap, times).collect()}
+    works = rows[("e:1", "works_for", "s:acme")]
+    # window spans the supporting pages only (doc 3 supports born_in)
+    assert works.n_support == 2
+    assert works.first_seen == t0 + datetime.timedelta(hours=1)
+    assert works.last_seen == t0 + datetime.timedelta(hours=2)
+    born = rows[("e:1", "born_in", "s:london")]
+    assert born.first_seen == born.last_seen == t0 + datetime.timedelta(hours=3)
+    flag = {(r.src, r.pred, r.dst): r.n_support
+            for r in build_kg_edges(triples, cmap).collect()}
+    assert {k: v.n_support for k, v in rows.items()} == flag
+
+
 def test_cc_on_round_telemetry_chain(spark):
     """Distributed CC must report an exact changed-label count per
     round: on a length-7 path graph, counts strictly shrink to 0 and

@@ -151,6 +151,41 @@ def freeze(sf_dir: str) -> None:
          for s, p, d, n, nd, fu, lu in derived["kg_edge_prov"]])
     con.execute(f"COPY pv TO '{out_prov}' (FORMAT PARQUET)")
 
+    # temporal edge windows (round 5, J61): same canonicalized-edge
+    # derivation, aggregating min/max crawl timestamp over supporting
+    # pages; ts(url) replays the registry row's deterministic
+    # make_interval expression — base + (doc_id % 97) hours
+    import datetime as _dt
+
+    from mdscraper_spark.kg import rules as _rules
+
+    _canon = dict(derived["canonical_map"])
+    _base = _dt.datetime(2025, 6, 14, 0, 0, 0)
+
+    def _ts(url: str) -> _dt.datetime:
+        return _base + _dt.timedelta(hours=int(url.rsplit("/", 1)[1]) % 97)
+
+    tw_support: dict = {}
+    tw_first: dict = {}
+    tw_last: dict = {}
+    for url, _sid, subj, pred, obj, _conf in derived["triples"]:
+        s_node = _rules.surface_node(subj)
+        o_node = _rules.surface_node(obj)
+        key = (_canon.get(s_node, s_node), pred, _canon.get(o_node, o_node))
+        ts = _ts(url)
+        tw_support[key] = tw_support.get(key, 0) + 1
+        tw_first[key] = min(tw_first.get(key, ts), ts)
+        tw_last[key] = max(tw_last.get(key, ts), ts)
+    out_tw = OUT_DIR / f"kg_tw_{fsig}.parquet"
+    con.execute("CREATE TABLE tw (src VARCHAR, pred VARCHAR, dst VARCHAR, "
+                "n_support BIGINT, first_seen TIMESTAMP, "
+                "last_seen TIMESTAMP, corpus_sig VARCHAR)")
+    con.executemany(
+        "INSERT INTO tw VALUES (?, ?, ?, ?, ?, ?, ?)",
+        [(s, p, d, int(n), tw_first[(s, p, d)], tw_last[(s, p, d)], sig)
+         for (s, p, d), n in sorted(tw_support.items())])
+    con.execute(f"COPY tw TO '{out_tw}' (FORMAT PARQUET)")
+
     # sentence-level PMI co-occurrence, replayed single-threaded from
     # the SAME mentions + canonical map (for kg_pmi_cooccurrence):
     # unlinked surfaces drop out, a canon twice in one sentence counts
