@@ -2575,6 +2575,40 @@ HOSTILE_NESTED_LINKS = """
 </html>
 """
 
+# round-5 fifty-fifth wave: pre NEWLINE edges and loose inter-item
+# text (probed live before freezing).  The HTML5 tree builder strips
+# the first newline after <pre> — html.parser does NOT, so
+# "<pre>\ncode</pre>" emits a BLANK first fence line (divergence
+# pinned; the browser-parity output would start at "code"), and a
+# trailing newline before </pre> emits a blank LAST fence line
+# symmetrically; loose text nodes between a container's block
+# children render as their own blank-line-separated paragraphs; and
+# loose text directly inside <ul> — before, between, and after the
+# <li>s — stays in DOCUMENT position and GLUES onto the adjacent
+# bullet markers ("loose in ul* item\nbetween items* two"), breaking
+# the list syntax downstream: the list-flavored twin of the wave-12
+# no-foster-parenting table pin.
+
+HOSTILE_PRE_NEWLINE_LOOSE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Pre Newlines And Loose Text</h1>
+        loose text before blocks
+        <p>para one</p>
+        interstitial loose text
+        <pre>
+leading newline line
+second</pre>
+        <pre>trailing newline
+</pre>
+        <ul>loose in ul<li>item</li>between items<li>two</li>after</ul>
+        trailing loose text
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3259,6 +3293,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-orphan-cells": HOSTILE_ORPHAN_CELLS,
     "hostile-content-in-cell": HOSTILE_CONTENT_IN_CELL,
     "hostile-nested-links": HOSTILE_NESTED_LINKS,
+    "hostile-pre-newline-loose": HOSTILE_PRE_NEWLINE_LOOSE,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
