@@ -2609,6 +2609,37 @@ second</pre>
 </html>
 """
 
+# round-5 fifty-sixth wave: fence-interior COMMENTS and cross-cell
+# misnesting (probed live before freezing).  A comment inside <pre>
+# vanishes with NO seam — "before<!--x-->after" emits the glued
+# fence line "beforeafter"; an entity-encoded pipe (&#124;) lands as
+# a live table-syntax byte in flow text and an entity-encoded
+# backtick TRIPLE emits a live ``` run mid-paragraph (a fence-line
+# injection the wave-46 single-backtick pin composes into); a <b>
+# opened in one table cell and closed in the NEXT stays bounded —
+# markers close at the first cell's seam ("a**bold spans**") and the
+# dangling </b> in the second cell drops silently ("cellsplain"),
+# so inline markers never leak across the cell flattener; an orphan
+# <option> inside a div surfaces its text inline; and tab characters
+# collapse to single spaces in flow text AND inside code SPANS
+# (`code tab`) while <pre> alone preserves them — the three-way tab
+# contract.
+
+HOSTILE_FENCE_COMMENT_MISNEST = """
+<html>
+<body>
+    <div class="content">
+        <h1>Fence Comments And Cell Misnesting</h1>
+        <pre>before<!-- comment in pre -->after</pre>
+        <p>cell pipe entity &#124; here and fence entity &#96;&#96;&#96; run</p>
+        <table><tr><td>a<b>bold spans</td><td>cells</b>plain</td></tr></table>
+        <div>orphan <option>option text</option> in div</div>
+        <p>tab\there and in <code>code\ttab</code></p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3294,6 +3325,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-content-in-cell": HOSTILE_CONTENT_IN_CELL,
     "hostile-nested-links": HOSTILE_NESTED_LINKS,
     "hostile-pre-newline-loose": HOSTILE_PRE_NEWLINE_LOOSE,
+    "hostile-fence-comment-misnest": HOSTILE_FENCE_COMMENT_MISNEST,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
