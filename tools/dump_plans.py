@@ -116,6 +116,15 @@ CASES = [
      "followed by a distinct + left-anti visited join (AQE broadcasts "
      "the seed-sized frontier at runtime); no recursive blow-up, no "
      "CartesianProduct"),
+    ("host_boilerplate_scrub",
+     "line census ONE distinct-agg hash aggregate on (host, line); "
+     "only the over-threshold template subset joins back (host, line)"
+     "-keyed; ws-only rows union AROUND the join; doc rebuild one "
+     "hash aggregate — no self-join, no CartesianProduct"),
+    ("kg_edge_time_windows",
+     "the flagship edge build's single groupBy shuffle with min/max "
+     "timestamp aggregates riding it; page_times joined url-keyed "
+     "(the triples' own distribution) before the aggregate"),
 ]
 
 
