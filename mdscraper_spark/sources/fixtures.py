@@ -2640,6 +2640,32 @@ HOSTILE_FENCE_COMMENT_MISNEST = """
 </html>
 """
 
+# round-5 fifty-seventh wave: BLOCK elements inside <pre> (probed
+# live before freezing).  html.parser gives <pre> no content-model
+# enforcement, so block children parse as real elements and the
+# renderer emits their full block markdown INSIDE the fence: a list
+# contributes "* in pre" bullet lines, a table its pipe rows and
+# padded empty header, a heading its "## " marker, a blockquote its
+# "> " prefix — each with their blank-line seams AS FENCE INTERIOR
+# LINES, so the fence body contains markdown a downstream renderer
+# must treat as literal code; rawtext children (<style>/<script>)
+# strip with NO seam ("a<style>..</style>b<script>..</script>c" ->
+# the glued fence line "abc" — the rawtext twin of the wave-56
+# comment glue).
+
+HOSTILE_BLOCKS_IN_PRE = """
+<html>
+<body>
+    <div class="content">
+        <h1>Blocks In Pre</h1>
+        <pre>a<style>p{color:red}</style>b<script>var x;</script>c</pre>
+        <pre>list <ul><li>in pre</li></ul> table <table><tr><td>cell</td></tr></table> end</pre>
+        <pre>head <h2>in pre</h2> quote <blockquote>quoted in pre</blockquote> done</pre>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3326,6 +3352,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-nested-links": HOSTILE_NESTED_LINKS,
     "hostile-pre-newline-loose": HOSTILE_PRE_NEWLINE_LOOSE,
     "hostile-fence-comment-misnest": HOSTILE_FENCE_COMMENT_MISNEST,
+    "hostile-blocks-in-pre": HOSTILE_BLOCKS_IN_PRE,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
