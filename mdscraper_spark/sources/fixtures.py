@@ -2666,6 +2666,35 @@ HOSTILE_BLOCKS_IN_PRE = """
 </html>
 """
 
+# round-5 fifty-eighth wave: STRIKETHROUGH spanning blocks and
+# fragment seams (probed live before freezing).  <del> wrapping
+# sibling paragraphs emits ~~ markers SPANNING the blank-line seam
+# ("~~para one\n\npara two~~" — the tilde twin of the wave-42
+# emphasis-spanning-blocks pin, and equally broken CommonMark);
+# <ins> wrapping a list is pure transparency — the bullets render
+# markerless-ly with no ins trace; <template> content holding table
+# FRAGMENTS (tr/td with no table) composes the in-tree template rule
+# with the orphan-cell debris pin — a bare "| template row cell |"
+# pipe row; and the label/optgroup tail renders its text with
+# single-newline fragment seams (no blank line between the list,
+# the pipe row, the label text, and the option text).
+
+HOSTILE_STRIKE_FRAGMENTS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Strike Spans And Fragment Seams</h1>
+        <del><p>deleted para one</p><p>deleted para two</p></del>
+        <ins><ul><li>inserted item</li></ul></ins>
+        <template><tr><td>template row cell</td></tr></template>
+        <label for="x">label text</label><input id="x" type="text" value="val">
+        <optgroup label="group label text"><option>opt in div</option></optgroup>
+        <p>end</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3353,6 +3382,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-pre-newline-loose": HOSTILE_PRE_NEWLINE_LOOSE,
     "hostile-fence-comment-misnest": HOSTILE_FENCE_COMMENT_MISNEST,
     "hostile-blocks-in-pre": HOSTILE_BLOCKS_IN_PRE,
+    "hostile-strike-fragments": HOSTILE_STRIKE_FRAGMENTS,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
