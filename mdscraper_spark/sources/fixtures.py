@@ -2695,6 +2695,46 @@ HOSTILE_STRIKE_FRAGMENTS = """
 </html>
 """
 
+# round-5 fifty-ninth wave: ARTICLE-stage election order and the
+# out-of-container title liftover (probed live before freezing).
+# Among multiple <article>s the DOCUMENT-ORDER FIRST wins — even
+# when a later article is larger (the article stage is first-match,
+# not largest, unlike the largest-div fallback); a div.content beats
+# an <article> appearing earlier in the document (class stage
+# outranks article stage), and a div#content beats both; and in both
+# losing-article cases the TITLE still comes from the article's h1 —
+# the title probe is DOCUMENT-level (first h1 anywhere, reference
+# scraper.py:363-387), so a container without its own h1 renders
+# with a heading lifted from OUTSIDE the elected subtree, and the
+# title-prepend quirk fires on it.
+
+HOSTILE_ARTICLE_FIRST = """
+<html>
+<body>
+    <article><h1>First Article</h1><p>short</p></article>
+    <article><h1>Second Article</h1><p>much longer article body with many words</p></article>
+</body>
+</html>
+"""
+
+HOSTILE_CLASS_VS_ARTICLE = """
+<html>
+<body>
+    <article><h1>Art</h1><p>article text</p></article>
+    <div class="content"><p>content div text</p></div>
+</body>
+</html>
+"""
+
+HOSTILE_ID_VS_ARTICLE = """
+<html>
+<body>
+    <div id="content"><p>id div</p></div>
+    <article><h1>Art</h1><p>article text</p></article>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3383,6 +3423,9 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-fence-comment-misnest": HOSTILE_FENCE_COMMENT_MISNEST,
     "hostile-blocks-in-pre": HOSTILE_BLOCKS_IN_PRE,
     "hostile-strike-fragments": HOSTILE_STRIKE_FRAGMENTS,
+    "hostile-article-first": HOSTILE_ARTICLE_FIRST,
+    "hostile-class-vs-article": HOSTILE_CLASS_VS_ARTICLE,
+    "hostile-id-vs-article": HOSTILE_ID_VS_ARTICLE,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
