@@ -2735,6 +2735,58 @@ HOSTILE_ID_VS_ARTICLE = """
 </html>
 """
 
+# round-5 sixtieth wave: the Q&A MACRO page (probed live before
+# freezing) — the developer-forum page family (Stack-Overflow shape)
+# as one composition: vote-widget chrome GLUING around scores
+# ("▲42▼", "58✓" — the wave-50 button-glue pin in its natural
+# habitat), language-classed and bare code fences in question and
+# answers, a comment list with per-comment author links, tag-link
+# runs, an accepted-answer blockquote note, schema.org microdata and
+# aria attributes transparent throughout, and the page chrome split
+# exactly at the container boundary: nav/sidebar-ads/footer outside
+# div.content never render while everything inside — votes, comments
+# and all — rides along (the unit of selection is the container).
+
+HOSTILE_QA_MACRO = """
+<html>
+<head><title>How do I repartition a DataFrame? - DevQA</title></head>
+<body>
+<nav id="nav"><a href="/">DevQA</a><a href="/questions">Questions</a><a href="/tags">Tags</a></nav>
+<div class="container">
+  <div class="content">
+    <h1>How do I repartition a DataFrame?</h1>
+    <div class="question" itemscope itemtype="https://schema.org/Question">
+      <div class="vote-cell"><button aria-label="up">▲</button><span class="score">42</span><button aria-label="down">▼</button></div>
+      <div class="post-body">
+        <p>I have a skewed join and want to spread the hot key. I tried:</p>
+        <pre><code class="language-python">df = df.repartition(32, "host")
+out = df.join(dim, "host")</code></pre>
+        <p>but one task still gets 90% of rows. What am I missing?</p>
+        <div class="post-tags"><a class="tag" href="/t/spark">spark</a> <a class="tag" href="/t/joins">joins</a></div>
+      </div>
+      <div class="comments"><ul><li><span class="comment-text">Did you enable AQE?</span> – <a href="/u/1">ann</a></li><li><span class="comment-text">Show the plan with df.explain()</span> – <a href="/u/2">bo</a></li></ul></div>
+    </div>
+    <h2>2 Answers</h2>
+    <div class="answer accepted" itemprop="acceptedAnswer">
+      <div class="vote-cell"><span class="score">58</span><span class="checkmark" aria-label="accepted">✓</span></div>
+      <div class="post-body">
+        <p>Repartitioning by the skewed column keeps all rows of the hot key in <em>one</em> partition. Either salt the key:</p>
+        <pre><code>df.withColumn("salt", (rand()*16).cast("int"))</code></pre>
+        <p>or let AQE split it: set <code>spark.sql.adaptive.skewJoin.enabled</code> to <code>true</code>.</p>
+        <blockquote><p>Note: broadcast the dim side if it fits — no shuffle at all.</p></blockquote>
+      </div>
+    </div>
+    <div class="answer">
+      <div class="post-body"><p>Also check <a href="https://spark.apache.org/docs/latest/sql-performance-tuning.html">the tuning guide</a>.</p></div>
+    </div>
+  </div>
+  <div class="sidebar ads"><div class="ad-unit">SPONSORED: cloud credits</div><h3>Related</h3><ul><li><a href="/q/7">AQE not splitting</a></li></ul></div>
+</div>
+<footer><p>© DevQA 2025</p></footer>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3426,6 +3478,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-article-first": HOSTILE_ARTICLE_FIRST,
     "hostile-class-vs-article": HOSTILE_CLASS_VS_ARTICLE,
     "hostile-id-vs-article": HOSTILE_ID_VS_ARTICLE,
+    "hostile-qa-macro": HOSTILE_QA_MACRO,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
