@@ -2787,6 +2787,33 @@ out = df.join(dim, "host")</code></pre>
 </html>
 """
 
+# round-5 sixty-first wave: entity-DECODED fence interiors and raw
+# CR in attribute values (probed live before freezing).  Entities
+# decode at parse time, so a fence interior carries the DECODED
+# bytes: "&lt;div&gt;" emits a live-looking "<div>" inside the
+# fence, "&amp;amp;" unescapes exactly one level to "&amp;", an
+# entity-encoded newline (&#10;) injects a real fence-interior line
+# break, and &#96;&#96;&#96; lands a live ``` run INSIDE the fence —
+# the entity-encoded twin of the wave-35 literal-backtick pin,
+# breaking the fence for downstream parsers.  Attribute values are
+# EXEMPT from the flow-text CR->LF newline convention: a raw CR byte
+# in an href (and a &#13; entity) survives into the markdown link
+# destination "(/a\\rb)" — the attribute-side complement of the
+# wave-50 fence-interior CR pin.
+
+HOSTILE_ENTITY_FENCE_CR = """
+<html>
+<body>
+    <div class="content">
+        <h1>Entity Fences And CR Hrefs</h1>
+        <pre>entity &lt;div&gt; and &amp;amp; and newline&#10;entity and fence &#96;&#96;&#96; in pre</pre>
+        <p><a href="/a\rb">CR in href</a> and <a href="/c&#13;d">CR entity href</a></p>
+        <p>decimal space&#32;entity and tab&#9;entity in flow</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3479,6 +3506,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-class-vs-article": HOSTILE_CLASS_VS_ARTICLE,
     "hostile-id-vs-article": HOSTILE_ID_VS_ARTICLE,
     "hostile-qa-macro": HOSTILE_QA_MACRO,
+    "hostile-entity-fence-cr": HOSTILE_ENTITY_FENCE_CR,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
