@@ -2814,6 +2814,29 @@ HOSTILE_ENTITY_FENCE_CR = """
 </html>
 """
 
+# round-5 sixty-second wave: TITLE-element edges (probed live before
+# freezing).  Among multiple head <title>s the FIRST wins the
+# document-level probe (and, with no h1 anywhere, becomes the
+# title-prepended heading — composing the wave-59 liftover with the
+# title fallback chain h1 -> title -> "Webpage"); a <title> in BODY
+# position renders its text as ordinary flow content (the wave-14
+# no-RCDATA rule meeting the renderer: head metadata becomes body
+# prose when misplaced) while losing the document-order probe to
+# the earlier head title.
+
+HOSTILE_TITLE_EDGES = """
+<html>
+<head><title>First Title</title><title>Second Title</title></head>
+<body>
+    <div class="content">
+        <p>no h1 here</p>
+        <title>body title text</title>
+        <p>after body title</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3507,6 +3530,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-id-vs-article": HOSTILE_ID_VS_ARTICLE,
     "hostile-qa-macro": HOSTILE_QA_MACRO,
     "hostile-entity-fence-cr": HOSTILE_ENTITY_FENCE_CR,
+    "hostile-title-edges": HOSTILE_TITLE_EDGES,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
