@@ -262,3 +262,21 @@ def test_entity_cards_single_aggregate_no_sort(spark):
     assert tree.count("Exchange") == 1
     assert "Sort " not in tree.replace("SortAggregate", "")
     assert "Join" not in tree
+
+
+def test_host_boilerplate_scrub_no_cartesian_census_shape(spark):
+    """J60: the line census must be a keyed aggregate and the template
+    join-back a keyed join — no cartesian/BNLJ anywhere; the ws-only
+    branch unions around the join (visible as a Union in the plan)."""
+    plan = plan_of(spark, "host_boilerplate_scrub")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Union" in plan
+
+
+def test_edge_time_windows_no_cartesian(spark):
+    """J61: page_times joins url-keyed and the min/max aggregates ride
+    the single edge groupBy — no cartesian, no extra global sort."""
+    plan = plan_of(spark, "kg_edge_time_windows")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
