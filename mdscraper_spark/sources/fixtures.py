@@ -2837,6 +2837,35 @@ HOSTILE_TITLE_EDGES = """
 </html>
 """
 
+# round-5 sixty-third wave: formula FLATTENING and the padded-header
+# SUPPRESSION quirk (probed live before freezing).  MathML token
+# runs glue structurelessly — "<mi>x</mi><mo>=</mo><mn>2</mn>" emits
+# "x=2" and an <mfrac> glues numerator to denominator ("ab": the
+# fraction bar is gone, the Wikipedia-formula information loss a
+# downstream consumer must know about); svg <text>/<tspan>/<desc>
+# glue the same way.  And the padded-empty-header rule is keyed to
+# the table's FIRST CHILD: a plain headerless table gets the
+# "| |\\n| --- |" padded header, but the SAME rows preceded by a
+# <colgroup> or <caption> render with NO header and NO delimiter row
+# at all — pipe rows downstream CommonMark will not even parse as a
+# table (markdownify first-child heuristic, pinned as bytes).
+
+HOSTILE_FORMULA_COLGROUP = """
+<html>
+<body>
+    <div class="content">
+        <h1>Formulas And Header Suppression</h1>
+        <svg viewBox="0 0 10 10"><text x="1" y="1">svg text element</text><tspan>tspan run</tspan><desc>described</desc></svg>
+        <math><mi>x</mi><mo>=</mo><mn>2</mn><mfrac><mi>a</mi><mi>b</mi></mfrac></math>
+        <p>after math</p>
+        <table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>
+        <table><colgroup><col><col></colgroup><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>
+        <table><caption>cap</caption><tr><td>a</td><td>b</td></tr></table>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3531,6 +3560,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-qa-macro": HOSTILE_QA_MACRO,
     "hostile-entity-fence-cr": HOSTILE_ENTITY_FENCE_CR,
     "hostile-title-edges": HOSTILE_TITLE_EDGES,
+    "hostile-formula-colgroup": HOSTILE_FORMULA_COLGROUP,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
