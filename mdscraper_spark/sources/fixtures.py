@@ -2866,6 +2866,30 @@ HOSTILE_FORMULA_COLGROUP = """
 </html>
 """
 
+# round-5 sixty-fourth wave: the header-suppression BOUNDARY (probed
+# live before freezing) — exactly which first children of <table>
+# keep vs suppress the padded empty header: a <tbody> wrapper, a
+# comment, and leading whitespace all KEEP the "| |\\n| --- |" pad
+# (the heuristic sees through them to the first row), while a
+# <script> first child SUPPRESSES header and delimiter exactly like
+# wave-63's colgroup/caption — the complete boundary of the
+# markdownify first-child probe, pinned so any future header-rule
+# change surfaces as a byte break on both sides of the line.
+
+HOSTILE_HEADER_BOUNDARY = """
+<html>
+<body>
+    <div class="content">
+        <h1>Header Suppression Boundary</h1>
+        <table><tbody><tr><td>a</td></tr><tr><td>c</td></tr></tbody></table>
+        <table><!-- c --><tr><td>a</td></tr><tr><td>c</td></tr></table>
+        <table> <tr><td>a</td></tr></table>
+        <table><script>var x;</script><tr><td>a</td></tr></table>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3561,6 +3585,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-entity-fence-cr": HOSTILE_ENTITY_FENCE_CR,
     "hostile-title-edges": HOSTILE_TITLE_EDGES,
     "hostile-formula-colgroup": HOSTILE_FORMULA_COLGROUP,
+    "hostile-header-boundary": HOSTILE_HEADER_BOUNDARY,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
