@@ -2890,6 +2890,32 @@ HOSTILE_HEADER_BOUNDARY = """
 </html>
 """
 
+# round-5 sixty-fifth wave: ordinal CONTINUITY and caption-header
+# interaction (probed live before freezing).  Ordered-list numbering
+# is position-among-li-siblings, so interleaved non-li children
+# split the rendering WITHOUT resetting the count — "1. a / mid /
+# 2. b" (and with start=3 + an interjected nested <ul>: "3. a /
+# * nested mid / 4. b") — standalone markdown lists a downstream
+# parser renumbers from their first ordinal; a <caption> carrying
+# BLOCK content renders its full block markdown (heading, list)
+# above the table; and — extending the wave-63/64 suppression — a
+# caption suppresses the header DELIMITER row even when the first
+# row is a real all-th header: "| h |\\n| c |" with no "| --- |",
+# rows downstream CommonMark no longer reads as a table at all.
+
+HOSTILE_ORDINAL_CAPTION = """
+<html>
+<body>
+    <div class="content">
+        <h1>Ordinals And Captions</h1>
+        <ol><li>a</li><div>mid</div><li>b</li></ol>
+        <ol start="3"><li>a</li><ul><li>nested mid</li></ul><li>b</li></ol>
+        <table><caption><h3>cap head</h3><ul><li>cap item</li></ul></caption><tr><th>h</th></tr><tr><td>c</td></tr></table>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3586,6 +3612,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-title-edges": HOSTILE_TITLE_EDGES,
     "hostile-formula-colgroup": HOSTILE_FORMULA_COLGROUP,
     "hostile-header-boundary": HOSTILE_HEADER_BOUNDARY,
+    "hostile-ordinal-caption": HOSTILE_ORDINAL_CAPTION,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
