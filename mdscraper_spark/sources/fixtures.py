@@ -2916,6 +2916,31 @@ HOSTILE_ORDINAL_CAPTION = """
 </html>
 """
 
+# round-5 sixty-sixth wave: code-SPAN composition algebra (probed
+# live before freezing).  A whitespace-only <code> vanishes entirely
+# (the chomp leaves a bare double-space seam in the sentence);
+# emphasis and links WRAPPING code spans compose markers outside the
+# backticks (*`code`*, [`code`](/x) — the dev-docs staples); but a
+# link INSIDE a code span loses its link markup entirely — `link in
+# code` with the href gone — the code-SPAN twin of the wave-45
+# fence link-strip asymmetry; and <strong> wrapping a heading emits
+# "**#### heading**" — heading markers inside inline markers, the
+# inverted composition of the wave-42 inline-wrapping-block pins.
+
+HOSTILE_CODE_SPAN_ALGEBRA = """
+<html>
+<body>
+    <div class="content">
+        <h1>Code Span Algebra</h1>
+        <p>ws code <code>   </code> only</p>
+        <p><em><code>emphasized code</code></em> and <a href="/x"><code>code link</code></a></p>
+        <p><code><a href="/y">link in code</a></code></p>
+        <p><strong><h4>heading in strong</h4></strong>tail</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3613,6 +3638,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-formula-colgroup": HOSTILE_FORMULA_COLGROUP,
     "hostile-header-boundary": HOSTILE_HEADER_BOUNDARY,
     "hostile-ordinal-caption": HOSTILE_ORDINAL_CAPTION,
+    "hostile-code-span-algebra": HOSTILE_CODE_SPAN_ALGEBRA,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
