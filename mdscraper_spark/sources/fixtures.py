@@ -2941,6 +2941,29 @@ HOSTILE_CODE_SPAN_ALGEBRA = """
 </html>
 """
 
+# round-5 sixty-seventh wave: code-span INTERIOR asymmetry (probed
+# live before freezing) — which markup survives INSIDE a code span,
+# completing wave 66: an <img> keeps full ![alt](src) syntax inside
+# the backticks while links (wave 66) and <del> markers vanish —
+# exactly the image-vs-link asymmetry wave 45 pinned for fences,
+# reproduced at span level; <code>-in-<code> emits ONE backtick pair
+# (no doubling, inner markers gone); and a nested <kbd> chord
+# (<kbd><kbd>Ctrl</kbd>+<kbd>C</kbd></kbd>) wraps once as `Ctrl+C`.
+
+HOSTILE_CODE_INTERIOR = """
+<html>
+<body>
+    <div class="content">
+        <h1>Code Span Interiors</h1>
+        <p><code>img <img src="/i.png" alt="in code"> here</code></p>
+        <p><code>outer <code>inner code</code> tail</code></p>
+        <p><code>del <del>struck in code</del> tail</code></p>
+        <p><kbd><kbd>Ctrl</kbd>+<kbd>C</kbd></kbd> chord</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3639,6 +3662,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-header-boundary": HOSTILE_HEADER_BOUNDARY,
     "hostile-ordinal-caption": HOSTILE_ORDINAL_CAPTION,
     "hostile-code-span-algebra": HOSTILE_CODE_SPAN_ALGEBRA,
+    "hostile-code-interior": HOSTILE_CODE_INTERIOR,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
