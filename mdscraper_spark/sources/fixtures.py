@@ -2964,6 +2964,34 @@ HOSTILE_CODE_INTERIOR = """
 </html>
 """
 
+# round-5 sixty-eighth wave: HEADING-interior flattening systematics
+# (probed live before freezing) — what survives inside a heading
+# line: code spans and emphasis keep their markers; a <pre> child
+# flattens to an INLINE ``` pair with its newlines collapsed to
+# spaces ("## pre ``` fence line two ``` after" — a fence-marker
+# injection ON the heading line); a blockquote loses its ">" markers
+# entirely; and a list flattens its bullets to inline "*" stars
+# ("## list * item one * two after" — bytes downstream CommonMark
+# reads as emphasis markers, not bullets).  Together with wave 45's
+# table-in-heading pin this completes the one-line flattening
+# contract: block STRUCTURE never survives a heading, block
+# MARKER BYTES sometimes do.
+
+HOSTILE_HEADING_INTERIOR = """
+<html>
+<body>
+    <div class="content">
+        <h1>Heading Interiors</h1>
+        <h2>code <code>span</code> and <em>emph</em> inside</h2>
+        <h2>pre <pre>fence line
+two</pre> after</h2>
+        <h2>quote <blockquote>quoted</blockquote> after</h2>
+        <h2>list <ul><li>item one</li><li>two</li></ul> after</h2>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3663,6 +3691,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-ordinal-caption": HOSTILE_ORDINAL_CAPTION,
     "hostile-code-span-algebra": HOSTILE_CODE_SPAN_ALGEBRA,
     "hostile-code-interior": HOSTILE_CODE_INTERIOR,
+    "hostile-heading-interior": HOSTILE_HEADING_INTERIOR,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
