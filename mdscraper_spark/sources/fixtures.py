@@ -2992,6 +2992,30 @@ two</pre> after</h2>
 </html>
 """
 
+# round-5 sixty-ninth wave: table-CELL marker asymmetry (probed live
+# before freezing) — the cell-flattener's survival table, the third
+# corner of the container-asymmetry triangle: in a CELL an <img>
+# drops to its bare alt text (no ![ ]( ) syntax — previously pinned
+# only inside the wave-25 newsletter macro) while a link KEEPS full
+# [text](href) syntax — the exact INVERSE of fences and code spans,
+# where images keep syntax and links drop it (waves 45/66/67); a
+# blockquote loses its ">" markers in a cell and <del> keeps its
+# "~~" run.  One fixture, all four contrasts side by side.
+
+HOSTILE_CELL_ASYMMETRY = """
+<html>
+<body>
+    <div class="content">
+        <h1>Cell Marker Asymmetry</h1>
+        <table><tr><th>kind</th><th>val</th></tr>
+        <tr><td><img src="/i.png" alt="cell img"></td><td><a href="/x">cell link</a></td></tr>
+        <tr><td><blockquote>cell quote</blockquote></td><td><del>cell struck</del></td></tr>
+        </table>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3692,6 +3716,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-code-span-algebra": HOSTILE_CODE_SPAN_ALGEBRA,
     "hostile-code-interior": HOSTILE_CODE_INTERIOR,
     "hostile-heading-interior": HOSTILE_HEADING_INTERIOR,
+    "hostile-cell-asymmetry": HOSTILE_CELL_ASYMMETRY,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
