@@ -3016,6 +3016,31 @@ HOSTILE_CELL_ASYMMETRY = """
 </html>
 """
 
+# round-5 seventieth wave: definition-INTERIOR prefix scope (probed
+# live before freezing) — the ":   " definition prefix attaches to
+# the FIRST emitted line only, so multi-line block content in a <dd>
+# renders its continuation lines FLUSH-LEFT: a fence opens behind
+# the prefix with its interior and closer unindented, a blockquote
+# contributes ":   > quoted" on one line, a table leaves its
+# delimiter and data rows hanging (wave 44 pinned this for
+# list-in-dd; this pins the fence/quote/table completions); and
+# <dt> interiors keep their markers — a heading dt emits "### term"
+# above the colon line, an image dt full ![alt](src) syntax.
+
+HOSTILE_DD_INTERIOR = """
+<html>
+<body>
+    <div class="content">
+        <h1>Definition Interiors</h1>
+        <dl><dt><h3>term heading</h3></dt><dd><pre>fence in dd
+line2</pre></dd>
+        <dt>plain term</dt><dd><blockquote>quoted def</blockquote></dd>
+        <dt><img src="/t.png" alt="term img"></dt><dd><table><tr><td>tbl in dd</td></tr></table></dd></dl>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3717,6 +3742,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-code-interior": HOSTILE_CODE_INTERIOR,
     "hostile-heading-interior": HOSTILE_HEADING_INTERIOR,
     "hostile-cell-asymmetry": HOSTILE_CELL_ASYMMETRY,
+    "hostile-dd-interior": HOSTILE_DD_INTERIOR,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
