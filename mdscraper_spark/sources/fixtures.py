@@ -3041,6 +3041,31 @@ line2</pre></dd>
 </html>
 """
 
+# round-5 seventy-first wave: link-TEXT interior preservation
+# (probed live before freezing) — the fourth corner of the container
+# survival square, and the opposite extreme of heading flattening:
+# link text preserves EVERY marker — ~~del~~ runs, a full MULTI-LINE
+# fence inside the bracket pair ("[```\\nfence in link\\n```](/b)"),
+# "> " blockquote prefixes, and an <hr> with its surrounding blank
+# lines ("[text \\n\\n---\\n\\n rule inside](/d)") — bracket pairs
+# spanning blank lines that no CommonMark parser will read as one
+# link, pinned as the inline-context propagation contract at its
+# most extreme.
+
+HOSTILE_LINKTEXT_INTERIOR = """
+<html>
+<body>
+    <div class="content">
+        <h1>Link Text Interiors</h1>
+        <p><a href="/a"><del>struck link text</del></a> and <a href="/b"><pre>fence in link
+two</pre></a></p>
+        <p><a href="/c"><blockquote>quote in link</blockquote></a></p>
+        <p><a href="/d">text <hr> rule inside</a></p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3743,6 +3768,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-heading-interior": HOSTILE_HEADING_INTERIOR,
     "hostile-cell-asymmetry": HOSTILE_CELL_ASYMMETRY,
     "hostile-dd-interior": HOSTILE_DD_INTERIOR,
+    "hostile-linktext-interior": HOSTILE_LINKTEXT_INTERIOR,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
