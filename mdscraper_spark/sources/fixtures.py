@@ -3066,6 +3066,30 @@ two</pre></a></p>
 </html>
 """
 
+# round-5 seventy-second wave: ordered-item CONTINUATION indent and
+# the whitespace-href asymmetry (probed live before freezing).
+# Block content under an ordered item indents THREE spaces (the
+# "1. " marker width — fences and loose sibling paragraphs both,
+# the ordered twin of wave 51's two-space bullet continuation); and
+# an href of ONLY whitespace is NOT the empty-href unwrap case:
+# "<a href='   '>" emits "[text](   )" with the spaces as the link
+# destination — the empty string unwraps (wave 52) but whitespace
+# survives into the parens, completing the href-edge contract.
+
+HOSTILE_ORDERED_CONTINUATION = """
+<html>
+<body>
+    <div class="content">
+        <h1>Ordered Continuation And WS Hrefs</h1>
+        <ol><li>step<pre>fence under number
+line2</pre></li><li>next</li></ol>
+        <p><a href="   ">ws-only href</a></p>
+        <ol><li><p>loose para</p><p>second para</p></li><li>tight</li></ol>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3769,6 +3793,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-cell-asymmetry": HOSTILE_CELL_ASYMMETRY,
     "hostile-dd-interior": HOSTILE_DD_INTERIOR,
     "hostile-linktext-interior": HOSTILE_LINKTEXT_INTERIOR,
+    "hostile-ordered-continuation": HOSTILE_ORDERED_CONTINUATION,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
