@@ -3090,6 +3090,26 @@ line2</pre></li><li>next</li></ol>
 </html>
 """
 
+# round-5 seventy-third wave: marker-WIDTH indent rollover (probed
+# live before freezing).  Ordered-item continuation indent equals
+# the rendered marker width, so one list spanning the 9 -> 10
+# rollover indents its continuations THREE spaces for single-digit
+# items and FOUR for double-digit ones — internally inconsistent
+# continuation columns inside a single list (composes with wave
+# 36's 5-digit ordinal pin; CommonMark reads both, but any
+# byte-level downstream diff keys on the wobble).
+
+HOSTILE_MARKER_WIDTH = """
+<html>
+<body>
+    <div class="content">
+        <h1>Marker Width Rollover</h1>
+        <ol start="8"><li>item 8<p>cont 8</p></li><li>item 9<p>cont 9</p></li><li>item 10<p>cont 10</p></li><li>item 11<p>cont 11</p></li></ol>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3794,6 +3814,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-dd-interior": HOSTILE_DD_INTERIOR,
     "hostile-linktext-interior": HOSTILE_LINKTEXT_INTERIOR,
     "hostile-ordered-continuation": HOSTILE_ORDERED_CONTINUATION,
+    "hostile-marker-width": HOSTILE_MARKER_WIDTH,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
