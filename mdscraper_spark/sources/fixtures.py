@@ -3110,6 +3110,31 @@ HOSTILE_MARKER_WIDTH = """
 </html>
 """
 
+# round-5 seventy-fourth wave: ORPHAN structural elements (probed
+# live before freezing) — the dl-free twin of wave 52's table-cell
+# debris: an orphan <dt>/<dd> pair outside any <dl> still emits the
+# full definition shape ("orphan dt\\n:   orphan dd" — renderers are
+# element-scoped, never container-scoped), while orphan <summary>/
+# <figcaption>/<legend>/<caption> render as transparent text runs
+# joined by single-newline seams.
+
+HOSTILE_ORPHAN_STRUCTURAL = """
+<html>
+<body>
+    <div class="content">
+        <h1>Orphan Structural Elements</h1>
+        <summary>orphan summary</summary>
+        <figcaption>orphan figcaption</figcaption>
+        <legend>orphan legend</legend>
+        <caption>orphan caption</caption>
+        <dt>orphan dt</dt>
+        <dd>orphan dd</dd>
+        <p>tail</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3815,6 +3840,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-linktext-interior": HOSTILE_LINKTEXT_INTERIOR,
     "hostile-ordered-continuation": HOSTILE_ORDERED_CONTINUATION,
     "hostile-marker-width": HOSTILE_MARKER_WIDTH,
+    "hostile-orphan-structural": HOSTILE_ORPHAN_STRUCTURAL,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
