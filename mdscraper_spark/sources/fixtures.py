@@ -3135,6 +3135,29 @@ HOSTILE_ORPHAN_STRUCTURAL = """
 </html>
 """
 
+# round-5 seventy-fifth wave: phantom-COLUMN header inflation
+# (probed live before freezing).  A HEADERLESS outer table holding a
+# nested table takes the padded empty header as usual — but the pad
+# WIDTH is computed from the flattened first row, whose cell text
+# now contains the INNER table's pipe characters, so a two-cell row
+# pads a FOUR-column header ("| | | |") whose delimiter row then
+# disagrees with every data row: the nested-table pipe-soup contract
+# at its sharpest, where the wave-12 padded-header rule and the
+# wave-31 cell-flattening seam multiply instead of composing.
+
+HOSTILE_PHANTOM_COLUMNS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Phantom Columns</h1>
+        <table><tr><td>
+        <table><tr><th>inner h</th></tr><tr><td>inner cell</td></tr></table>
+        </td><td>sibling</td></tr></table>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3841,6 +3864,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-ordered-continuation": HOSTILE_ORDERED_CONTINUATION,
     "hostile-marker-width": HOSTILE_MARKER_WIDTH,
     "hostile-orphan-structural": HOSTILE_ORPHAN_STRUCTURAL,
+    "hostile-phantom-columns": HOSTILE_PHANTOM_COLUMNS,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
