@@ -3158,6 +3158,34 @@ HOSTILE_PHANTOM_COLUMNS = """
 </html>
 """
 
+# round-5 seventy-sixth wave: blockquote PRESERVATION systematics
+# (probed live before freezing) — the capstone of the container
+# survival square: blockquotes preserve EVERY block structure under
+# per-line "> " prefixes — headings with markers, nested quotes as
+# "> > ", fences line-by-line, full pipe tables with their delimiter
+# rows, and ordered items whose continuation composes BOTH prefixes
+# (">    cont": the quote prefix plus the three-space marker-width
+# indent — waves 32/36 pinned the pieces; this pins the whole
+# square's preserving corner in one fixture).
+
+HOSTILE_QUOTE_PRESERVATION = """
+<html>
+<body>
+    <div class="content">
+        <h1>Quote Preservation</h1>
+        <blockquote>plain quoted
+        <h2>heading in quote</h2>
+        <blockquote>deeper</blockquote>
+        <pre>fence
+in quote</pre>
+        <table><tr><th>qh</th></tr><tr><td>qc</td></tr></table>
+        <ol><li>q item<p>cont</p></li></ol>
+        </blockquote>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3865,6 +3893,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-marker-width": HOSTILE_MARKER_WIDTH,
     "hostile-orphan-structural": HOSTILE_ORPHAN_STRUCTURAL,
     "hostile-phantom-columns": HOSTILE_PHANTOM_COLUMNS,
+    "hostile-quote-preservation": HOSTILE_QUOTE_PRESERVATION,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
