@@ -3186,6 +3186,27 @@ in quote</pre>
 </html>
 """
 
+# round-5 seventy-seventh wave: EMPTY-row table debris (probed live
+# before freezing).  A cell-less <tr> mid-table emits a bare "|"
+# line and a row of empty cells "|  |  |" (two-space interiors) —
+# ragged non-row lines inside an otherwise well-formed pipe table
+# (sharpening wave 46's short/overflow ragged-row pins to the
+# zero-cell limit); empty and whitespace-only <li> vanish without
+# bare bullets while their real sibling keeps its marker.
+
+HOSTILE_EMPTY_ROWS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Empty Row Debris</h1>
+        <table><tr><th>a</th><th>b</th></tr><tr></tr><tr><td></td><td></td></tr><tr><td>x</td><td>y</td></tr></table>
+        <ul><li></li><li>real</li><li>  </li></ul>
+        <p>tail</p>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3894,6 +3915,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-orphan-structural": HOSTILE_ORPHAN_STRUCTURAL,
     "hostile-phantom-columns": HOSTILE_PHANTOM_COLUMNS,
     "hostile-quote-preservation": HOSTILE_QUOTE_PRESERVATION,
+    "hostile-empty-rows": HOSTILE_EMPTY_ROWS,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
