@@ -3207,6 +3207,31 @@ HOSTILE_EMPTY_ROWS = """
 </html>
 """
 
+# round-5 seventy-eighth wave: hard-break treatment BY CONTAINER
+# (probed live before freezing) — wave 40 pinned <br> inside fences/
+# spans/links/quotes; this pins the four remaining containers, each
+# with a DIFFERENT verdict: in a heading the br vanishes with GLUE
+# ("## brin heading" — no space, no break); in a list item it emits
+# the two-space break plus the item's continuation indent
+# ("br  \\n  in item"); in a <dt> it becomes a single SPACE; in a
+# <dd> it keeps the break but the continuation lands FLUSH-LEFT
+# outside the ':   ' prefix — four containers, four rules, one
+# fixture.
+
+HOSTILE_BR_CONTAINERS = """
+<html>
+<body>
+    <div class="content">
+        <h1>Br By Container</h1>
+        <p>soft<br/>break <em>then <br> inside em</em></p>
+        <h2>br<br>in heading</h2>
+        <ul><li>br<br>in item</li></ul>
+        <dl><dt>br<br>in term</dt><dd>br<br>in def</dd></dl>
+    </div>
+</body>
+</html>
+"""
+
 # round-5 forty-ninth wave: heading-HASH and rule-text collisions
 # (probed live before freezing).  Source text whose bytes collide
 # with ATX/thematic syntax at line level: a heading whose text ENDS
@@ -3916,6 +3941,7 @@ FIXTURE_CASES: Dict[str, str] = {
     "hostile-phantom-columns": HOSTILE_PHANTOM_COLUMNS,
     "hostile-quote-preservation": HOSTILE_QUOTE_PRESERVATION,
     "hostile-empty-rows": HOSTILE_EMPTY_ROWS,
+    "hostile-br-containers": HOSTILE_BR_CONTAINERS,
     "hostile-noncandidate-class": HOSTILE_NONCANDIDATE_CLASS,
     "hostile-class-on-td": HOSTILE_CLASS_ON_TD,
     "hostile-tag-litter": HOSTILE_TAG_LITTER,
